@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library calls below.
 """
 
 from __future__ import annotations
@@ -20,25 +17,38 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001-scale synthetic pages.
+
+    Runs the full extraction DAG (read → map_batches(ExtractPages) →
+    groupby(url) dedup) on the deterministic 500-row pages corpus and
+    returns the extracted table (url, lang, extracted_text, spans,
+    status, metrics columns) as a pandas DataFrame.
+    """
+    from ocr_dataset_builder_ray.pipelines.extraction import extraction_pipeline
+    from ocr_dataset_builder_ray.sources.pages import (
+        default_corpus_dir,
+        generate_pages_corpus,
+        pages_parquet_files,
+    )
+
+    corpus = generate_pages_corpus(default_corpus_dir(500), n_rows=500)
+    ds = extraction_pipeline(pages_parquet_files(corpus))
+    return ds.select_columns(
+        ["url", "warc_ts", "lang", "extracted_text", "status", "n_chars", "n_spans"]
+    ).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from ocr_dataset_builder_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-checkable SQL for every SQL-expressible query; queries
+    without an entry (dedup sketches, langid, extraction) get the
+    driver's rows-only check."""
+    from ocr_dataset_builder_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,164 @@
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: the flagship extraction pipeline (read pages parquet →
+map_batches(ExtractPages) → groupby(url) dedup → count+checksum
+aggregate) over a deterministic synthetic pages corpus sized for the
+scale factor. Also times a representative set of registered queries
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling``: runs the headline twice in FRESH processes at
+``ray.init(num_cpus=8)`` and ``num_cpus=32`` on the SAME corpus and
+reports both throughputs + scaling efficiency + an output-checksum
+equality check (byte-identical output across parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_segment_revenue",
+    "q05_top_orders",
+    "q07_event_type_stats",
+    "q08_hourly_events",
+    "q13_doc_stats_by_lang",
+    "q15_dedup_docs",
+    "q22_knn",
+    "q24_user_sessions",
+    "q25_asof_join",
+]
+
+# pages-corpus size per sf tag (sized so the 8-CPU run lasts ≳30 s)
+_PAGES_FOR_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    with_queries = os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0"
+    n_pages = int(
+        os.environ.get("GRAFT_BENCH_PAGES", _PAGES_FOR_SF.get(_sf_tag(sf_dir), 20_000))
+    )
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import pyarrow as pa
+
+    from ocr_dataset_builder_ray.functions.hashing import stable_hash64
+    from ocr_dataset_builder_ray.pipelines.extraction import extraction_pipeline
+    from ocr_dataset_builder_ray.sources.pages import (
+        default_corpus_dir,
+        generate_pages_corpus,
+        pages_parquet_files,
+    )
+
+    corpus = generate_pages_corpus(default_corpus_dir(n_pages), n_rows=n_pages)
+    files = pages_parquet_files(corpus)
+    for f in files:  # warm the OS page cache so we measure compute, not cold IO
+        with open(f, "rb") as fh:
+            fh.read()
+
+    def _hash_rows(t: pa.Table) -> pa.Table:
+        hs = [
+            stable_hash64(u + "|" + h) % (2**31)
+            for u, h in zip(t["url"].to_pylist(), t["content_hash"].to_pylist())
+        ]
+        return pa.table({"h": pa.array(hs, type=pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+
+    t0 = time.monotonic()
+    ds = extraction_pipeline(files)
+    agg = ds.map_batches(_hash_rows, batch_format="pyarrow").aggregate(
+        Count(alias_name="rows"), Sum("h", alias_name="checksum")
+    )
+    extract_sec = time.monotonic() - t0
+    docs_per_sec = agg["rows"] / extract_sec
+
+    query_secs: dict[str, float] = {}
+    if with_queries:
+        from ocr_dataset_builder_ray.pipelines.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            tq = time.monotonic()
+            res = QUERIES[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            query_secs[name] = round(time.monotonic() - tq, 3)
+
+    result = {
+        "metric": "flagship extraction wall time (pages -> extracted, deduped)",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": ncpu,
+        "pages": agg["rows"],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "output_checksum": int(agg["checksum"]),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_QUERIES="0",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    return {
+        "metric": "extraction throughput scaling (N=8 -> 4N=32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": results[lo]["value"],
+        "sec_32": results[hi]["value"],
+        "docs_per_sec_8": results[lo]["docs_per_sec"],
+        "docs_per_sec_32": results[hi]["docs_per_sec"],
+        "pages": results[hi]["pages"],
+        "scaling_efficiency": round(eff, 3),
+        "byte_identical": results[lo]["output_checksum"] == results[hi]["output_checksum"],
+        "output_checksum": results[hi]["output_checksum"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

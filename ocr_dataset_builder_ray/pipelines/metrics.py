@@ -1,0 +1,71 @@
+"""Run metrics & lineage aggregations (G1-G4 graft).
+
+The reference tallies pass/overall counters in driver locals
+(video/frame_pipeline.py:336-392) and walks output JSONs for cost
+stats (llm/utils/calculate_cost_stats.py:26-105). Here both are
+Dataset aggregates over the extracted table's metric columns —
+partial-per-block + final combine is native to ``Dataset.aggregate``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+
+def extraction_metrics(ds: ray.data.Dataset) -> dict:
+    """Overall counters (G2): rows, ok/failed, chars/tokens/bytes."""
+    row = ds.aggregate(
+        Count(alias_name="rows"),
+        Sum("n_chars", alias_name="total_chars"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Sum("n_spans", alias_name="total_spans"),
+        Sum("html_bytes", alias_name="total_html_bytes"),
+        Mean("n_chars", alias_name="mean_chars"),
+    )
+    failed = ds.filter(lambda r: r["status"] != "ok").count()
+    out = dict(row)
+    out["failed_rows"] = failed
+    out["ok_rows"] = out["rows"] - failed
+    return out
+
+
+def per_lang_metrics(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Per-group fold (G1): per-lang doc counts and char stats."""
+    res = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Mean("n_chars", alias_name="mean_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+    )
+    return res.sort_values("lang").reset_index(drop=True)
+
+
+def cost_stats(
+    ds: ray.data.Dataset, cost_col: str = "html_bytes", unit_cost: float = 1e-9
+) -> dict:
+    """Cost statistics (G3 analogue of calculate_cost_stats.py:92-105):
+    sum/mean/std/min/max of a per-row cost metric (bytes x unit rate)."""
+    row = ds.aggregate(
+        Sum(cost_col, alias_name="sum_"),
+        Mean(cost_col, alias_name="mean_"),
+        Std(cost_col, alias_name="std_"),
+        Min(cost_col, alias_name="min_"),
+        Max(cost_col, alias_name="max_"),
+        Count(alias_name="n"),
+    )
+    return {
+        "total_cost": row["sum_"] * unit_cost,
+        "mean_cost": row["mean_"] * unit_cost,
+        "std_cost": (row["std_"] or 0.0) * unit_cost,
+        "min_cost": row["min_"] * unit_cost,
+        "max_cost": row["max_"] * unit_cost,
+        "n": row["n"],
+    }

@@ -1,0 +1,776 @@
+"""Registered queries + DuckDB oracle SQL (the driver correctness gate).
+
+Each entry pairs a Ray-Data-first implementation (streaming
+``map_batches`` / ``groupby`` / ``aggregate`` — no driver-side loops
+over row data) with the ANSI-SQL equivalent DuckDB runs on the same
+parquet tables. Column names match exactly on both sides (the driver
+hashes values under sorted column names). Float aggregate columns are
+rounded to 3 decimals on BOTH sides so distributed summation order
+cannot flip the value hash.
+
+Operator coverage maps to SURVEY.md §2: filters/projections (M1-M7),
+grouped aggregation with partial combine (G1-G2), broadcast hash /
+semi / anti joins (J1-J4), sorts/top-k/limits (O1-O5), distinct &
+dedup (D1-D2), window/session semantics (§2.10), plus the added
+training-data operators (dedup family, similarity search, text
+analysis) and the flagship extraction pipeline itself.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _small_pdf(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side read of a SMALL side table (broadcast pattern, J1)."""
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Fixed-point: floor(x*100 + 0.5) as int64 — identical on every
+    engine, so distributed integer sums are order-independent and
+    byte-equal to the DuckDB oracle (no float-sum rounding boundary)."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+
+
+def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped grouped aggregate (G2: partial+final is native).
+
+    Money/quantity sums are exact fixed-point cents (int64); averages
+    are a deterministic double division of those integers.
+    """
+    cutoff = _dt.datetime(1998, 9, 2)
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": _cents(t["l_quantity"]),
+                "base_cents": _cents(t["l_extendedprice"]),
+                "disc_cents": _cents(disc_price),
+            }
+        )
+
+    res = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_price"),
+            Sum("disc_cents", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        res[c] = res[c].astype("int64")
+    res["avg_qty"] = (res["sum_qty"] / res["count_order"]) / 100.0
+    return res[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "count_order"]
+    ]
+
+
+def q02_high_qty_items(sf_dir: str) -> ray.data.Dataset:
+    """Vectorized filter + projection pushed to the read (M1 gate)."""
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], pa.scalar(45.0))),
+        batch_format="pyarrow",
+    )
+
+
+def q03_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join orders⋈customer (J1 small-side broadcast)."""
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_ref = ray.put(cust)
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        side = ray.get(cust_ref)
+        out = df.merge(side, left_on="o_custkey", right_on="c_custkey", how="inner")
+        out["price_cents"] = np.floor(out["o_totalprice"] * 100.0 + 0.5).astype("int64")
+        return out[["c_mktsegment", "price_cents"]]
+
+    res = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(_join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_cents", alias_name="total_price"),
+        )
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    res["total_price"] = res["total_price"].astype("int64")
+    return res
+
+
+def q04_region_customers(sf_dir: str) -> pd.DataFrame:
+    """3-way broadcast join customer⋈nation⋈region → counts per region."""
+    nation = _small_pdf(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _small_pdf(sf_dir, "region", ["r_regionkey", "r_name"])
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["n_nationkey", "r_name"]])
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        side = ray.get(dim_ref)
+        return df.merge(side, left_on="c_nationkey", right_on="n_nationkey")[["r_name"]]
+
+    return (
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(_join, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+
+
+def q05_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k: sort + limit (O2/O3; deterministic tie-break)."""
+    res = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return res
+
+
+def q06_distinct_flags(sf_dir: str) -> pd.DataFrame:
+    """Distinct over two columns (D1 key-level dedup as groupby)."""
+    return (
+        _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def q07_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped agg + count-distinct via two-level groupby (G2)."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"], "user_id": t["user_id"], "value_cents": _cents(t["value"])}
+        )
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    base = (
+        prepped.groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value"))
+        .to_pandas()
+    )
+    # distinct (event_type, user_id) pairs, then count per type — the
+    # shuffle-native exact count-distinct
+    pairs = (
+        prepped.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    res = base.merge(pairs, on="event_type").sort_values("event_type").reset_index(drop=True)
+    res["sum_value"] = res["sum_value"].astype("int64")
+    return res[["event_type", "n_events", "n_users", "sum_value"]]
+
+
+def q08_hourly_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling window as grouped agg on a derived key (§2.10 windows)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hour = (df["ts"].dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_epoch": hour.astype("int64"),
+                "value_cents": np.floor(df["value"] * 100.0 + 0.5).astype("int64"),
+            }
+        )
+
+    res = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby(["event_type", "hour_epoch"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values(["event_type", "hour_epoch"])
+        .reset_index(drop=True)
+    )
+    res["sum_value"] = res["sum_value"].astype("int64")
+    return res
+
+
+def q09_union_extremes(sf_dir: str) -> pd.DataFrame:
+    """Union of two filtered streams then grouped count (D3 union)."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    hi = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], pa.scalar(90.0))), batch_format="pyarrow"
+    )
+    lo = ds.map_batches(
+        lambda t: t.filter(pc.less(t["value"], pa.scalar(10.0))), batch_format="pyarrow"
+    )
+    return (
+        hi.union(lo)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_extreme"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def q10_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set (J3 checkpoint anti-join graft)."""
+    orders = _small_pdf(sf_dir, "orders", ["o_custkey"])
+    have = ray.put(frozenset(orders["o_custkey"].tolist()))
+
+    def _anti(t: pa.Table) -> pa.Table:
+        keys = ray.get(have)
+        mask = [k not in keys for k in t["c_custkey"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    res = (
+        _t(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(_anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if res.empty:  # empty Dataset -> to_pandas loses the schema
+        res = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
+    return res.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q11_parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Semi join via broadcast key set (J4 semi-join graft).
+
+    The key set comes from a distributed distinct on lineitem (unique
+    partkeys), which is small; it is then broadcast to filter part.
+    """
+    partkeys = (
+        _t(sf_dir, "lineitem", ["l_partkey"])
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()["l_partkey"]
+    )
+    have = ray.put(frozenset(partkeys.tolist()))
+
+    def _semi(t: pa.Table) -> pa.Table:
+        keys = ray.get(have)
+        return t.filter(pa.array([k in keys for k in t["p_partkey"].to_pylist()]))
+
+    return (
+        _t(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(_semi, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def q12_nation_sort(sf_dir: str) -> pd.DataFrame:
+    """Multi-key sort with mixed directions (O1/O2)."""
+    return (
+        _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+        .sort(["n_regionkey", "n_name"], descending=[True, False])
+        .to_pandas()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text / documents operators
+# ---------------------------------------------------------------------------
+
+
+def q13_doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-lang doc stats with chars recomputed from text (M6 metrics)."""
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def _chars(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"], "chars": pc.utf8_length(t["text"])})
+
+    res = (
+        ds.map_batches(_chars, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("chars", alias_name="sum_chars"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    res["sum_chars"] = res["sum_chars"].astype("int64")
+    res["avg_chars"] = res["sum_chars"] / res["n_docs"]  # exact int inputs
+    return res[["lang", "n_docs", "sum_chars", "avg_chars"]]
+
+
+def q14_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting per doc, aggregated per lang."""
+    from ..functions.textstats import token_count_ws
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def _tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": df["lang"], "toks": [token_count_ws(t) for t in df["text"].fillna("")]}
+        )
+
+    res = (
+        ds.map_batches(_tok, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("toks", alias_name="sum_tokens"),
+            Max("toks", alias_name="max_tokens"),
+            Min("toks", alias_name="min_tokens"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    res["sum_tokens"] = res["sum_tokens"].astype("int64")
+    res["max_tokens"] = res["max_tokens"].astype("int64")
+    res["min_tokens"] = res["min_tokens"].astype("int64")
+    return res
+
+
+def q15_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact content dedup: md5(text) hash-partition → min doc_id (D2)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    kept = exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q16_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprint (non-SQL; rows-only check)."""
+    from ..functions.hashing import rolling_fingerprint
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [format(rolling_fingerprint(t or ""), "016x") for t in df["text"]],
+            }
+        )
+
+    return ds.map_batches(_fp, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q17_langid(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID column (non-SQL; rows-only check)."""
+    from ..functions.textstats import detect_language
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_detected": [detect_language(t or "") for t in df["text"]]}
+        )
+
+    return ds.map_batches(_lid, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q18_quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Quality scoring features per doc (non-SQL; rows-only check)."""
+    from ..functions.textstats import quality_features
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _q(df: pd.DataFrame) -> pd.DataFrame:
+        feats = [quality_features(t or "") for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "quality_score": [f["quality_score"] for f in feats],
+                "stopword_ratio": [round(f["q_stopword_ratio"], 6) for f in feats],
+                "alpha_ratio": [round(f["q_alpha_ratio"], 6) for f in feats],
+            }
+        )
+
+    return ds.map_batches(_q, batch_format="pandas").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q19_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dedup survivors (non-SQL; rows-only check)."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    kept = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q20_simhash(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per doc (non-SQL; rows-only check)."""
+    from ..stages.dedup import add_simhash
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    res = add_simhash(ds, "text").select_columns(["doc_id", "simhash"])
+
+    def _hex(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array([format(h, "016x") for h in t["simhash"].to_pylist()]),
+            }
+        )
+
+    return res.map_batches(_hex, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q21_ngram_dedup(sf_dir: str) -> pd.DataFrame:
+    """Word-3-gram Jaccard near-dedup survivors (non-SQL; rows-only)."""
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    kept = ngram_jaccard_dedup(ds, "text", "doc_id", threshold=0.8)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings / similarity search
+# ---------------------------------------------------------------------------
+
+
+def q22_knn(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-5 for 3 query vectors (broadcast matmul)."""
+    from ..stages.similarity import knn_bruteforce
+
+    qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = knn_bruteforce(ds, queries, k=5)
+    out = res[["query_id", "vec_id", "rank"]].copy()
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q23_embedding_dedup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup survivors (non-SQL; rows-only check)."""
+    from ..stages.dedup import embedding_dedup
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    kept = embedding_dedup(ds, "embedding", "vec_id", threshold=0.95, n_buckets=1)
+    return (
+        kept.select_columns(["vec_id"]).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-shaped operators
+# ---------------------------------------------------------------------------
+
+
+def q24_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per user via ordered map_groups."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff().isna()) | (g["ts"].diff() > gap)
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new.sum())]})
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(_sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def q25_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event matched to the user's latest prior order.
+
+    Broadcast the (deduped) orders side; per batch ``pd.merge_asof``
+    (sorted within batch — correctness is per-row, so batching is
+    irrelevant). SURVEY.md §4 'as-of join' custom-operator recipe.
+    """
+    od = _small_pdf(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    od = (
+        od.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+        .max()
+        .sort_values("o_orderdate")
+    )
+    od_ref = ray.put(od)
+
+    def _asof(df: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(od_ref)
+        left = df.sort_values("ts")
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            direction="backward",
+        )
+        merged = merged.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"].astype("int64"),
+                "o_orderkey": merged["o_orderkey"].astype("int64"),
+            }
+        )
+
+    return (
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .map_batches(_asof, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship extraction (rows-only: input is the synthetic pages corpus)
+# ---------------------------------------------------------------------------
+
+_SF_PAGE_ROWS = {"0.001": 500, "0.01": 2000, "0.1": 20000}
+
+
+def _pages_rows_for(sf_dir: str) -> int:
+    for tag, n in _SF_PAGE_ROWS.items():
+        if sf_dir.rstrip("/").endswith(f"sf{tag}"):
+            return n
+    return 2000
+
+
+def q26_extract_pages(sf_dir: str) -> pd.DataFrame:
+    """Flagship extraction pipeline over the deterministic synthetic
+    pages corpus sized for the scale factor (non-SQL; rows-only)."""
+    from ..sources.pages import default_corpus_dir, generate_pages_corpus, pages_parquet_files
+    from .extraction import extraction_pipeline
+
+    n = _pages_rows_for(sf_dir)
+    corpus = generate_pages_corpus(default_corpus_dir(n), n_rows=n)
+    ds = extraction_pipeline(pages_parquet_files(corpus))
+    res = ds.select_columns(["url", "status", "n_chars", "n_spans", "content_hash"])
+    return res.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_high_qty_items": q02_high_qty_items,
+    "q03_segment_revenue": q03_segment_revenue,
+    "q04_region_customers": q04_region_customers,
+    "q05_top_orders": q05_top_orders,
+    "q06_distinct_flags": q06_distinct_flags,
+    "q07_event_type_stats": q07_event_type_stats,
+    "q08_hourly_events": q08_hourly_events,
+    "q09_union_extremes": q09_union_extremes,
+    "q10_customers_without_orders": q10_customers_without_orders,
+    "q11_parts_in_lineitem": q11_parts_in_lineitem,
+    "q12_nation_sort": q12_nation_sort,
+    "q13_doc_stats_by_lang": q13_doc_stats_by_lang,
+    "q14_token_counts": q14_token_counts,
+    "q15_dedup_docs": q15_dedup_docs,
+    "q16_doc_fingerprints": q16_doc_fingerprints,
+    "q17_langid": q17_langid,
+    "q18_quality_scores": q18_quality_scores,
+    "q19_minhash_dedup": q19_minhash_dedup,
+    "q20_simhash": q20_simhash,
+    "q21_ngram_dedup": q21_ngram_dedup,
+    "q22_knn": q22_knn,
+    "q23_embedding_dedup": q23_embedding_dedup,
+    "q24_user_sessions": q24_user_sessions,
+    "q25_asof_join": q25_asof_join,
+    "q26_extract_pages": q26_extract_pages,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    # Money/quantity sums are fixed-point cents: CAST(floor(x*100+0.5) AS
+    # BIGINT) summed exactly — identical to the engine's int64 sums at
+    # any parallelism (no float-summation-order rounding boundary).
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))      AS sum_qty,
+               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                                                                       AS sum_disc_price,
+               (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / count(*)) / 100.0
+                                                                       AS avg_qty,
+               count(*)                                                AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q02_high_qty_items": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 45
+    """,
+    "q03_segment_revenue": """
+        SELECT c_mktsegment,
+               count(*)                                                AS n_orders,
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))    AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "q04_region_customers": """
+        SELECT r_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "q05_top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q06_distinct_flags": """
+        SELECT DISTINCT l_returnflag, l_linestatus
+        FROM lineitem ORDER BY l_returnflag, l_linestatus
+    """,
+    "q07_event_type_stats": """
+        SELECT event_type,
+               count(*)                                          AS n_events,
+               count(DISTINCT user_id)                           AS n_users,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))     AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q08_hourly_events": """
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT)     AS hour_epoch,
+               count(*)                                          AS n_events,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))     AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q09_union_extremes": """
+        SELECT event_type, count(*) AS n_extreme
+        FROM (
+            SELECT event_type FROM events WHERE value > 90
+            UNION ALL
+            SELECT event_type FROM events WHERE value < 10
+        ) GROUP BY event_type ORDER BY event_type
+    """,
+    "q10_customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """,
+    "q11_parts_in_lineitem": """
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        ORDER BY p_partkey
+    """,
+    "q12_nation_sort": """
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_regionkey DESC, n_name ASC
+    """,
+    "q13_doc_stats_by_lang": """
+        SELECT lang,
+               count(*)                       AS n_docs,
+               sum(length(text))              AS sum_chars,
+               sum(length(text)) / count(*)   AS avg_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "q14_token_counts": """
+        SELECT lang,
+               sum(n_tok) AS sum_tokens,
+               max(n_tok) AS max_tokens,
+               min(n_tok) AS min_tokens
+        FROM (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tok
+            FROM documents
+        ) GROUP BY lang ORDER BY lang
+    """,
+    "q15_dedup_docs": """
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(text) ORDER BY doc_id
+    """,
+    "q22_knn": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), s AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.qv), 9) AS cosine
+            FROM embeddings e CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                   ) AS rank
+            FROM s
+        )
+        SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    "q24_user_sessions": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM o GROUP BY user_id ORDER BY user_id
+    """,
+    "q25_asof_join": """
+        WITH od AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, o.o_orderkey
+        FROM events e ASOF JOIN od o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
+}

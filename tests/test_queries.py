@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate: every SQL-backed
+query must match DuckDB on row count, column names, and
+order-insensitive values at sf0.001; rows-only queries must run and
+return stable results."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ocr_dataset_builder_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    """Order-insensitive canonical form: sorted columns, sorted rows,
+    floats rounded to kill representation jitter."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    rows = [tuple(x) for x in df.itertuples(index=False, name=None)]
+
+    def _key(row):
+        return tuple(
+            (x is None or (isinstance(x, float) and math.isnan(x)), str(x)) for x in row
+        )
+
+    return sorted(rows, key=_key)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    raise TypeError(type(res))
+
+
+SQL_BACKED = sorted(ORACLE_SQL)
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLE_SQL))
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(ray_session, sf_dir, name):
+    got = _to_pandas(QUERIES[name](sf_dir))
+    con = _duck(sf_dir)
+    want = con.execute(ORACLE_SQL[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name} column mismatch: {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} row count {len(got)} vs {len(want)}"
+    cg, cw = _canon(got), _canon(want)
+    mism = [i for i, (a, b) in enumerate(zip(cg, cw)) if a != b][:3]
+    assert cg == cw, f"{name} value mismatch at rows {mism}: {[(cg[i], cw[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_stable(ray_session, sf_dir, name):
+    a = _to_pandas(QUERIES[name](sf_dir))
+    assert len(a) >= 0 and len(a.columns) >= 1
+    b = _to_pandas(QUERIES[name](sf_dir))
+    assert _canon(a) == _canon(b), f"{name} not deterministic"
+
+
+def test_entry_contract(ray_session):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry()
+    assert len(df) > 0
+    assert {"url", "extracted_text", "status"} <= set(df.columns)
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
