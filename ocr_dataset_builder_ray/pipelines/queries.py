@@ -636,9 +636,9 @@ ORACLE_SQL: dict[str, str] = {
     # any parallelism (no float-summation-order rounding boundary).
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))      AS sum_qty,
-               sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_price,
-               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)      AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
                                                                        AS sum_disc_price,
                (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / count(*)) / 100.0
                                                                        AS avg_qty,
@@ -655,7 +655,7 @@ ORACLE_SQL: dict[str, str] = {
     "q03_segment_revenue": """
         SELECT c_mktsegment,
                count(*)                                                AS n_orders,
-               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))    AS total_price
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -678,14 +678,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                count(*)                                          AS n_events,
                count(DISTINCT user_id)                           AS n_users,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))     AS sum_value
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type
     """,
     "q08_hourly_events": """
         SELECT event_type,
                CAST(epoch(date_trunc('hour', ts)) AS BIGINT)     AS hour_epoch,
                count(*)                                          AS n_events,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT))     AS sum_value
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "q09_union_extremes": """
@@ -712,14 +712,14 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q13_doc_stats_by_lang": """
         SELECT lang,
-               count(*)                       AS n_docs,
-               sum(length(text))              AS sum_chars,
-               sum(length(text)) / count(*)   AS avg_chars
+               count(*)                                 AS n_docs,
+               CAST(sum(length(text)) AS BIGINT)        AS sum_chars,
+               sum(length(text)) / count(*)             AS avg_chars
         FROM documents GROUP BY lang ORDER BY lang
     """,
     "q14_token_counts": """
         SELECT lang,
-               sum(n_tok) AS sum_tokens,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
                max(n_tok) AS max_tokens,
                min(n_tok) AS min_tokens
         FROM (
