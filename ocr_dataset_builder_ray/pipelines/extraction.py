@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..stages.extract import ExtractPages
+from ..stages.extract import ExtractPages, assemble_spans, dedup_table
 from ..state.manifest import RunManifest, shard_files
 
 # Html payloads above this are routed through the fine-grained path.
@@ -64,6 +64,7 @@ def extract_pages(
     batch_size: int | None = 128,
     size_split: bool = False,
     size_split_threshold: int = SIZE_SPLIT_THRESHOLD,
+    dedup_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """pages Dataset → extracted Dataset (per-document kernel stage).
 
@@ -83,14 +84,19 @@ def extract_pages(
     below the CPU count to avoid cross-pool deadlock.
     """
     cpus = _cpus()
+    kwargs = dict(fn_constructor_kwargs={"dedup_buckets": dedup_buckets})
     if not size_split:
         if concurrency is None:
-            concurrency = (1, max(1, cpus - 1))
+            # floor high enough that the pool is warm from the first
+            # blocks (min=1 ramps one actor at a time and wastes the
+            # first seconds of every run)
+            concurrency = (max(1, (cpus - 1) // 2), max(1, cpus - 1))
         return ds.map_batches(
             ExtractPages,
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
+            **kwargs,
         )
 
     def _small(t: pa.Table) -> pa.Table:
@@ -104,38 +110,62 @@ def extract_pages(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, max(1, cpus // 2)),
+        **kwargs,
     )
     big = ds.map_batches(_big, batch_format="pyarrow").map_batches(
         ExtractPages,
         batch_format="pyarrow",
         batch_size=1,
         concurrency=(1, max(1, cpus // 4)),
+        **kwargs,
     )
     return small.union(big)
 
 
-def _dedup_group(group: pa.Table) -> pa.Table:
-    """Keep the latest capture per url; deterministic tie-break.
+# Dedup shuffle fan-out. Each bucket is collected as ONE in-memory
+# table by map_groups, so size this to the data: buckets ≈
+# total_extracted_bytes / target_bucket_bytes (~64 MB). At 10^12-doc
+# scale the caller passes n_buckets explicitly (hash-partition width);
+# the default suits the test/bench corpora.
+DEFAULT_DEDUP_BUCKETS = 64
 
-    The groupby(url) dedup-then-sort of the north rule (graft of the
-    reference's F:i repeated-frame dedup semantics, SURVEY.md §2.8 D2):
-    within a url group, order by (warc_ts, content_hash) descending and
-    keep the first row — byte-identical winner at any parallelism.
-    Spans are already offset-ordered by construction (stages/extract.py
-    emits them in document order); the invariant is asserted by tests.
+
+def _dedup_bucket(t: pa.Table) -> pa.Table:
+    return dedup_table(t).drop_columns(["url_bucket"])
+
+
+def dedup_latest(
+    ds: ray.data.Dataset,
+    n_buckets: int = DEFAULT_DEDUP_BUCKETS,
+    *,
+    pre_bucketed: bool = False,
+) -> ray.data.Dataset:
+    """Exact per-url dedup: hash-bucket shuffle → vectorized first-per-url.
+
+    Two-phase (SURVEY.md §2.8 D2): (1) per-batch combiner dedup — fused
+    into the extract stage when ``pre_bucketed`` (cuts shuffle volume
+    when recaptures co-locate in a block); (2) groupby on the
+    low-cardinality ``url_bucket = url_hash % n_buckets`` key — the
+    all-to-all moves the same bytes as a url-key shuffle but
+    sorts/samples only a small int column — then one vectorized
+    keep-latest pass per bucket. Winners are per-url, so bucket
+    boundaries cannot change results at any parallelism.
     """
-    if group.num_rows <= 1:
-        return group
-    idx = pa.compute.sort_indices(
-        group,
-        sort_keys=[("warc_ts", "descending"), ("content_hash", "descending")],
-    )
-    return group.take(idx[:1])
+    if not pre_bucketed:
+        mask = n_buckets - 1 if (n_buckets & (n_buckets - 1)) == 0 else None
 
+        def _combine_and_bucket(t: pa.Table) -> pa.Table:
+            t = dedup_table(t)
+            h = t["url_hash"]
+            b = (
+                pc.bit_wise_and(h, pa.scalar(mask, pa.uint64()))
+                if mask is not None
+                else pc.mod(h, pa.scalar(n_buckets, pa.uint64()))
+            )
+            return t.append_column("url_bucket", pc.cast(b, pa.int64()))
 
-def dedup_latest(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact per-url dedup (hash-partition on url → per-group first)."""
-    return ds.groupby("url").map_groups(_dedup_group, batch_format="pyarrow")
+        ds = ds.map_batches(_combine_and_bucket, batch_format="pyarrow")
+    return ds.groupby("url_bucket").map_groups(_dedup_bucket, batch_format="pyarrow")
 
 
 def extraction_pipeline(
@@ -146,14 +176,23 @@ def extraction_pipeline(
     batch_size: int | None = 128,
     size_split: bool = False,
 ) -> ray.data.Dataset:
-    """Lazy end-to-end flagship Dataset (consume with write/iter/agg)."""
+    """Lazy end-to-end flagship Dataset (consume with write/iter/agg).
+
+    Spans travel as flat list<primitive> columns through the stages and
+    the dedup exchange, and are assembled into the public
+    ``spans: list<struct>`` view in one final vectorized map.
+    """
     ds = read_pages(paths)
     ds = extract_pages(
-        ds, concurrency=concurrency, batch_size=batch_size, size_split=size_split
+        ds,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        size_split=size_split,
+        dedup_buckets=DEFAULT_DEDUP_BUCKETS if dedup else None,
     )
     if dedup:
-        ds = dedup_latest(ds)
-    return ds
+        ds = dedup_latest(ds, pre_bucketed=True)
+    return ds.map_batches(assemble_spans, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,37 @@ EXTRACTED_SCHEMA = pa.schema(
     ]
 )
 
+# In-flight (shuffle-friendly) layout: spans as five parallel
+# list<primitive> columns instead of one list<struct>. Ray's sort-based
+# shuffle degrades badly on list<struct> blocks (rows round-trip through
+# Python dicts — measured ~3.5x slower exchange); primitive lists stay
+# columnar end-to-end. ``assemble_spans`` restores the public
+# ``EXTRACTED_SCHEMA`` view after the last all-to-all.
+_SPAN_FLAT_FIELDS = [
+    pa.field("span_starts", pa.list_(pa.int64())),
+    pa.field("span_ends", pa.list_(pa.int64())),
+    pa.field("span_kinds", pa.list_(pa.string())),
+    pa.field("span_td", pa.list_(pa.float64())),
+    pa.field("span_ld", pa.list_(pa.float64())),
+]
+
+EXTRACTED_FLAT_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("lang", pa.string()),
+        pa.field("extracted_text", pa.large_string()),
+        *_SPAN_FLAT_FIELDS,
+        pa.field("status", pa.string()),
+        pa.field("n_chars", pa.int64()),
+        pa.field("n_spans", pa.int64()),
+        pa.field("n_tokens", pa.int64()),
+        pa.field("content_hash", pa.string()),
+        pa.field("html_bytes", pa.int64()),
+        pa.field("url_hash", pa.uint64()),
+    ]
+)
+
 # Per-lang word tokenizer patterns: space-delimited langs share one
 # compiled regex; CJK-style langs would add their own here. The cache
 # is the graft of the reference's per-`lang` engine selection
@@ -54,17 +85,50 @@ _LANG_TOKEN_PATTERNS = {
 }
 
 
+def dedup_table(t: pa.Table) -> pa.Table:
+    """Vectorized keep-latest-per-url within one table (flat schema).
+
+    Sort by (url asc, warc_ts desc, content_hash desc), keep the first
+    row of each url run. Associative/commutative/idempotent — safe as a
+    per-batch combiner AND as the per-bucket final pass; winners are
+    identical at any parallelism.
+    """
+    if t.num_rows <= 1:
+        return t
+    idx = pa.compute.sort_indices(
+        t,
+        sort_keys=[
+            ("url", "ascending"),
+            ("warc_ts", "descending"),
+            ("content_hash", "descending"),
+        ],
+    )
+    t = t.take(idx)
+    urls = t["url"].combine_chunks()
+    neq = pa.compute.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
+    if isinstance(neq, pa.ChunkedArray):
+        neq = neq.combine_chunks()
+    first = pa.concat_arrays([pa.array([True]), neq])
+    return t.filter(first)
+
+
 class ExtractPages:
     """Callable-class stage for ``map_batches(..., concurrency=N)``.
 
     __init__ runs once per actor: compile classifiers/tokenizers.
     __call__ runs per Arrow batch: pure per-row kernel, vectorized
     assembly of output arrays. Never raises on payload content.
+
+    ``dedup_buckets=N`` fuses the dedup combiner into this stage: each
+    output batch is pre-deduped (keep-latest per url) and carries an
+    ``url_bucket = url_hash % N`` column, so the downstream
+    ``groupby("url_bucket")`` shuffle needs no extra map stage.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, dedup_buckets: int | None = None) -> None:
         self._tokenizers: dict[str, re.Pattern] = {}
         self._default_pattern = _LANG_TOKEN_PATTERNS["default"]
+        self._dedup_buckets = dedup_buckets
 
     def _tokenizer(self, lang: str) -> re.Pattern:
         tok = self._tokenizers.get(lang)
@@ -79,7 +143,6 @@ class ExtractPages:
         langs = batch["lang"].to_pylist()
 
         texts: list[str] = []
-        spans: list[list[dict]] = []
         statuses: list[str] = []
         n_chars: list[int] = []
         n_spans: list[int] = []
@@ -87,12 +150,25 @@ class ExtractPages:
         hashes: list[str] = []
         html_bytes: list[int] = []
         url_hashes: list[int] = []
+        # flattened span fields + shared offsets (columnar from the start)
+        offsets: list[int] = [0]
+        f_starts: list[int] = []
+        f_ends: list[int] = []
+        f_kinds: list[str] = []
+        f_td: list[float] = []
+        f_ld: list[float] = []
 
         for url, html, lang in zip(urls, htmls, langs):
             res = extract_document(html)
             text = res["extracted_text"]
             texts.append(text)
-            spans.append(res["spans"])
+            for s in res["spans"]:
+                f_starts.append(s["start"])
+                f_ends.append(s["end"])
+                f_kinds.append(s["kind"])
+                f_td.append(s["text_density"])
+                f_ld.append(s["link_density"])
+            offsets.append(len(f_starts))
             statuses.append(res["status"])
             n_chars.append(res["n_chars"])
             n_spans.append(res["n_spans"])
@@ -101,13 +177,18 @@ class ExtractPages:
             html_bytes.append(len(html) if html is not None else 0)
             url_hashes.append(stable_hash64(url))
 
-        return pa.Table.from_arrays(
+        off = pa.array(offsets, type=pa.int32())
+        out = pa.Table.from_arrays(
             [
                 batch["url"],
                 batch["warc_ts"],
                 batch["lang"],
                 pa.array(texts, type=pa.large_string()),
-                pa.array(spans, type=pa.list_(SPAN_TYPE)),
+                pa.ListArray.from_arrays(off, pa.array(f_starts, type=pa.int64())),
+                pa.ListArray.from_arrays(off, pa.array(f_ends, type=pa.int64())),
+                pa.ListArray.from_arrays(off, pa.array(f_kinds, type=pa.string())),
+                pa.ListArray.from_arrays(off, pa.array(f_td, type=pa.float64())),
+                pa.ListArray.from_arrays(off, pa.array(f_ld, type=pa.float64())),
                 pa.array(statuses, type=pa.string()),
                 pa.array(n_chars, type=pa.int64()),
                 pa.array(n_spans, type=pa.int64()),
@@ -116,10 +197,53 @@ class ExtractPages:
                 pa.array(html_bytes, type=pa.int64()),
                 pa.array(url_hashes, type=pa.uint64()),
             ],
-            schema=EXTRACTED_SCHEMA,
+            schema=EXTRACTED_FLAT_SCHEMA,
         )
+        if self._dedup_buckets is not None:
+            out = dedup_table(out)
+            n = self._dedup_buckets
+            h = out["url_hash"]
+            b = (
+                pa.compute.bit_wise_and(h, pa.scalar(n - 1, pa.uint64()))
+                if (n & (n - 1)) == 0
+                else pa.compute.mod(h, pa.scalar(n, pa.uint64()))
+            )
+            out = out.append_column("url_bucket", pa.compute.cast(b, pa.int64()))
+        return out
+
+
+def assemble_spans(t: pa.Table) -> pa.Table:
+    """Flat span columns → public ``spans: list<struct>`` view.
+
+    Runs once per output batch AFTER the dedup shuffle, so the struct
+    construction cost is paid on the deduped (smaller) table and never
+    crosses an exchange.
+    """
+    starts = t["span_starts"].combine_chunks()
+    lengths = pa.compute.list_value_length(starts).fill_null(0)
+    import numpy as np
+
+    off = pa.array(
+        np.concatenate([[0], np.cumsum(lengths.to_numpy(zero_copy_only=False))]),
+        type=pa.int32(),
+    )
+    struct = pa.StructArray.from_arrays(
+        [
+            starts.flatten(),
+            t["span_ends"].combine_chunks().flatten(),
+            t["span_kinds"].combine_chunks().flatten(),
+            t["span_td"].combine_chunks().flatten(),
+            t["span_ld"].combine_chunks().flatten(),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    spans = pa.ListArray.from_arrays(off, struct)
+    t = t.drop_columns(["span_starts", "span_ends", "span_kinds", "span_td", "span_ld"])
+    t = t.add_column(4, pa.field("spans", pa.list_(SPAN_TYPE)), spans)
+    return t.select([f.name for f in EXTRACTED_SCHEMA])
 
 
 def extract_table(batch: pa.Table) -> pa.Table:
-    """Stateless single-process form of the stage (the test oracle)."""
-    return ExtractPages()(batch)
+    """Stateless single-process form of the stage (the test oracle) —
+    public schema (spans assembled)."""
+    return assemble_spans(ExtractPages()(batch))
