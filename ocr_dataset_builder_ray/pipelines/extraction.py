@@ -135,77 +135,117 @@ def _dedup_bucket(t: pa.Table) -> pa.Table:
 
 
 def plan_dedup_winners(files: list[str]) -> tuple:
-    """Skinny pre-pass: decide the per-url winning capture WITHOUT
-    touching the payload column.
+    """Skinny pre-pass: find the urls with MULTIPLE captures and decide
+    each one's winner, without touching the payload column.
 
     Reads only ``(url, warc_ts)`` (Parquet column pruning — the multi-KB
-    ``html`` blobs never leave storage), computes per url the max
-    ``warc_ts`` and whether that max is ambiguous (several captures share
-    it), and returns::
+    ``html`` blobs never leave storage). Per-batch combiners emit one
+    ``(url, max_ts, n_at_max, n_rows)`` row per url; the driver combine
+    touches only key columns and returns::
 
-        (clear_keys, ambiguous_urls)
+        (dup_urls, winner_keys, ambiguous_urls)
 
-    ``clear_keys`` — ``url|ts_us`` strings of unambiguous winners;
-    ``ambiguous_urls`` — urls whose winner needs the content tie-break.
+    ``dup_urls`` — urls captured more than once (typically a few % of a
+    crawl); ``winner_keys`` — their winning ``url|ts_us`` capture;
+    ``ambiguous_urls`` — duplicated urls whose max ts is itself
+    duplicated (winner needs the content tie-break). Everything
+    broadcast downstream is proportional to the number of *duplicated*
+    urls, not the corpus — singleton urls cost nothing.
 
-    Scale note: the winner-key set is ~40 B/url. Per 10^9-url partition
-    that is ~40 GB cluster-wide but only ~40 MB per input shard-range,
-    so at 10^12-doc scale this runs per hash-range of urls (the same
-    bucketing as ``dedup_latest``) with one broadcast per range; the
-    single-broadcast form here matches the per-partition scope
-    ``run_partitioned_extraction`` already uses.
+    Scale note: at 10^12 docs the driver combine moves ~1 row per url
+    per input block; run it per url-hash-range (the partition scope
+    ``run_partitioned_extraction`` already provides) so each range's
+    combine and broadcast stay bounded.
     """
-    skinny = ray.data.read_parquet(files, columns=["url", "warc_ts"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        # per-batch combiner: keep per url the max ts + count at max
-        df = t.to_pandas()
-        g = df.groupby("url", sort=False)["warc_ts"]
-        agg = g.agg(["max", "size"]).reset_index()
-        at_max = df.merge(
-            agg.rename(columns={"max": "warc_ts"})[["url", "warc_ts"]], on=["url", "warc_ts"]
-        )
-        cnt = at_max.groupby("url", sort=False).size().rename("n_at_max").reset_index()
-        out = agg.merge(cnt, on="url")
-        return pa.Table.from_pandas(
-            out.rename(columns={"max": "max_ts"})[["url", "max_ts", "n_at_max"]],
-            preserve_index=False,
-        )
-
-    parts = skinny.map_batches(_partial, batch_format="pyarrow").to_pandas()
-    # final combine on the (small) per-batch partials
     import pandas as pd
 
-    best = parts.groupby("url", sort=False)["max_ts"].max().rename("max_ts").reset_index()
-    merged = parts.merge(best, on=["url", "max_ts"])
-    n_at_max = merged.groupby("url", sort=False)["n_at_max"].sum()
+    if isinstance(files, str):
+        files = sorted(glob.glob(os.path.join(files, "*.parquet")))
+    if len(files) <= 256:
+        # partition-scoped inputs: one multi-threaded Arrow read of the
+        # two key columns (planning-time metadata scan, like the
+        # manifest anti-join) beats a distributed round trip
+        import pyarrow.dataset as pads
+
+        keys = pads.dataset(files).to_table(columns=["url", "warc_ts"]).to_pandas()
+    else:
+        # huge inputs: distributed per-batch combiners, collect only
+        # one (url, max_ts, n_at_max=n at batch max, n_rows) row per
+        # url per batch
+        skinny = ray.data.read_parquet(files, columns=["url", "warc_ts"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            agg = (
+                df.groupby("url", sort=False)["warc_ts"]
+                .agg(max_ts="max", n_rows="size")
+                .reset_index()
+            )
+            at_max = df.merge(
+                agg.rename(columns={"max_ts": "warc_ts"})[["url", "warc_ts"]],
+                on=["url", "warc_ts"],
+            )
+            cnt = at_max.groupby("url", sort=False).size().rename("n_at_max").reset_index()
+            return pa.Table.from_pandas(agg.merge(cnt, on="url"), preserve_index=False)
+
+        parts = skinny.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        # expand partials back to one weighted row set with identical
+        # combine semantics: max_ts rows carry n_at_max weight
+        keys = parts.rename(columns={"max_ts": "warc_ts"})
+
+    if "n_rows" in keys.columns:  # partial form
+        totals = keys.groupby("url", sort=False)["n_rows"].sum()
+        weights = keys["n_at_max"]
+    else:  # raw form: every capture is one row of weight 1
+        totals = keys["url"].value_counts(sort=False)
+        weights = None
+
+    dup_urls = totals[totals > 1].index
+    if dup_urls.empty:
+        return pa.array([], type=pa.string()), pa.array([], type=pa.string()), frozenset()
+
+    dup = keys[keys["url"].isin(dup_urls)]
+    best = dup.groupby("url", sort=False)["warc_ts"].max().rename("warc_ts").reset_index()
+    at_best = dup.merge(best, on=["url", "warc_ts"])
+    if weights is None:
+        n_at_max = at_best.groupby("url", sort=False).size()
+    else:
+        n_at_max = at_best.groupby("url", sort=False)["n_at_max"].sum()
     ambiguous = frozenset(n_at_max[n_at_max > 1].index)
     clear = best[~best["url"].isin(ambiguous)]
-    ts_us = (clear["max_ts"].astype("datetime64[us]") - pd.Timestamp(0)) // pd.Timedelta(
+    ts_us = (clear["warc_ts"].astype("datetime64[us]") - pd.Timestamp(0)) // pd.Timedelta(
         microseconds=1
     )
-    clear_keys = pa.array(clear["url"] + "|" + ts_us.astype(str))
-    return clear_keys, ambiguous
+    winner_keys = pa.array(clear["url"] + "|" + ts_us.astype(str))
+    return pa.array(sorted(dup_urls)), winner_keys, ambiguous
 
 
-def filter_to_winners(ds: ray.data.Dataset, clear_keys, ambiguous_urls) -> ray.data.Dataset:
-    """Drop non-winning captures BEFORE extraction (broadcast filter).
+def filter_to_winners(ds: ray.data.Dataset, dup_urls, winner_keys, ambiguous_urls) -> ray.data.Dataset:
+    """Drop losing captures BEFORE extraction (broadcast filter).
 
-    Vectorized ``is_in`` against the broadcast winner-key set; ambiguous
-    urls keep all captures (resolved post-extraction by content
-    tie-break). This replaces the post-extract payload all-to-all with a
-    key-only broadcast — at corpus scale the difference between
-    shuffling ~clean-text bytes and shuffling nothing.
+    A row is dropped iff its url is a known-duplicated url AND it is
+    neither that url's winning capture nor ambiguous. The broadcast
+    sets are sized by the duplicated-url count only; singleton urls
+    (the vast majority) short-circuit through ``is_in`` against a tiny
+    set. This replaces the post-extract payload all-to-all with a
+    key-only broadcast — losers are never extracted at all.
     """
-    keys_ref = ray.put(clear_keys)
+    if len(dup_urls) == 0:
+        return ds
+    dup_ref = ray.put(dup_urls)
+    keys_ref = ray.put(winner_keys)
     amb_ref = ray.put(pa.array(sorted(ambiguous_urls)) if ambiguous_urls else None)
 
     def _filter(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        is_dup = pc.is_in(t["url"], value_set=dup)
+        if not pc.any(is_dup).as_py():
+            return t
         keys = ray.get(keys_ref)
         amb = ray.get(amb_ref)
         ts_us = pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string())
         key = pc.binary_join_element_wise(t["url"], ts_us, "|")
-        keep = pc.is_in(key, value_set=keys)
+        keep = pc.or_(pc.invert(is_dup), pc.is_in(key, value_set=keys))
         if amb is not None:
             keep = pc.or_(keep, pc.is_in(t["url"], value_set=amb))
         return t.filter(keep)
@@ -273,8 +313,8 @@ def extraction_pipeline(
     """
     ds = read_pages(paths)
     if dedup and dedup_mode == "prefilter":
-        clear_keys, ambiguous = plan_dedup_winners(paths)
-        ds = filter_to_winners(ds, clear_keys, ambiguous)
+        dup_urls, winner_keys, ambiguous = plan_dedup_winners(paths)
+        ds = filter_to_winners(ds, dup_urls, winner_keys, ambiguous)
         need_shuffle = bool(ambiguous)
     else:
         need_shuffle = dedup

@@ -596,6 +596,247 @@ def q26_extract_pages(sf_dir: str) -> pd.DataFrame:
     return res.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def q27_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (window-rank analogue): top-3 orders per market
+    segment, partial top-k per batch before the tiny final groupby."""
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_ref = ray.put(cust)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        side = ray.get(cust_ref)
+        j = df.merge(side, left_on="o_custkey", right_on="c_custkey")
+        j = j.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return j.groupby("c_mktsegment", sort=False).head(3)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]
+        ]
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype("int64")
+        return g
+
+    res = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "rank"])
+        .reset_index(drop=True)
+    )
+    res["rank"] = res["rank"].astype("int64")
+    return res
+
+
+def q28_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact discrete quantiles per group (sorted-scan map_groups)."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": t["o_orderpriority"], "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    def _quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["price_cents"].to_numpy())
+        n = len(v)
+        # discrete quantile, DuckDB quantile_disc convention:
+        # v_sorted[ceil(n*q) - 1] (0-based)
+        disc = lambda q: int(v[max(0, int(np.ceil(n * q)) - 1)])  # noqa: E731
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "median_price": [disc(0.5)],
+                "p90_price": [disc(0.9)],
+                "n_orders": [n],
+            }
+        )
+
+    res = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(_quant, batch_format="pandas")
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    for c in ("median_price", "p90_price", "n_orders"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
+def q29_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ supplier ⋈ nation via one composed broadcast dim."""
+    supp = _small_pdf(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _small_pdf(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    dim_ref = ray.put(dim[["s_suppkey", "n_name"]])
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        side = ray.get(dim_ref)
+        j = df.merge(side, left_on="l_suppkey", right_on="s_suppkey")
+        disc = j["l_extendedprice"] * (1.0 - j["l_discount"])
+        j["rev_cents"] = np.floor(disc * 100.0 + 0.5).astype("int64")
+        return j[["n_name", "rev_cents"]]
+
+    res = (
+        _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(_join, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="revenue"))
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    res["revenue"] = res["revenue"].astype("int64")
+    return res
+
+
+def q30_top_event_per_type(sf_dir: str) -> pd.DataFrame:
+    """Distributed argmax per group: partial (max value, min id at max)
+    per batch, same fold as the final combine."""
+    ds = _t(sf_dir, "events", ["event_type", "event_id", "value"])
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if "max_value" not in df.columns:
+            df["max_value"] = np.floor(df["value"] * 100.0 + 0.5).astype("int64")
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            mv = g["max_value"].max()
+            out.append(
+                {
+                    "event_type": et,
+                    "max_value": int(mv),
+                    "event_id": int(g.loc[g["max_value"] == mv, "event_id"].min()),
+                }
+            )
+        return pd.DataFrame(out, columns=["event_type", "max_value", "event_id"])
+
+    res = (
+        ds.map_batches(_fold, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    res["max_value"] = res["max_value"].astype("int64")
+    res["event_id"] = res["event_id"].astype("int64")
+    return res
+
+
+def q31_ivf_knn(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate KNN (scale path; rows-only check)."""
+    from ..stages.similarity import knn_ivf
+
+    qdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = knn_ivf(ds, queries, k=5, n_centroids=8, nprobe=4)
+    out = res[["query_id", "vec_id", "rank"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q32_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash banded near-dedup survivors (non-SQL; rows-only)."""
+    from ..stages.dedup import simhash_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    kept = simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+    return (
+        kept.select_columns(["doc_id"]).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q33_media_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode/resize plumbing over binary payloads
+    (deterministic fake codec; non-SQL; rows-only)."""
+    from ..sources.pages import default_corpus_dir, generate_pages_corpus, pages_parquet_files
+    from ..stages.multimodal import decode_pipeline
+
+    n = _pages_rows_for(sf_dir)
+    corpus = generate_pages_corpus(default_corpus_dir(n), n_rows=n)
+    pages = ray.data.read_parquet(pages_parquet_files(corpus), columns=["url", "html"])
+
+    def _as_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["url"],
+                "media": t["html"],
+                "media_type": pa.array(["image"] * t.num_rows),
+            }
+        )
+
+    media = pages.map_batches(_as_media, batch_format="pyarrow")
+    out = decode_pipeline(media, fake=True, batch_size=64)
+    res = out.select_columns(["media_id", "width", "height", "checksum", "decoded_ok"])
+    return res.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
+def q34_cleaning_pairs(sf_dir: str) -> pd.DataFrame:
+    """Export projection 'cleaning_pairs': raw noisy text vs extracted
+    clean text per url (K6 exporter; non-SQL; rows-only)."""
+    from ..pipelines.export import EXPORT_MODES
+    from ..sources.pages import default_corpus_dir, generate_pages_corpus, pages_parquet_files
+    from .extraction import extraction_pipeline
+
+    n = _pages_rows_for(sf_dir)
+    corpus = generate_pages_corpus(default_corpus_dir(n), n_rows=n)
+    files = pages_parquet_files(corpus)
+    raw = pq.read_table(files[0], columns=["url", "text"]).to_pandas()  # demo shard
+    raw_ref = ray.put(dict(zip(raw["url"], raw["text"])))
+
+    ds = extraction_pipeline(files[:1])
+
+    def _attach_noisy(t: pa.Table) -> pa.Table:
+        side = ray.get(raw_ref)
+        noisy = [side.get(u, "") for u in t["url"].to_pylist()]
+        return t.append_column("text", pa.array(noisy, type=pa.string()))
+
+    joined = ds.map_batches(_attach_noisy, batch_format="pyarrow")
+    pairs = EXPORT_MODES["cleaning_pairs"](joined)
+    return pairs.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def q35_augmented_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic noise-model stage: profile keyed on doc id hash
+    (fixes the reference's unseeded random.choice; rows-only)."""
+    from ..functions.augment import apply_profile, profile_for_key
+    from ..functions.hashing import md5_hex
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _aug(df: pd.DataFrame) -> pd.DataFrame:
+        profiles, hashes, lens = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            key = f"doc:{did}"
+            prof = profile_for_key(key)
+            noisy = apply_profile(prof, text or "", key)
+            profiles.append(prof)
+            hashes.append(md5_hex(noisy))
+            lens.append(len(noisy))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "profile": profiles,
+                "aug_hash": hashes,
+                "aug_chars": lens,
+            }
+        )
+
+    return (
+        ds.map_batches(_aug, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -627,6 +868,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q24_user_sessions": q24_user_sessions,
     "q25_asof_join": q25_asof_join,
     "q26_extract_pages": q26_extract_pages,
+    "q27_top_orders_per_segment": q27_top_orders_per_segment,
+    "q28_price_quantiles": q28_price_quantiles,
+    "q29_nation_revenue": q29_nation_revenue,
+    "q30_top_event_per_type": q30_top_event_per_type,
+    "q31_ivf_knn": q31_ivf_knn,
+    "q32_simhash_dedup": q32_simhash_dedup,
+    "q33_media_decode": q33_media_decode,
+    "q34_cleaning_pairs": q34_cleaning_pairs,
+    "q35_augmented_docs": q35_augmented_docs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -771,5 +1021,49 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e ASOF JOIN od o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id
+    """,
+    "q27_top_orders_per_segment": """
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rank
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rank <= 3
+        ORDER BY c_mktsegment, rank
+    """,
+    "q28_price_quantiles": """
+        SELECT o_orderpriority,
+               CAST(quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5)
+                    AS BIGINT)                                          AS median_price,
+               CAST(quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.9)
+                    AS BIGINT)                                          AS p90_price,
+               count(*)                                                 AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q29_nation_revenue": """
+        SELECT n_name,
+               count(*) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    "q30_top_event_per_type": """
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ), m AS (
+            SELECT event_type, max(vc) AS max_value FROM v GROUP BY event_type
+        )
+        SELECT v.event_type, m.max_value,
+               CAST(min(v.event_id) AS BIGINT) AS event_id
+        FROM v JOIN m ON v.event_type = m.event_type AND v.vc = m.max_value
+        GROUP BY v.event_type, m.max_value
+        ORDER BY v.event_type
     """,
 }
