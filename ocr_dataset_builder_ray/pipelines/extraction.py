@@ -376,33 +376,14 @@ def run_partitioned_extraction(
     todo = manifest.pending(parts)
 
     for pid in todo:
-        t0 = time.monotonic()
-        ds = extraction_pipeline(
+        _run_one_partition(
+            manifest,
+            pid,
             parts[pid],
+            out_dir,
             dedup=dedup,
             concurrency=concurrency,
             batch_size=batch_size,
-        )
-        tmp = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
-        if os.path.isdir(tmp):
-            import shutil
-
-            shutil.rmtree(tmp)
-        os.makedirs(tmp, exist_ok=True)
-        ds.write_parquet(tmp)
-        rows = 0
-        data_bytes = 0
-        for f in os.listdir(tmp):
-            fp = os.path.join(tmp, f)
-            data_bytes += os.path.getsize(fp)
-            rows += pa.parquet.ParquetFile(fp).metadata.num_rows
-        manifest.publish_partition(
-            pid,
-            tmp,
-            parts[pid],
-            rows=rows,
-            data_bytes=data_bytes,
-            wall_s=time.monotonic() - t0,
         )
         if on_partition_done is not None:
             on_partition_done(pid)
@@ -412,6 +393,107 @@ def run_partitioned_extraction(
     summary["ran_partitions"] = len(todo)
     summary["skipped_partitions"] = len(parts) - len(todo)
     return summary
+
+
+def _run_one_partition(
+    manifest: RunManifest,
+    pid: int,
+    files: list[str],
+    out_dir: str,
+    *,
+    dedup: bool,
+    concurrency,
+    batch_size,
+) -> None:
+    """Run the streaming pipeline over one partition's files and
+    atomically publish data + manifest row."""
+    t0 = time.monotonic()
+    ds = extraction_pipeline(
+        files, dedup=dedup, concurrency=concurrency, batch_size=batch_size
+    )
+    tmp = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    rows = 0
+    data_bytes = 0
+    for f in os.listdir(tmp):
+        fp = os.path.join(tmp, f)
+        data_bytes += os.path.getsize(fp)
+        rows += pa.parquet.ParquetFile(fp).metadata.num_rows
+    manifest.publish_partition(
+        pid, tmp, files, rows=rows, data_bytes=data_bytes, wall_s=time.monotonic() - t0
+    )
+
+
+def incremental_pass(
+    input_dir: str,
+    out_dir: str,
+    *,
+    files_per_partition: int = 4,
+    dedup: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = 128,
+) -> dict:
+    """One incremental scan: process input files not yet covered by any
+    committed partition (the reference's daemon-pass semantics,
+    frame_pipeline.py:455-509, at file granularity).
+
+    New files are grouped into fresh partition ids appended after the
+    existing ones, so earlier partitions are never invalidated as the
+    input directory grows — late-arriving data is at-least-once
+    ingested on the next scan, failed partitions retry (they were never
+    committed), and the output dir remains one coherent partitioned
+    dataset.
+    """
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    manifest = RunManifest(out_dir)
+    done = manifest.completed()
+    seen = {f for row in done.values() for f in row.get("input_files", [])}
+    new_files = [f for f in files if f not in seen]
+    next_pid = max(done, default=-1) + 1
+    ran = 0
+    for i in range(0, len(new_files), files_per_partition):
+        chunk = new_files[i : i + files_per_partition]
+        _run_one_partition(
+            manifest,
+            next_pid + ran,
+            chunk,
+            out_dir,
+            dedup=dedup,
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+        ran += 1
+    summary = manifest.metrics()
+    summary["new_files"] = len(new_files)
+    summary["ran_partitions"] = ran
+    return summary
+
+
+def run_daemon(
+    input_dir: str,
+    out_dir: str,
+    *,
+    interval_s: float = 300.0,
+    max_passes: int | None = None,
+    **kwargs,
+) -> list[dict]:
+    """Daemon mode: rescan ``input_dir`` every ``interval_s`` seconds and
+    ingest whatever appeared (frame_pipeline.py:437-509 graft). With
+    ``max_passes=None`` runs until interrupted."""
+    results: list[dict] = []
+    passes = 0
+    while max_passes is None or passes < max_passes:
+        results.append(incremental_pass(input_dir, out_dir, **kwargs))
+        passes += 1
+        if max_passes is not None and passes >= max_passes:
+            break
+        time.sleep(interval_s)
+    return results
 
 
 def read_extracted(out_dir: str) -> ray.data.Dataset:
