@@ -10,25 +10,38 @@ partial-per-block + final combine is native to ``Dataset.aggregate``.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 
 def extraction_metrics(ds: ray.data.Dataset) -> dict:
-    """Overall counters (G2): rows, ok/failed, chars/tokens/bytes."""
-    row = ds.aggregate(
+    """Overall counters (G2): rows, ok/failed, chars/tokens/bytes.
+
+    One streaming pass: the status flag is vectorized into an int column
+    so everything folds in a single ``aggregate`` (no per-row filter, no
+    second DAG execution)."""
+
+    def _flag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "failed",
+            pc.cast(pc.not_equal(t["status"], pa.scalar("ok")), pa.int64()),
+        )
+
+    row = ds.map_batches(_flag, batch_format="pyarrow").aggregate(
         Count(alias_name="rows"),
         Sum("n_chars", alias_name="total_chars"),
         Sum("n_tokens", alias_name="total_tokens"),
         Sum("n_spans", alias_name="total_spans"),
         Sum("html_bytes", alias_name="total_html_bytes"),
         Mean("n_chars", alias_name="mean_chars"),
+        Sum("failed", alias_name="failed_rows"),
     )
-    failed = ds.filter(lambda r: r["status"] != "ok").count()
     out = dict(row)
-    out["failed_rows"] = failed
-    out["ok_rows"] = out["rows"] - failed
+    out["failed_rows"] = int(out["failed_rows"])
+    out["ok_rows"] = out["rows"] - out["failed_rows"]
     return out
 
 
