@@ -1,0 +1,149 @@
+"""Job-driver CLI — the ``ray job submit`` entry form of the engine.
+
+The reference exposes each stage as a ``fire`` CLI whose output dir is
+the next stage's input dir (docs/DESIGN.md:108-131; e.g.
+``python -m ocr_dataset_builder.tesseract.pipeline run``). Here one
+driver assembles the Dataset DAG and owns the Ray session::
+
+    ray job submit -- python -m ocr_dataset_builder_ray.cli extract \
+        --input /data/pages --output /data/extracted --partitions 64
+
+Subcommands:
+    extract   partitioned, resumable extraction run (manifests + lineage)
+    daemon    incremental ingestion loop (rescan input every interval)
+    export    project a completed run to JSONL/Parquet (standard |
+              cleaning_pairs)
+    metrics   print lineage + aggregate metrics for a completed run
+    gen       generate the deterministic synthetic pages corpus
+
+This module is the ONLY library-side owner of ``ray.init`` (guarded);
+``__ray_entry__.py`` and the pipeline functions never initialize Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _cmd_extract(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .pipelines.extraction import run_partitioned_extraction
+
+    summary = run_partitioned_extraction(
+        args.input,
+        args.output,
+        num_partitions=args.partitions,
+        dedup=not args.no_dedup,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def _cmd_daemon(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .pipelines.extraction import run_daemon
+
+    results = run_daemon(
+        args.input,
+        args.output,
+        interval_s=args.interval,
+        max_passes=args.max_passes,
+        files_per_partition=args.files_per_partition,
+        dedup=not args.no_dedup,
+    )
+    print(json.dumps(results))
+    return 0
+
+
+def _cmd_export(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .pipelines.export import export_dataset
+    from .pipelines.extraction import read_extracted
+
+    ds = read_extracted(args.input)
+    export_dataset(ds, args.output, mode=args.mode, fmt=args.fmt)
+    print(json.dumps({"exported_rows": ds.count(), "mode": args.mode, "fmt": args.fmt}))
+    return 0
+
+
+def _cmd_metrics(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .pipelines.extraction import read_extracted
+    from .pipelines.metrics import extraction_metrics
+    from .state.manifest import RunManifest
+
+    lineage = RunManifest(args.input).metrics()
+    agg = extraction_metrics(read_extracted(args.input))
+    print(json.dumps({"lineage": lineage, "aggregate": agg}))
+    return 0
+
+
+def _cmd_gen(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .sources.pages import generate_pages_corpus
+
+    out = generate_pages_corpus(args.output, n_rows=args.rows, rows_per_file=args.rows_per_file)
+    print(json.dumps({"corpus": out, "rows": args.rows}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ocr_dataset_builder_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("extract", help="partitioned resumable extraction")
+    e.add_argument("--input", required=True, help="dir of pages parquet files")
+    e.add_argument("--output", required=True)
+    e.add_argument("--partitions", type=int, default=16)
+    e.add_argument("--batch-size", type=int, default=128)
+    e.add_argument("--no-dedup", action="store_true")
+    e.set_defaults(fn=_cmd_extract)
+
+    d = sub.add_parser("daemon", help="incremental ingestion loop")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--interval", type=float, default=300.0)
+    d.add_argument("--max-passes", type=int, default=None)
+    d.add_argument("--files-per-partition", type=int, default=4)
+    d.add_argument("--no-dedup", action="store_true")
+    d.set_defaults(fn=_cmd_daemon)
+
+    x = sub.add_parser("export", help="project a completed run")
+    x.add_argument("--input", required=True, help="completed extraction out dir")
+    x.add_argument("--output", required=True)
+    x.add_argument("--mode", default="standard")
+    x.add_argument("--fmt", default="jsonl", choices=["jsonl", "parquet"])
+    x.set_defaults(fn=_cmd_export)
+
+    m = sub.add_parser("metrics", help="lineage + aggregate metrics")
+    m.add_argument("--input", required=True)
+    m.set_defaults(fn=_cmd_metrics)
+
+    g = sub.add_parser("gen", help="generate synthetic pages corpus")
+    g.add_argument("--output", required=True)
+    g.add_argument("--rows", type=int, default=2000)
+    g.add_argument("--rows-per-file", type=int, default=4096)
+    g.set_defaults(fn=_cmd_gen)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
