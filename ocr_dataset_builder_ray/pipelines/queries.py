@@ -837,6 +837,80 @@ def q35_augmented_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q36_training_view(sf_dir: str) -> pd.DataFrame:
+    """Denormalized (noisy, clean, augmented) training triples — the J1
+    join kept as one wide table (non-SQL; rows-only)."""
+    from ..functions.hashing import md5_hex
+    from ..sources.pages import default_corpus_dir, generate_pages_corpus, pages_parquet_files
+    from .training_view import training_view
+
+    n = _pages_rows_for(sf_dir)
+    corpus = generate_pages_corpus(default_corpus_dir(n), n_rows=n)
+    ds = training_view(pages_parquet_files(corpus))
+
+    def _digest(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "aug_profile": t["aug_profile"],
+                "n_tokens": t["n_tokens"],
+                "pair_hash": pa.array(
+                    [
+                        md5_hex((c or "") + "\x00" + (a or ""))
+                        for c, a in zip(
+                            t["clean_text"].to_pylist(), t["augmented_text"].to_pylist()
+                        )
+                    ]
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(_digest, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def q37_frameref_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """F:i delta codec over ordered per-lang groups: encode in a grouped
+    scan, decode with the distributed reader, verify the roundtrip
+    (M11 parity; non-SQL; rows-only)."""
+    from ..functions.framerefs import decode_ref_column, encode_refs
+    from ..functions.hashing import md5_hex
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _encode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        g["cell"] = encode_refs(list(g["text"].fillna("")))
+        return g[["doc_id", "lang", "text", "cell"]]
+
+    encoded = ds.groupby("lang").map_groups(_encode, batch_format="pandas")
+    decoded = decode_ref_column(
+        encoded, group_col="lang", order_col="doc_id", value_col="cell", out_col="decoded"
+    )
+
+    def _check(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "roundtrip_ok": df["decoded"] == df["text"].fillna(""),
+                "decoded_hash": [md5_hex(x) for x in df["decoded"]],
+            }
+        )
+
+    out = (
+        decoded.map_batches(_check, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["roundtrip_ok"].all()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -877,6 +951,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q33_media_decode": q33_media_decode,
     "q34_cleaning_pairs": q34_cleaning_pairs,
     "q35_augmented_docs": q35_augmented_docs,
+    "q36_training_view": q36_training_view,
+    "q37_frameref_roundtrip": q37_frameref_roundtrip,
 }
 
 ORACLE_SQL: dict[str, str] = {
