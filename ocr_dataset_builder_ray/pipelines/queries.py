@@ -68,9 +68,11 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
     )
 
     def _prep(t: pa.Table) -> pa.Table:
+        """Per-batch combiner: the shuffle moves #groups rows per block,
+        not #input rows (G2 partial+final)."""
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff, pa.timestamp("us"))))
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table(
+        part = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
@@ -79,21 +81,24 @@ def q01_pricing_summary(sf_dir: str) -> pd.DataFrame:
                 "disc_cents": _cents(disc_price),
             }
         )
+        return pa.TableGroupBy(part, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_cents", "sum"), ("base_cents", "sum"), ("disc_cents", "sum"), ([], "count_all")]
+        )
 
     res = (
         ds.map_batches(_prep, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("qty_cents", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_price"),
-            Sum("disc_cents", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
+            Sum("qty_cents_sum", alias_name="sum_qty"),
+            Sum("base_cents_sum", alias_name="sum_base_price"),
+            Sum("disc_cents_sum", alias_name="sum_disc_price"),
+            Sum("count_all", alias_name="count_order"),
         )
         .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "count_order"):
         res[c] = res[c].astype("int64")
     res["avg_qty"] = (res["sum_qty"] / res["count_order"]) / 100.0
     return res[
@@ -116,24 +121,28 @@ def q03_segment_revenue(sf_dir: str) -> pd.DataFrame:
     cust_ref = ray.put(cust)
 
     def _join(df: pd.DataFrame) -> pd.DataFrame:
+        # broadcast join + per-batch partial aggregate (combiner)
         side = ray.get(cust_ref)
         out = df.merge(side, left_on="o_custkey", right_on="c_custkey", how="inner")
         out["price_cents"] = np.floor(out["o_totalprice"] * 100.0 + 0.5).astype("int64")
-        return out[["c_mktsegment", "price_cents"]]
+        return out.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_cents", "size"), total_price=("price_cents", "sum")
+        )
 
     res = (
         _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(_join, batch_format="pandas")
         .groupby("c_mktsegment")
         .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("price_cents", alias_name="total_price"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price"),
         )
         .to_pandas()
         .sort_values("c_mktsegment")
         .reset_index(drop=True)
     )
     res["total_price"] = res["total_price"].astype("int64")
+    res["n_orders"] = res["n_orders"].astype("int64")
     return res
 
 
@@ -146,17 +155,20 @@ def q04_region_customers(sf_dir: str) -> pd.DataFrame:
 
     def _join(df: pd.DataFrame) -> pd.DataFrame:
         side = ray.get(dim_ref)
-        return df.merge(side, left_on="c_nationkey", right_on="n_nationkey")[["r_name"]]
+        j = df.merge(side, left_on="c_nationkey", right_on="n_nationkey")
+        return j.groupby("r_name", as_index=False).agg(n_customers=("r_name", "size"))
 
-    return (
+    res = (
         _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
         .map_batches(_join, batch_format="pandas")
         .groupby("r_name")
-        .aggregate(Count(alias_name="n_customers"))
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
         .to_pandas()
         .sort_values("r_name")
         .reset_index(drop=True)
     )
+    res["n_customers"] = res["n_customers"].astype("int64")
+    return res
 
 
 def q05_top_orders(sf_dir: str) -> pd.DataFrame:
@@ -187,21 +199,31 @@ def q07_event_type_stats(sf_dir: str) -> pd.DataFrame:
     """Grouped agg + count-distinct via two-level groupby (G2)."""
     ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
 
-    def _prep(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"event_type": t["event_type"], "user_id": t["user_id"], "value_cents": _cents(t["value"])}
+    def _base_partial(t: pa.Table) -> pa.Table:
+        part = pa.table({"event_type": t["event_type"], "value_cents": _cents(t["value"])})
+        return pa.TableGroupBy(part, "event_type").aggregate(
+            [("value_cents", "sum"), ([], "count_all")]
         )
 
-    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        # within-batch pair dedup cuts the distinct shuffle volume
+        part = pa.table({"event_type": t["event_type"], "user_id": t["user_id"]})
+        return pa.TableGroupBy(part, ["event_type", "user_id"]).aggregate([])
+
     base = (
-        prepped.groupby("event_type")
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value"))
+        ds.map_batches(_base_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("count_all", alias_name="n_events"),
+            Sum("value_cents_sum", alias_name="sum_value"),
+        )
         .to_pandas()
     )
     # distinct (event_type, user_id) pairs, then count per type — the
-    # shuffle-native exact count-distinct
+    # shuffle-native exact count-distinct (pre-deduped per batch)
     pairs = (
-        prepped.groupby(["event_type", "user_id"])
+        ds.map_batches(_pair_partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
         .aggregate(Count(alias_name="_c"))
         .groupby("event_type")
         .aggregate(Count(alias_name="n_users"))
@@ -209,6 +231,7 @@ def q07_event_type_stats(sf_dir: str) -> pd.DataFrame:
     )
     res = base.merge(pairs, on="event_type").sort_values("event_type").reset_index(drop=True)
     res["sum_value"] = res["sum_value"].astype("int64")
+    res["n_events"] = res["n_events"].astype("int64")
     return res[["event_type", "n_events", "n_users", "sum_value"]]
 
 
@@ -218,23 +241,27 @@ def q08_hourly_events(sf_dir: str) -> pd.DataFrame:
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         hour = (df["ts"].dt.floor("h") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
-        return pd.DataFrame(
+        part = pd.DataFrame(
             {
                 "event_type": df["event_type"],
                 "hour_epoch": hour.astype("int64"),
                 "value_cents": np.floor(df["value"] * 100.0 + 0.5).astype("int64"),
             }
         )
+        return part.groupby(["event_type", "hour_epoch"], as_index=False).agg(
+            n_events=("value_cents", "size"), sum_value=("value_cents", "sum")
+        )
 
     res = (
         ds.map_batches(_bucket, batch_format="pandas")
         .groupby(["event_type", "hour_epoch"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value"))
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
         .to_pandas()
         .sort_values(["event_type", "hour_epoch"])
         .reset_index(drop=True)
     )
     res["sum_value"] = res["sum_value"].astype("int64")
+    res["n_events"] = res["n_events"].astype("int64")
     return res
 
 
@@ -322,20 +349,22 @@ def q13_doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "documents", ["lang", "text"])
 
     def _chars(t: pa.Table) -> pa.Table:
-        return pa.table({"lang": t["lang"], "chars": pc.utf8_length(t["text"])})
+        part = pa.table({"lang": t["lang"], "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+        return pa.TableGroupBy(part, "lang").aggregate([("chars", "sum"), ([], "count_all")])
 
     res = (
         ds.map_batches(_chars, batch_format="pyarrow")
         .groupby("lang")
         .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("chars", alias_name="sum_chars"),
+            Sum("count_all", alias_name="n_docs"),
+            Sum("chars_sum", alias_name="sum_chars"),
         )
         .to_pandas()
         .sort_values("lang")
         .reset_index(drop=True)
     )
     res["sum_chars"] = res["sum_chars"].astype("int64")
+    res["n_docs"] = res["n_docs"].astype("int64")
     res["avg_chars"] = res["sum_chars"] / res["n_docs"]  # exact int inputs
     return res[["lang", "n_docs", "sum_chars", "avg_chars"]]
 
@@ -347,17 +376,20 @@ def q14_token_counts(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "documents", ["lang", "text"])
 
     def _tok(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        part = pd.DataFrame(
             {"lang": df["lang"], "toks": [token_count_ws(t) for t in df["text"].fillna("")]}
+        )
+        return part.groupby("lang", as_index=False).agg(
+            sum_tokens=("toks", "sum"), max_tokens=("toks", "max"), min_tokens=("toks", "min")
         )
 
     res = (
         ds.map_batches(_tok, batch_format="pandas")
         .groupby("lang")
         .aggregate(
-            Sum("toks", alias_name="sum_tokens"),
-            Max("toks", alias_name="max_tokens"),
-            Min("toks", alias_name="min_tokens"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Max("max_tokens", alias_name="max_tokens"),
+            Min("min_tokens", alias_name="min_tokens"),
         )
         .to_pandas()
         .sort_values("lang")
@@ -674,22 +706,26 @@ def q29_nation_revenue(sf_dir: str) -> pd.DataFrame:
     dim_ref = ray.put(dim[["s_suppkey", "n_name"]])
 
     def _join(df: pd.DataFrame) -> pd.DataFrame:
+        # broadcast join + per-batch partial aggregate (combiner)
         side = ray.get(dim_ref)
         j = df.merge(side, left_on="l_suppkey", right_on="s_suppkey")
         disc = j["l_extendedprice"] * (1.0 - j["l_discount"])
         j["rev_cents"] = np.floor(disc * 100.0 + 0.5).astype("int64")
-        return j[["n_name", "rev_cents"]]
+        return j.groupby("n_name", as_index=False).agg(
+            n_items=("rev_cents", "size"), revenue=("rev_cents", "sum")
+        )
 
     res = (
         _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
         .map_batches(_join, batch_format="pandas")
         .groupby("n_name")
-        .aggregate(Count(alias_name="n_items"), Sum("rev_cents", alias_name="revenue"))
+        .aggregate(Sum("n_items", alias_name="n_items"), Sum("revenue", alias_name="revenue"))
         .to_pandas()
         .sort_values("n_name")
         .reset_index(drop=True)
     )
     res["revenue"] = res["revenue"].astype("int64")
+    res["n_items"] = res["n_items"].astype("int64")
     return res
 
 
