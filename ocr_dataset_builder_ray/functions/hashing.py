@@ -54,11 +54,26 @@ def rolling_fingerprint(text: str, base: int = 257, mod: int = _MERSENNE_61) -> 
     return h
 
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
-    """Set of hashed k-character shingles (for Jaccard / MinHash)."""
-    if len(text) < k:
-        return {stable_hash64(text)} if text else set()
-    return {stable_hash64(text[i : i + k]) for i in range(len(text) - k + 1)}
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV-1a prime (odd)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Unique hashed k-byte shingles (uint64[]) for Jaccard / MinHash.
+
+    Vectorized: one polynomial rolling hash per UTF-8 byte window,
+    computed with numpy uint64 wraparound arithmetic — no per-shingle
+    Python hashing. Deterministic across runs and platforms.
+    """
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    k = min(k, len(data))
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    base = int(_SHINGLE_BASE)
+    powers = np.array(
+        [pow(base, k - 1 - j, 2**64) for j in range(k)], dtype=np.uint64
+    )
+    return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
 
 
 def word_ngrams(text: str, n: int = 3) -> set[int]:
@@ -80,26 +95,24 @@ def word_ngrams(text: str, n: int = 3) -> set[int]:
 
 def minhash_params(num_perm: int = 64, seed: int = 42):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE_61, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    # multiply-shift family h_i(x) = a_i*x + b_i (mod 2^64), a_i odd —
+    # native uint64 wraparound, fully vectorized (no big-int modulus)
+    a = rng.randint(1, 2**63 - 1, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**63 - 1, size=num_perm).astype(np.uint64)
     return a, b
 
 
-def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """MinHash signature (uint64[num_perm]) of a shingle set."""
-    if not shingles:
+def minhash_signature(shingles, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set/array."""
+    x = (
+        shingles
+        if isinstance(shingles, np.ndarray)
+        else np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    )
+    if x.size == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    # (a*x + b) mod p, computed in python-int space is slow; use object
-    # ops only at the final mod. uint64 overflow-safe via uint128 emulation:
-    # split a*x into high/low — numpy has no uint128, so do it in float-free
-    # python for correctness on small sets, vectorized over permutations.
-    xs = x.astype(object)
-    sig = np.empty(len(a), dtype=np.uint64)
-    for i in range(len(a)):
-        vals = (int(a[i]) * xs + int(b[i])) % _MERSENNE_61
-        sig[i] = _U64(min(vals))
-    return sig
+    # (num_perm, n) wraparound multiply-shift, row-wise min
+    return (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
