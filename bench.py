@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "q22_knn",
     "q24_user_sessions",
     "q25_asof_join",
+    "q27_top_orders_per_segment",
+    "q29_nation_revenue",
+    "q30_top_event_per_type",
 ]
 
 # pages-corpus size per sf tag (sized so fixed costs — session spin-up,

@@ -873,6 +873,37 @@ def q35_augmented_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q38_native_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Ray Data native hash-shuffle join (both sides co-partitioned) —
+    the large⋈large path where a broadcast side would not fit.
+
+    NOTE: the selective filter runs above the join because Ray 2.49's
+    hash-join aggregator fails on hash partitions that received zero
+    blocks, which a selective pre-join filter readily produces; at real
+    scale the filter would be pushed below the join once that is fixed.
+    """
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    res = (
+        j.map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(500000.0))),
+            batch_format="pyarrow",
+        )
+        .select_columns(["o_orderkey", "c_name"])
+        .to_pandas()
+    )
+    if res.empty:
+        res = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype="object")})
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def q36_training_view(sf_dir: str) -> pd.DataFrame:
     """Denormalized (noisy, clean, augmented) training triples — the J1
     join kept as one wide table (non-SQL; rows-only)."""
@@ -989,6 +1020,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q35_augmented_docs": q35_augmented_docs,
     "q36_training_view": q36_training_view,
     "q37_frameref_roundtrip": q37_frameref_roundtrip,
+    "q38_native_hash_join": q38_native_hash_join,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1163,6 +1195,12 @@ ORACLE_SQL: dict[str, str] = {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name
+    """,
+    "q38_native_hash_join": """
+        SELECT o_orderkey, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 500000
+        ORDER BY o_orderkey
     """,
     "q30_top_event_per_type": """
         WITH v AS (
