@@ -500,3 +500,42 @@ def read_extracted(out_dir: str) -> ray.data.Dataset:
     """Read a completed partitioned run back as one Dataset."""
     files = sorted(glob.glob(os.path.join(out_dir, "part=*", "*.parquet")))
     return ray.data.read_parquet(files)
+
+
+def repartition_by_url_hash(
+    ds: ray.data.Dataset,
+    n_buckets: int = DEFAULT_DEDUP_BUCKETS,
+    url_col: str = "url",
+) -> ray.data.Dataset:
+    """Explicit url-hash co-location: every row of a url lands in the
+    block of its bucket ``stable_hash64(url) % n_buckets``.
+
+    Use before any per-url stage that assumes co-located keys (merging
+    with another url-keyed table, per-url incremental state). Pick ONE
+    bucket count and reuse it across stages so consecutive keyed
+    operations share the partitioning (SURVEY.md §4). Implemented as
+    the bucket groupby — the only key-partitioning primitive Ray Data
+    exposes — with a pass-through group fn.
+    """
+    from ..functions.hashing import stable_hash64_array
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if "url_hash" in t.column_names:
+            h = t["url_hash"]
+        else:
+            h = pa.array(stable_hash64_array(t[url_col].to_pylist()))
+        b = (
+            pc.bit_wise_and(h, pa.scalar(n_buckets - 1, pa.uint64()))
+            if (n_buckets & (n_buckets - 1)) == 0
+            else pc.mod(h, pa.scalar(n_buckets, pa.uint64()))
+        )
+        return t.append_column("url_bucket", pc.cast(b, pa.int64()))
+
+    def _identity(t: pa.Table) -> pa.Table:
+        return t
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("url_bucket")
+        .map_groups(_identity, batch_format="pyarrow")
+    )
