@@ -904,6 +904,63 @@ def q38_native_hash_join(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q39_user_event_seq(sf_dir: str) -> pd.DataFrame:
+    """Ordered window function (ROW_NUMBER per partition): per-user
+    event sequence numbers via a grouped ordered scan."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def _seq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "seq": (g.index + 1).astype("int64"),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(_seq, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def q40_hopping_windows(sf_dir: str) -> pd.DataFrame:
+    """Hopping windows (size 1h, hop 30min): each event lands in two
+    overlapping windows — a vectorized 2-way fan-out then grouped count
+    with per-batch combiner (§2.10 windows beyond tumbling)."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def _windows(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = ((df["ts"].astype("datetime64[us]") - pd.Timestamp(0)) // pd.Timedelta(seconds=1)).astype("int64")
+        base = (epoch // 1800) * 1800
+        parts = []
+        for start in (base, base - 1800):
+            keep = start >= 0
+            parts.append(
+                pd.DataFrame({"event_type": df["event_type"][keep], "window_start": start[keep]})
+            )
+        allw = pd.concat(parts, ignore_index=True)
+        return allw.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("window_start", "size")
+        )
+
+    res = (
+        ds.map_batches(_windows, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    res["n_events"] = res["n_events"].astype("int64")
+    res["window_start"] = res["window_start"].astype("int64")
+    return res
+
+
 def q36_training_view(sf_dir: str) -> pd.DataFrame:
     """Denormalized (noisy, clean, augmented) training triples — the J1
     join kept as one wide table (non-SQL; rows-only)."""
@@ -1021,6 +1078,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q36_training_view": q36_training_view,
     "q37_frameref_roundtrip": q37_frameref_roundtrip,
     "q38_native_hash_join": q38_native_hash_join,
+    "q39_user_event_seq": q39_user_event_seq,
+    "q40_hopping_windows": q40_hopping_windows,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1201,6 +1260,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_totalprice > 500000
         ORDER BY o_orderkey
+    """,
+    "q39_user_event_seq": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT)  AS user_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS seq
+        FROM events ORDER BY event_id
+    """,
+    "q40_hopping_windows": """
+        WITH w AS (
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS window_start
+            FROM events
+            UNION ALL
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 AS window_start
+            FROM events
+            WHERE (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800 >= 0
+        )
+        SELECT event_type, window_start, count(*) AS n_events
+        FROM w GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
     """,
     "q30_top_event_per_type": """
         WITH v AS (
