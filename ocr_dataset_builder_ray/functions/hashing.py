@@ -76,14 +76,21 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique((win * powers).sum(axis=1, dtype=np.uint64))
 
 
-def word_ngrams(text: str, n: int = 3) -> set[int]:
-    """Set of hashed word n-grams (n-gram Jaccard dedup)."""
+def word_ngrams(text: str, n: int = 3) -> np.ndarray:
+    """Unique hashed word n-grams (uint64[]) for n-gram Jaccard dedup.
+
+    One vectorized SipHash pass (pandas ``hash_array``, fixed default
+    key) over the gram strings instead of per-gram Python hashing."""
+    import pandas as pd
+
     words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
     if len(words) < n:
-        return {stable_hash64(" ".join(words))} if words else set()
-    return {
-        stable_hash64(" ".join(words[i : i + n])) for i in range(len(words) - n + 1)
-    }
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
 
 
 # ---------------------------------------------------------------------------
@@ -126,20 +133,20 @@ def lsh_band_keys(sig: np.ndarray, bands: int = 16) -> list[tuple[int, int]]:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token list (near-dup by Hamming distance)."""
+    """64-bit SimHash over a token list (near-dup by Hamming distance).
+
+    Vectorized: one deterministic SipHash pass over the token array
+    (pandas ``hash_array`` with its fixed default key — stable across
+    processes), then a (n, 64) bit-vote without per-token Python."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    import pandas as pd
+
+    hs = pd.util.hash_array(np.asarray(tokens, dtype=object))  # uint64[n]
     ones = np.arange(64, dtype=np.uint64)
-    for t in tokens:
-        h = _U64(stable_hash64(t))
-        bits = ((h >> ones) & _U64(1)).astype(np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    bits = ((hs[:, None] >> ones[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(hs)
+    return int(((votes > 0).astype(np.uint64) << ones).sum())
 
 
 def hamming64(a: int, b: int) -> int:

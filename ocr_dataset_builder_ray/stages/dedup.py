@@ -294,11 +294,12 @@ def simhash_dedup(
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     sa, sb = word_ngrams(a or "", n), word_ngrams(b or "", n)
-    if not sa and not sb:
+    if sa.size == 0 and sb.size == 0:
         return 1.0
-    if not sa or not sb:
+    if sa.size == 0 or sb.size == 0:
         return 0.0
-    return len(sa & sb) / len(sa | sb)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
 
 
 def ngram_jaccard_dedup(
