@@ -111,22 +111,38 @@ class _BlockParser:
         self._a_depth = 0
 
     def feed(self, doc: str) -> None:
-        """Regex-scan ``doc``, dispatching the same start/end/data
-        events the previous html.parser driver produced."""
+        """Regex-scan ``doc``; the block-segmentation event logic is
+        inlined into the loop (the handler methods below document the
+        identical per-event semantics and remain for targeted tests)."""
         pos, n = 0, len(doc)
         lower: str | None = None
         find = doc.find
         tag_match = _TAG_RE.match
-        handle_data = self.handle_data
-        handle_starttag = self.handle_starttag
-        handle_endtag = self.handle_endtag
+        blocks = self.blocks
+        open_stack = self._open
+        implicit = self._implicit
+        skip = self._skip
+        boiler = self._boiler
+        a_depth = self._a_depth
+
         while pos < n:
             lt = find("<", pos)
+            data = doc[pos:] if lt < 0 else (doc[pos:lt] if lt > pos else "")
+            if data and not skip:
+                if "&" in data:
+                    data = unescape(data)
+                sink = open_stack[-1] if open_stack else implicit
+                if sink is None:
+                    if data.strip():
+                        sink = implicit = _Block("text", boiler > 0)
+                    else:
+                        sink = None
+                if sink is not None:
+                    sink.parts.append(data)
+                    if a_depth:
+                        sink.link_chars += len(data.strip())
             if lt < 0:
-                handle_data(doc[pos:])
                 break
-            if lt > pos:
-                handle_data(doc[pos:lt])
             nxt = doc[lt + 1 : lt + 2]
             if nxt in ("!", "?"):
                 if doc.startswith("<!--", lt):
@@ -138,23 +154,85 @@ class _BlockParser:
                 continue
             m = tag_match(doc, lt)
             if m is None:  # stray '<' that opens no tag -> literal text
-                handle_data("<")
+                if not skip:
+                    sink = open_stack[-1] if open_stack else implicit
+                    if sink is None:
+                        sink = implicit = _Block("text", boiler > 0)
+                    sink.parts.append("<")
+                    if a_depth:
+                        sink.link_chars += 1
                 pos = lt + 1
                 continue
             closing, tag, selfclose = m.groups()
             tag = tag.lower()
             pos = m.end()
-            if closing:
-                handle_endtag(tag)
-            elif selfclose:
-                self.handle_startendtag(tag, None)
-            else:
-                handle_starttag(tag, None)
-                if tag in _RAWTEXT:
-                    if lower is None:
-                        lower = doc.lower()
-                    end = lower.find("</" + tag, pos)
-                    pos = n if end < 0 else end  # loop parses the close tag
+            if closing:  # === handle_endtag semantics ===
+                if tag in _SKIP:
+                    if skip:
+                        skip -= 1
+                elif skip:
+                    pass
+                elif tag in _BOILER:
+                    if boiler:
+                        boiler -= 1
+                elif tag == "a":
+                    if a_depth:
+                        a_depth -= 1
+                elif tag in _BLOCK_KIND:
+                    kind = _BLOCK_KIND[tag]
+                    for i in range(len(open_stack) - 1, -1, -1):
+                        if open_stack[i].kind == kind:
+                            blocks.append(open_stack.pop(i))
+                            break
+                elif tag in _STRUCTURAL:
+                    if implicit is not None:
+                        blocks.append(implicit)
+                        implicit = None
+            elif selfclose:  # === handle_startendtag semantics ===
+                if tag not in _SKIP and not skip:
+                    sink = open_stack[-1] if open_stack else implicit
+                    if sink is not None:
+                        sink.tag_count += 1
+                        if tag == "br":
+                            sink.parts.append("\n")
+            else:  # === handle_starttag semantics ===
+                if tag in _SKIP:
+                    skip += 1
+                    if tag in _RAWTEXT:
+                        if lower is None:
+                            lower = doc.lower()
+                        end = lower.find("</" + tag, pos)
+                        pos = n if end < 0 else end  # loop parses close
+                elif skip:
+                    pass
+                elif tag in _BOILER:
+                    boiler += 1
+                    if implicit is not None:
+                        blocks.append(implicit)
+                        implicit = None
+                else:
+                    if tag == "a":
+                        a_depth += 1
+                    sink = open_stack[-1] if open_stack else implicit
+                    if sink is not None:
+                        sink.tag_count += 1
+                    if tag in _BLOCK_KIND:
+                        if implicit is not None:
+                            blocks.append(implicit)
+                            implicit = None
+                        open_stack.append(_Block(_BLOCK_KIND[tag], boiler > 0))
+                    elif tag in _STRUCTURAL:
+                        if implicit is not None:
+                            blocks.append(implicit)
+                            implicit = None
+                    elif tag == "br":
+                        if sink is not None:
+                            sink.parts.append("\n")
+
+        self._implicit = implicit
+        self._skip = skip
+        self._boiler = boiler
+        self._a_depth = a_depth
 
     def close(self) -> None:
         pass
