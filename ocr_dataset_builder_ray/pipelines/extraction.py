@@ -65,6 +65,7 @@ def extract_pages(
     size_split: bool = False,
     size_split_threshold: int = SIZE_SPLIT_THRESHOLD,
     dedup_buckets: int | None = None,
+    emit: str = "flat",
 ) -> ray.data.Dataset:
     """pages Dataset → extracted Dataset (per-document kernel stage).
 
@@ -84,13 +85,15 @@ def extract_pages(
     below the CPU count to avoid cross-pool deadlock.
     """
     cpus = _cpus()
-    kwargs = dict(fn_constructor_kwargs={"dedup_buckets": dedup_buckets})
+    kwargs = dict(fn_constructor_kwargs={"dedup_buckets": dedup_buckets, "emit": emit})
     if not size_split:
         if concurrency is None:
-            # floor high enough that the pool is warm from the first
-            # blocks (min=1 ramps one actor at a time and wastes the
-            # first seconds of every run)
-            concurrency = (max(1, (cpus - 1) // 2), max(1, cpus - 1))
+            # fixed-size pool (all actors start at submission — the
+            # autoscaling ramp is pure dead time on a dedicated slice),
+            # leaving ~1/8 of the CPUs for the read/assemble/sink
+            # stages: a pool that reserves every CPU starves the feed
+            # (measured 2.4x slower at 32 CPUs)
+            concurrency = max(1, cpus - max(1, cpus // 8))
         return ds.map_batches(
             ExtractPages,
             batch_format="pyarrow",
@@ -324,9 +327,11 @@ def extraction_pipeline(
         batch_size=batch_size,
         size_split=size_split,
         dedup_buckets=DEFAULT_DEDUP_BUCKETS if need_shuffle else None,
+        emit="flat" if need_shuffle else "struct",
     )
-    if need_shuffle:
-        ds = dedup_latest(ds, pre_bucketed=True)
+    if not need_shuffle:
+        return ds  # spans already assembled inside the actor pool
+    ds = dedup_latest(ds, pre_bucketed=True)
     return ds.map_batches(assemble_spans, batch_format="pyarrow")
 
 

@@ -155,12 +155,20 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    components: str = "driver",
 ) -> ray.data.Dataset:
     """Near-dup removal: keep one representative (min key) per MinHash
     cluster at estimated Jaccard ≥ ``threshold``.
 
     shingle→minhash→band→bucket-groupby per the standard LSH recipe;
     signature-estimated Jaccard verifies candidates before clustering.
+
+    ``components="driver"`` resolves clusters with union-find on the
+    driver (bounded by the verified-pair count); ``"distributed"``
+    runs min-label propagation (stages/components.py) so no pair list
+    ever materializes on the driver — the scale path when duplicate
+    volume outgrows driver memory. Identical representatives either
+    way (min key per component).
     """
     band_rows = ds.map_batches(
         MinHashStage,
@@ -194,6 +202,25 @@ def minhash_lsh_dedup(
     pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
+
+    if components == "distributed":
+        from .components import min_label_components
+
+        labels = min_label_components(
+            pairs_ds, ds.select_columns([key_col]), node_col=key_col
+        )
+        reps = labels.map_batches(
+            lambda t: t.filter(pc.equal(t["node"], t["component"])),
+            batch_format="pyarrow",
+        )
+        keep_keys = pa.array(reps.select_columns(["node"]).to_pandas()["node"])
+        keep_ref = ray.put(keep_keys)
+
+        def _filter_dist(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t[key_col], value_set=ray.get(keep_ref)))
+
+        return ds.map_batches(_filter_dist, batch_format="pyarrow")
+
     pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
     all_keys = [r[key_col] for r in ds.select_columns([key_col]).take_all()]
     rep = _components_from_pairs(pairs, all_keys)

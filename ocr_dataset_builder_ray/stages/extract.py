@@ -135,12 +135,22 @@ class ExtractPages:
     output batch is pre-deduped (keep-latest per url) and carries an
     ``url_bucket = url_hash % N`` column, so the downstream
     ``groupby("url_bucket")`` shuffle needs no extra map stage.
+
+    ``emit="struct"`` assembles the public ``spans: list<struct>`` view
+    inside the actor (use when NO exchange follows, so the assembly
+    rides in the actor pool instead of competing with the read/write
+    stages for the pool's leftover CPUs); ``emit="flat"`` keeps the
+    shuffle-friendly parallel list columns for a downstream exchange.
     """
 
-    def __init__(self, dedup_buckets: int | None = None) -> None:
+    def __init__(self, dedup_buckets: int | None = None, emit: str = "flat") -> None:
         self._tokenizers: dict[str, re.Pattern] = {}
         self._default_pattern = _LANG_TOKEN_PATTERNS["default"]
+        if emit == "struct" and dedup_buckets is not None:
+            raise ValueError("emit='struct' is for shuffle-free plans; "
+                             "a bucketed dedup exchange needs emit='flat'")
         self._dedup_buckets = dedup_buckets
+        self._emit = emit
 
     def _tokenizer(self, lang: str) -> re.Pattern:
         tok = self._tokenizers.get(lang)
@@ -221,6 +231,8 @@ class ExtractPages:
                 else pa.compute.mod(h, pa.scalar(n, pa.uint64()))
             )
             out = out.append_column("url_bucket", pa.compute.cast(b, pa.int64()))
+        if self._emit == "struct":
+            out = assemble_spans(out)
         return out
 
 
