@@ -961,6 +961,30 @@ def q40_hopping_windows(sf_dir: str) -> pd.DataFrame:
     return res
 
 
+def q41_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate count-distinct per group via mergeable HyperLogLog
+    sketches: one 2^p-byte blob per group per batch crosses the
+    shuffle instead of every distinct value. Error bound asserted
+    in-query against the exact distributed count (non-SQL; rows-only —
+    DuckDB's approx_count_distinct uses a different sketch)."""
+    from ..functions.hll import approx_distinct
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    approx = approx_distinct(ds, "user_id", "event_type")
+    exact = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_exact"))
+        .to_pandas()
+    )
+    res = approx.merge(exact, on="event_type").sort_values("event_type").reset_index(drop=True)
+    rel_err = (res["approx_distinct"] - res["n_exact"]).abs() / res["n_exact"]
+    assert (rel_err < 0.05).all(), res
+    res["approx_distinct"] = res["approx_distinct"].round(1)
+    return res[["event_type", "approx_distinct", "n_exact"]]
+
+
 def q36_training_view(sf_dir: str) -> pd.DataFrame:
     """Denormalized (noisy, clean, augmented) training triples — the J1
     join kept as one wide table (non-SQL; rows-only)."""
@@ -1080,6 +1104,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q38_native_hash_join": q38_native_hash_join,
     "q39_user_event_seq": q39_user_event_seq,
     "q40_hopping_windows": q40_hopping_windows,
+    "q41_hll_distinct_users": q41_hll_distinct_users,
 }
 
 ORACLE_SQL: dict[str, str] = {
