@@ -61,7 +61,7 @@ def extract_pages(
     ds: ray.data.Dataset,
     *,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int | None = 128,
+    batch_size: int | None = 512,
     size_split: bool = False,
     size_split_threshold: int = SIZE_SPLIT_THRESHOLD,
     dedup_buckets: int | None = None,
@@ -295,7 +295,7 @@ def extraction_pipeline(
     *,
     dedup: bool = True,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int | None = 128,
+    batch_size: int | None = 512,
     size_split: bool = False,
     dedup_mode: str = "prefilter",
 ) -> ray.data.Dataset:
@@ -347,7 +347,7 @@ def run_partitioned_extraction(
     num_partitions: int = 16,
     dedup: bool = True,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int | None = 128,
+    batch_size: int | None = 512,
     on_partition_done=None,
 ) -> dict:
     """Extraction with per-partition manifests; resumable after a kill.
@@ -441,7 +441,7 @@ def incremental_pass(
     files_per_partition: int = 4,
     dedup: bool = True,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int | None = 128,
+    batch_size: int | None = 512,
 ) -> dict:
     """One incremental scan: process input files not yet covered by any
     committed partition (the reference's daemon-pass semantics,
