@@ -85,8 +85,11 @@ def _cmd_metrics(args: argparse.Namespace) -> int:
     from .pipelines.metrics import extraction_metrics
     from .state.manifest import RunManifest
 
+    from .functions.util import humanize_bytes
+
     lineage = RunManifest(args.input).metrics()
     agg = extraction_metrics(read_extracted(args.input))
+    lineage["bytes_human"] = humanize_bytes(lineage.get("bytes", 0))
     print(json.dumps({"lineage": lineage, "aggregate": agg}))
     return 0
 

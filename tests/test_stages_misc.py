@@ -126,3 +126,11 @@ def test_sample_frames_stride_and_cap(ray_session):
     # determinism of the seeded cap
     out2 = sample_frames(ds, stride=2, max_per_group=5).to_pandas()
     assert sorted(out["frame_idx"]) == sorted(out2["frame_idx"])
+
+
+def test_humanize_bytes():
+    from ocr_dataset_builder_ray.functions.util import humanize_bytes
+
+    assert humanize_bytes(512) == "512 B"
+    assert humanize_bytes(2048) == "2.0 KB"
+    assert humanize_bytes(5 * 1024**3) == "5.0 GB"
