@@ -7,22 +7,31 @@ ProcessPoolExecutor-per-directory plan becomes a streaming
 (state/manifest.py); the per-frame OCR map becomes the DOM extractor
 actor pool (stages/extract.py).
 
-Dataflow (SURVEY.md §7.0)::
+Dataflow (SURVEY.md §7.0 as evolved; §8 records the deltas)::
 
-    read_parquet(pages files)                 # columns pruned to the 3 used
-      └─ map_batches(ExtractPages, pyarrow, actor pool)   # per-doc kernel
-           └─ groupby(url) → latest-capture dedup + span sort   # D2/O2 shuffle
-                └─ write parquet partitioned by url-hash bucket + manifest
+    plan_dedup_winners(files)                 # skinny (url, warc_ts) scan:
+                                              # per-url winners, no payload read
+    read_parquet(pages files, columns pruned)
+      └─ filter_to_winners                    # broadcast keys sized by the
+                                              # DUPLICATED-url count only
+      └─ map_batches(ExtractPages, pyarrow, fixed actor pool)
+                                              # per-doc kernel; spans assembled
+                                              # in-actor when no exchange follows
+      └─ [groupby(url_bucket) dedup]          # ONLY for ambiguous same-url-
+                                              # same-ts ties (content tie-break);
+                                              # spans travel as flat lists here
+      └─ write part={pid}/ parquet + manifest row (resumable)
+
+The losing recaptures are dropped before extraction, so the payload
+never crosses an all-to-all — at 10^12-document scale that is the
+difference between shuffling ~corpus bytes and shuffling nothing.
 
 Skew handling: blocks are byte-bounded (``target_max_block_size``), so
 a handful of multi-hundred-KB html blobs yields small-row-count blocks
-automatically; additionally ``split_by_size`` routes oversized blobs
+automatically; additionally ``size_split=True`` routes oversized blobs
 (>`size_split_threshold`) through a ``batch_size=1`` actor path so one
 giant document never stalls a wide batch (north_rule "skew-aware split
-of oversized HTML blobs"). The extraction stage drops ``html`` before
-the dedup shuffle, so the all-to-all exchange moves extracted text
-only — at 10^12-document scale that is the difference between
-shuffling ~raw-corpus bytes and ~clean-text bytes (5-20x smaller).
+of oversized HTML blobs").
 """
 
 from __future__ import annotations
