@@ -307,8 +307,13 @@ def extraction_pipeline(
     batch_size: int | None = 512,
     size_split: bool = False,
     dedup_mode: str = "prefilter",
+    prefilter=None,
 ) -> ray.data.Dataset:
     """End-to-end flagship Dataset (consume with write/iter/agg).
+
+    ``prefilter``: optional ``pa.Table -> pa.Table`` gate applied right
+    after the read (e.g. the seen-url index filter for cross-pass
+    incremental dedup) — rows it drops are never extracted.
 
     ``dedup_mode="prefilter"`` (default): a skinny ``(url, warc_ts)``
     planning pass picks per-url winners, which are broadcast as a filter
@@ -324,6 +329,8 @@ def extraction_pipeline(
     ``spans: list<struct>`` view in one final vectorized map.
     """
     ds = read_pages(paths)
+    if prefilter is not None:
+        ds = ds.map_batches(prefilter, batch_format="pyarrow")
     if dedup and dedup_mode == "prefilter":
         dup_urls, winner_keys, ambiguous = plan_dedup_winners(paths)
         ds = filter_to_winners(ds, dup_urls, winner_keys, ambiguous)
@@ -418,12 +425,17 @@ def _run_one_partition(
     dedup: bool,
     concurrency,
     batch_size,
+    prefilter=None,
 ) -> None:
     """Run the streaming pipeline over one partition's files and
     atomically publish data + manifest row."""
     t0 = time.monotonic()
     ds = extraction_pipeline(
-        files, dedup=dedup, concurrency=concurrency, batch_size=batch_size
+        files,
+        dedup=dedup,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        prefilter=prefilter,
     )
     tmp = os.path.join(out_dir, f"_tmp-part-{pid:05d}")
     if os.path.isdir(tmp):
@@ -451,6 +463,7 @@ def incremental_pass(
     dedup: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 512,
+    url_index=None,
 ) -> dict:
     """One incremental scan: process input files not yet covered by any
     committed partition (the reference's daemon-pass semantics,
@@ -462,6 +475,14 @@ def incremental_pass(
     ingested on the next scan, failed partitions retry (they were never
     committed), and the output dir remains one coherent partitioned
     dataset.
+
+    ``url_index`` (a ``state.url_index.UrlIndex``) enables CROSS-PASS
+    url dedup: captures of urls already committed by earlier
+    partitions/passes are dropped at the read (first-seen-wins ingest).
+    The index mutates only AFTER each partition's manifest commit, so a
+    crash re-processes the in-flight partition without losing urls;
+    snapshots live in ``<out>/_url_index`` and can always be rebuilt
+    exactly from committed partitions.
     """
     files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
     manifest = RunManifest(out_dir)
@@ -470,17 +491,38 @@ def incremental_pass(
     new_files = [f for f in files if f not in seen]
     next_pid = max(done, default=-1) + 1
     ran = 0
+
+    prefilter = None
+    if url_index is not None:
+        from ..functions.hashing import stable_hash64_array
+
+        def prefilter(t: pa.Table) -> pa.Table:  # noqa: F811
+            hashes = stable_hash64_array(t["url"].to_pylist())
+            return t.filter(pa.array(url_index.check_new(hashes)))
+
     for i in range(0, len(new_files), files_per_partition):
         chunk = new_files[i : i + files_per_partition]
+        pid = next_pid + ran
         _run_one_partition(
             manifest,
-            next_pid + ran,
+            pid,
             chunk,
             out_dir,
             dedup=dedup,
             concurrency=concurrency,
             batch_size=batch_size,
+            prefilter=prefilter,
         )
+        if url_index is not None:
+            # commit-then-mark: read back the committed partition's
+            # url hashes, add to the index, snapshot
+            part_files = sorted(
+                glob.glob(os.path.join(out_dir, f"part={pid:05d}", "*.parquet"))
+            )
+            for f in part_files:
+                col = pa.parquet.read_table(f, columns=["url_hash"])["url_hash"]
+                url_index.add(col.to_numpy(zero_copy_only=False))
+            url_index.save(os.path.join(out_dir, "_url_index"))
         ran += 1
     summary = manifest.metrics()
     summary["new_files"] = len(new_files)
