@@ -54,7 +54,19 @@ def _cmd_extract(args: argparse.Namespace) -> int:
 
 def _cmd_daemon(args: argparse.Namespace) -> int:
     _ensure_ray()
+    import os
+
     from .pipelines.extraction import run_daemon
+
+    url_index = None
+    if args.cross_pass_dedup:
+        from .state.url_index import UrlIndex
+
+        url_index = UrlIndex()
+        # resume the membership state: snapshot if present, else exact
+        # rebuild from whatever partitions are already committed
+        if not url_index.load(os.path.join(args.output, "_url_index")):
+            url_index.rebuild_from_run(args.output)
 
     results = run_daemon(
         args.input,
@@ -63,6 +75,7 @@ def _cmd_daemon(args: argparse.Namespace) -> int:
         max_passes=args.max_passes,
         files_per_partition=args.files_per_partition,
         dedup=not args.no_dedup,
+        url_index=url_index,
     )
     print(json.dumps(results))
     return 0
@@ -122,6 +135,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--max-passes", type=int, default=None)
     d.add_argument("--files-per-partition", type=int, default=4)
     d.add_argument("--no-dedup", action="store_true")
+    d.add_argument(
+        "--cross-pass-dedup",
+        action="store_true",
+        help="first-seen-wins url dedup across passes (seen-url index actors)",
+    )
     d.set_defaults(fn=_cmd_daemon)
 
     x = sub.add_parser("export", help="project a completed run")
