@@ -291,7 +291,7 @@ def dedup_latest(
             b = (
                 pc.bit_wise_and(h, pa.scalar(mask, pa.uint64()))
                 if mask is not None
-                else pc.mod(h, pa.scalar(n_buckets, pa.uint64()))
+                else pc.subtract(h, pc.multiply(pc.divide(h, pa.scalar(n_buckets, pa.uint64())), pa.scalar(n_buckets, pa.uint64())))
             )
             return t.append_column("url_bucket", pc.cast(b, pa.int64()))
 
@@ -583,7 +583,7 @@ def repartition_by_url_hash(
         b = (
             pc.bit_wise_and(h, pa.scalar(n_buckets - 1, pa.uint64()))
             if (n_buckets & (n_buckets - 1)) == 0
-            else pc.mod(h, pa.scalar(n_buckets, pa.uint64()))
+            else pc.subtract(h, pc.multiply(pc.divide(h, pa.scalar(n_buckets, pa.uint64())), pa.scalar(n_buckets, pa.uint64())))
         )
         return t.append_column("url_bucket", pc.cast(b, pa.int64()))
 

@@ -15,7 +15,9 @@ import re
 
 import pyarrow as pa
 
-from ..functions.hashing import md5_hex, stable_hash64
+from hashlib import md5 as _md5
+
+from ..functions.hashing import md5_hex, stable_hash64  # noqa: F401 (md5_hex: public seam)
 from ..functions.html_extract import extract_document
 from ..functions.layout_extract import FAKE_PDF_MAGIC, PDF_MAGIC, extract_pdf_document
 
@@ -52,6 +54,7 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("n_spans", pa.int64()),
         pa.field("n_tokens", pa.int64()),
         pa.field("content_hash", pa.string()),
+        pa.field("content_hash64", pa.uint64()),  # first 8 md5 bytes (cheap numeric digest)
         pa.field("html_bytes", pa.int64()),
         pa.field("url_hash", pa.uint64()),
     ]
@@ -83,6 +86,7 @@ EXTRACTED_FLAT_SCHEMA = pa.schema(
         pa.field("n_spans", pa.int64()),
         pa.field("n_tokens", pa.int64()),
         pa.field("content_hash", pa.string()),
+        pa.field("content_hash64", pa.uint64()),
         pa.field("html_bytes", pa.int64()),
         pa.field("url_hash", pa.uint64()),
     ]
@@ -170,6 +174,7 @@ class ExtractPages:
         n_spans: list[int] = []
         n_tokens: list[int] = []
         hashes: list[str] = []
+        hashes64: list[int] = []
         html_bytes: list[int] = []
         url_hashes: list[int] = []
         # flattened span fields + shared offsets (columnar from the start)
@@ -195,7 +200,9 @@ class ExtractPages:
             n_chars.append(res["n_chars"])
             n_spans.append(res["n_spans"])
             n_tokens.append(len(self._tokenizer(lang).findall(text)) if text else 0)
-            hashes.append(md5_hex(text))
+            md = _md5(text.encode())
+            hashes.append(md.hexdigest())
+            hashes64.append(int.from_bytes(md.digest()[:8], "big"))
             html_bytes.append(len(html) if html is not None else 0)
             url_hashes.append(stable_hash64(url))
 
@@ -216,6 +223,7 @@ class ExtractPages:
                 pa.array(n_spans, type=pa.int64()),
                 pa.array(n_tokens, type=pa.int64()),
                 pa.array(hashes, type=pa.string()),
+                pa.array(hashes64, type=pa.uint64()),
                 pa.array(html_bytes, type=pa.int64()),
                 pa.array(url_hashes, type=pa.uint64()),
             ],
@@ -228,7 +236,7 @@ class ExtractPages:
             b = (
                 pa.compute.bit_wise_and(h, pa.scalar(n - 1, pa.uint64()))
                 if (n & (n - 1)) == 0
-                else pa.compute.mod(h, pa.scalar(n, pa.uint64()))
+                else pa.compute.subtract(h, pa.compute.multiply(pa.compute.divide(h, pa.scalar(n, pa.uint64())), pa.scalar(n, pa.uint64())))
             )
             out = out.append_column("url_bucket", pa.compute.cast(b, pa.int64()))
         if self._emit == "struct":
