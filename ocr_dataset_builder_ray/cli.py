@@ -63,10 +63,11 @@ def _cmd_daemon(args: argparse.Namespace) -> int:
         from .state.url_index import UrlIndex
 
         url_index = UrlIndex()
-        # resume the membership state: snapshot if present, else exact
-        # rebuild from whatever partitions are already committed
-        if not url_index.load(os.path.join(args.output, "_url_index")):
-            url_index.rebuild_from_run(args.output)
+        # resume the membership state: snapshot + manifest reconciliation
+        # (a snapshot can be BEHIND the manifests after a crash between
+        # partition commit and index save — replay the gap, add() is
+        # idempotent)
+        url_index.resume_from_run(args.output)
 
     results = run_daemon(
         args.input,

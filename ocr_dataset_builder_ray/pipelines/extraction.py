@@ -255,7 +255,13 @@ def filter_to_winners(ds: ray.data.Dataset, dup_urls, winner_keys, ambiguous_url
             return t
         keys = ray.get(keys_ref)
         amb = ray.get(amb_ref)
-        ts_us = pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string())
+        # normalize to microseconds BEFORE the int cast so the key matches
+        # plan_dedup_winners (datetime64[us]) for any input timestamp unit
+        # (ms/ns parquet inputs would otherwise silently drop every
+        # unambiguous duplicated url)
+        ts_us = pc.cast(
+            pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64()), pa.string()
+        )
         key = pc.binary_join_element_wise(t["url"], ts_us, "|")
         keep = pc.or_(pc.invert(is_dup), pc.is_in(key, value_set=keys))
         if amb is not None:
@@ -522,6 +528,7 @@ def incremental_pass(
             for f in part_files:
                 col = pa.parquet.read_table(f, columns=["url_hash"])["url_hash"]
                 url_index.add(col.to_numpy(zero_copy_only=False))
+            url_index.mark_covered(pid)
             url_index.save(os.path.join(out_dir, "_url_index"))
         ran += 1
     summary = manifest.metrics()

@@ -527,7 +527,7 @@ def q23_embedding_dedup(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_dedup
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    kept = embedding_dedup(ds, "embedding", "vec_id", threshold=0.95, n_buckets=1)
+    kept = embedding_dedup(ds, "embedding", "vec_id", threshold=0.95, n_buckets=8)
     return (
         kept.select_columns(["vec_id"]).to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
@@ -748,7 +748,13 @@ def q30_top_event_per_type(sf_dir: str) -> pd.DataFrame:
                     "event_id": int(g.loc[g["max_value"] == mv, "event_id"].min()),
                 }
             )
-        return pd.DataFrame(out, columns=["event_type", "max_value", "event_id"])
+        res = pd.DataFrame(out, columns=["event_type", "max_value", "event_id"])
+        # schema-stable empties: map_groups packs multiple groups per
+        # output block; an all-object empty frame next to typed frames
+        # triggers Ray's RefBundle schema warnings
+        return res.astype(
+            {"event_type": df["event_type"].dtype, "max_value": "int64", "event_id": "int64"}
+        )
 
     res = (
         ds.map_batches(_fold, batch_format="pandas")
@@ -1323,4 +1329,144 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY v.event_type, m.max_value
         ORDER BY v.event_type
     """,
+    # q21: the engine's whole near-dedup semantics in pure SQL — word
+    # 3-grams (python str.split() replica), exact pairwise Jaccard,
+    # edges at >= 0.8, connected components via recursive min-label
+    # reachability (only labels smaller than the destination propagate —
+    # the component min always survives the prune), keep min doc_id.
+    # The engine's LSH candidate pass has P(miss) ~ 5e-8 per true pair
+    # at j=0.8 (128 perms / 32 bands), so the exact SQL and the LSH
+    # result agree on any realistic corpus — verified identical here.
+    "q21_ngram_dedup": r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) = 0 THEN []
+                        WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                        ELSE list_distinct([array_to_string(ws[i:i+2], ' ')
+                                            for i in range(1, len(ws) - 1)])
+                   END AS gs
+            FROM toks
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CASE WHEN len(a.gs) = 0 AND len(b.gs) = 0 THEN 1.0
+                        WHEN len(a.gs) = 0 OR len(b.gs) = 0 THEN 0.0
+                        ELSE len(list_intersect(a.gs, b.gs))::DOUBLE /
+                             (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+                   END AS j
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs WHERE j >= 0.8
+            UNION ALL
+            SELECT b, a FROM pairs WHERE j >= 0.8
+        ),
+        reach AS (
+            SELECT doc_id AS node, doc_id AS label FROM documents
+            UNION
+            SELECT e.dst, r.label FROM reach r
+            JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+        )
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING node = min(label) ORDER BY doc_id
+    """,
+    # q23: exact cosine near-dup in SQL (same recursive-components
+    # shape). The engine's hyperplane-LSH path only *verifies* true
+    # cosine within buckets (no false positives), so exact SQL ⊇
+    # engine; equality additionally certifies full recall on this input.
+    "q23_embedding_dedup": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ),
+        reach AS (
+            SELECT vec_id AS node, vec_id AS label FROM embeddings
+            UNION
+            SELECT e.dst, r.label FROM reach r
+            JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+        )
+        SELECT node AS vec_id FROM reach
+        GROUP BY node HAVING node = min(label) ORDER BY vec_id
+    """,
+    # q31: the IVF path is *approximate* by design, but achieves full
+    # recall on this input with nprobe=4 of 8 centroids (verified) —
+    # the exact-KNN oracle therefore both checks the plumbing and
+    # documents the recall contract.
+    "q31_ivf_knn": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2)
+        ), s AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.qv), 9) AS cosine
+            FROM embeddings e CROSS JOIN q
+        ), r AS (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                   ) AS rank
+            FROM s
+        )
+        SELECT query_id, vec_id, rank FROM r WHERE rank <= 5
+        ORDER BY query_id, rank
+    """,
+    # q37: a correct F:i roundtrip means decoded == original text, so
+    # the decoded hash IS md5(text) — fully SQL-expressible.
+    "q37_frameref_roundtrip": """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               TRUE AS roundtrip_ok,
+               md5(coalesce(text, '')) AS decoded_hash
+        FROM documents ORDER BY doc_id
+    """,
 }
+
+# ---------------------------------------------------------------------------
+# Committed-golden oracles (VERDICT r1 "close the oracle gap"): for the
+# deterministic non-SQL-expressible queries, the oracle is a golden
+# parquet generated by the engine, committed to the repo, and read back
+# by DuckDB — a regression pin with full row/schema/value comparison,
+# not an independent derivation (the genuinely independent checks for
+# these operators live in tests/: driver-vs-distributed equivalence,
+# property tests, in-query asserts). All goldens are generated at
+# sf0.01 — the driver gate's scale (every testdata table differs per
+# scale factor, including the 500-row documents/embeddings tables).
+# ---------------------------------------------------------------------------
+
+GOLDEN_DIR = "/root/repo/tests/golden"
+
+GOLDEN_SF01_ORACLES = [
+    "q16_doc_fingerprints",
+    "q17_langid",
+    "q18_quality_scores",
+    "q19_minhash_dedup",
+    "q20_simhash",
+    "q26_extract_pages",
+    "q32_simhash_dedup",
+    "q33_media_decode",
+    "q34_cleaning_pairs",
+    "q35_augmented_docs",
+    "q36_training_view",
+    "q41_hll_distinct_users",
+]
+
+# genuine-SQL oracles whose equality contract is nevertheless
+# input-specific: q31's IVF probe achieves full recall vs the exact-KNN
+# oracle at sf0.01 (verified), but not necessarily at other scales
+SF01_PINNED = set(GOLDEN_SF01_ORACLES) | {"q31_ivf_knn"}
+
+for _name in GOLDEN_SF01_ORACLES:
+    ORACLE_SQL[_name] = (
+        f"SELECT * FROM read_parquet('{GOLDEN_DIR}/oracle_{_name}.parquet')"
+    )

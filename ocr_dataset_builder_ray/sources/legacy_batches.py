@@ -61,7 +61,15 @@ def _video_dirs(root: str) -> list[str]:
 
 def read_legacy_tesseract(root: str) -> ray.data.Dataset:
     """``tesseract_ocr.json`` trees → (video_id, frame_name, frame_idx,
-    ocr_text) rows. Sentinel values ride along as data (M5)."""
+    frame_number, ocr_text) rows. Sentinel values ride along as data (M5).
+
+    ``frame_idx`` is the POSITIONAL index (rank within the sorted frame
+    list per video) — the reference aligns LLM outputs positionally with
+    the sorted frame file list, so this is the join key that stays
+    correct when second marks are not consecutive from 0 (target_fps !=
+    1, or frames skipped during extraction). The second mark parsed from
+    the filename (M7 regex) is kept as the informational
+    ``frame_number`` column."""
     dirs = _video_dirs(root)
 
     def _load(df: pd.DataFrame) -> pd.DataFrame:
@@ -74,17 +82,19 @@ def read_legacy_tesseract(root: str) -> ray.data.Dataset:
                 data = json.load(open(path))
             except json.JSONDecodeError:
                 continue
-            for name in sorted(data):
+            for pos, name in enumerate(sorted(data)):
                 out.append(
                     {
                         "video_id": vid,
                         "frame_name": name,
-                        "frame_idx": extract_frame_number(name),
+                        "frame_idx": pos,
+                        "frame_number": extract_frame_number(name),
                         "ocr_text": data[name],
                     }
                 )
         return pd.DataFrame(
-            out, columns=["video_id", "frame_name", "frame_idx", "ocr_text"]
+            out,
+            columns=["video_id", "frame_name", "frame_idx", "frame_number", "ocr_text"],
         )
 
     return ray.data.from_items([{"video_id": d} for d in dirs]).map_batches(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Sum
@@ -70,6 +71,7 @@ def min_label_components(
         )
     edges = edges.materialize()  # small relative to nodes; reused every round
 
+    n_changed = 0
     for _ in range(max_rounds):
         lab_rows = labels.map_batches(
             lambda t: pa.table(
@@ -84,17 +86,27 @@ def min_label_components(
             batch_format="pyarrow",
         )
 
-        def _messages(g: pd.DataFrame) -> pd.DataFrame:
-            lab = g["label"].dropna()
-            peers = g["peer"].dropna()
-            if lab.empty or peers.empty:  # node with no label row or no edges
-                return pd.DataFrame({"node": peers[:0], "cand": peers[:0]})
-            return pd.DataFrame({"node": peers, "cand": lab.min()})
+        def _messages(g: pa.Table) -> pa.Table:
+            # pyarrow group fns keep int64-with-nulls intact (pandas
+            # would coerce to float64 → schema-unstable RefBundles)
+            lab = g["label"].drop_null()
+            peers = g["peer"].drop_null()
+            if len(lab) == 0 or len(peers) == 0:  # no label row / no edges
+                return pa.table(
+                    {"node": peers.slice(0, 0), "cand": lab.slice(0, 0)}
+                )
+            m = pc.min(lab).as_py()
+            return pa.table(
+                {
+                    "node": peers,
+                    "cand": pa.array([m] * len(peers), type=lab.type),
+                }
+            )
 
         msgs = (
             lab_rows.union(edge_rows)
             .groupby("key")
-            .map_groups(_messages, batch_format="pandas")
+            .map_groups(_messages, batch_format="pyarrow")
         )
 
         self_rows = labels.map_batches(
@@ -118,23 +130,38 @@ def min_label_components(
             batch_format="pyarrow",
         )
 
-        def _update(g: pd.DataFrame) -> pd.DataFrame:
-            old = g.loc[g["is_self"], "cand"].min()
-            new = g["cand"].min()
-            return pd.DataFrame(
-                {"node": [g["node"].iloc[0]], "label": [new], "changed": [int(new != old)]}
+        def _update(g: pa.Table) -> pa.Table:
+            old = pc.min(g["cand"].filter(g["is_self"])).as_py()
+            new = pc.min(g["cand"]).as_py()
+            return pa.table(
+                {
+                    "node": g["node"].slice(0, 1),
+                    "label": pa.array([new], type=g["cand"].type),
+                    "changed": pa.array([int(new != old)], type=pa.int64()),
+                }
             )
 
         updated = (
             self_rows.union(msg_rows)
             .groupby("node")
-            .map_groups(_update, batch_format="pandas")
+            .map_groups(_update, batch_format="pyarrow")
             .materialize()
         )
         n_changed = updated.aggregate(Sum("changed", alias_name="n"))["n"]
         labels = updated.drop_columns(["changed"])
         if not n_changed:
             break
+    if n_changed:
+        # Unconverged labels can split one cluster into several
+        # representatives — surface it instead of silently returning.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "min_label_components: not converged after %d rounds "
+            "(%d labels still changing); raise max_rounds",
+            max_rounds,
+            n_changed,
+        )
 
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "component": t["label"]}),

@@ -4,7 +4,7 @@ The reference's only dedup is key-level work-list dedup plus the F:i
 repeated-content encoding (SURVEY.md §2.8); a 100 TB training-data
 engine needs content dedup as a first-class operator family:
 
-* ``exact_dedup``      — md5(content) hash-partition → per-group min-key
+* ``exact_dedup``      — skinny (md5, key) shuffle → loser drop-set
 * ``minhash_lsh_dedup``— shingle → MinHash → LSH band groupby → verified
                          Jaccard pairs → connected components
 * ``simhash_dedup``    — 64-bit SimHash, banded candidate generation,
@@ -13,18 +13,26 @@ engine needs content dedup as a first-class operator family:
                          pairs (the verifier; also standalone on small inputs)
 * ``embedding_dedup``  — cosine near-dup over an embedding column
 
-Scale notes (10^12-doc design):
-- candidate generation is always a `map_batches` (partial, per-batch)
+Scale invariants (10^12-doc design):
+- candidate generation is always a ``map_batches`` (partial, per-batch)
   followed by ONE groupby on the bucket key — no pairwise all-to-all;
-- signatures are emitted as fixed-width binary columns so the shuffle
-  moves sketches, not documents;
-- component resolution uses min-label propagation semantics; the
-  driver-side union-find here is bounded by the candidate-pair count
-  (post-LSH, a tiny fraction of rows) and is flagged for promotion to
-  an iterative groupby loop when pairs no longer fit the driver.
+- the only things that ever reach the driver / broadcast path are
+  *duplicate-proportional*: verified pairs, candidate keys, and the
+  final drop-set. Keys that collide with nothing cost nothing — there
+  is no all-keys materialization anywhere in this module;
+- survivors are produced by FILTERING the input dataset with a
+  broadcast drop-set (``pc.is_in`` + invert), so the document payload
+  never crosses an all-to-all;
+- cluster resolution has two interchangeable engines
+  (``resolve_drop_keys``): driver union-find over the pair list
+  (bounded by verified-duplicate volume) and distributed min-label
+  propagation (stages/components.py) for when even the pair list
+  outgrows the driver. Identical representatives either way.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -44,6 +52,107 @@ from ..functions.hashing import (
     word_ngrams,
 )
 
+logger = logging.getLogger(__name__)
+
+
+# --- shared: pairs -> drop-set -> filter ------------------------------------
+
+
+def _concat(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def resolve_drop_keys(
+    pairs_ds: ray.data.Dataset,
+    *,
+    components: str = "driver",
+    max_rounds: int = 10,
+) -> pa.Array:
+    """Verified duplicate pairs ``(a, b)`` → Array of keys to DROP.
+
+    A key to drop is any pair-touched key that is not its cluster's
+    min-key representative. Keys appearing in no pair are trivially
+    representatives and never enter this computation, so both the
+    intermediate state and the returned array are bounded by duplicate
+    volume, not corpus size (the round-1 all-keys ``take_all`` is gone).
+
+    ``components="driver"``: union-find over the pair list
+    (``take_all`` of PAIRS — fine while verified duplicates fit the
+    driver). ``components="distributed"``: min-label propagation over
+    pair-touched nodes only (stages/components.py); only the final
+    drop-set is collected. Byte-identical output either way.
+    """
+    if components == "distributed":
+        from .components import min_label_components
+
+        def _nodes(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])}
+            )
+
+        nodes = (
+            pairs_ds.map_batches(_nodes, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(lambda t: t.take([0]), batch_format="pyarrow")
+        )
+        labels = min_label_components(
+            pairs_ds, nodes, node_col="key", max_rounds=max_rounds
+        )
+        drop = labels.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["node"], t["component"]))),
+            batch_format="pyarrow",
+        )
+        # duplicate-proportional collect: only non-representative members
+        df = drop.select_columns(["node"]).to_pandas()
+        if "node" not in df.columns:  # empty dataset loses its schema
+            return pa.array([])
+        return pa.array(df["node"])
+
+    # driver path: union-find over pairs only
+    pairs = pairs_ds.take_all()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # min key becomes the root → deterministic reps
+
+    return pa.array(sorted(k for k in parent if find(k) != k))
+
+
+def drop_keys_filter(
+    ds: ray.data.Dataset, key_col: str, drop_keys: pa.Array
+) -> ray.data.Dataset:
+    """Survivors = input minus a broadcast drop-set (no payload shuffle)."""
+    if len(drop_keys) == 0:
+        return ds
+    drop_ref = ray.put(drop_keys)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t[key_col], value_set=ray.get(drop_ref)))
+        )
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """One row per (a, b) — removes the multi-band repeats before any
+    per-pair work. Skinny shuffle over candidate pairs only."""
+    return pairs_ds.groupby(["a", "b"]).map_groups(
+        lambda t: t.take([0]), batch_format="pyarrow"
+    )
+
+
 # --- exact dedup -----------------------------------------------------------
 
 
@@ -62,16 +171,35 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Keep, per distinct ``text_col`` value, the row with min ``key_col``.
 
-    Hash-partition on md5(text) then per-group first — deterministic at
-    any parallelism. DuckDB oracle: GROUP BY md5(text) + min(key) join.
+    Skinny-shuffle form: the groupby exchange carries ONLY
+    ``(content_hash, key)`` — never the document payload. Each hash
+    group emits its LOSERS (all but the min key; singleton hashes emit
+    nothing), so the collected/broadcast set is bounded by duplicate
+    volume; survivors are a broadcast filter over the original stream.
+    Deterministic at any parallelism. DuckDB oracle: GROUP BY
+    md5(text) + min(key) join.
     """
-    hashed = add_content_hash(ds, text_col)
 
-    def _first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(key_col, "ascending")])
-        return group.take(idx[:1]).drop_columns(["content_hash"])
+    def _skinny(t: pa.Table) -> pa.Table:
+        hashes = [md5_hex(v if v is not None else "") for v in t[text_col].to_pylist()]
+        return pa.table(
+            {"content_hash": pa.array(hashes, type=pa.string()), "key": t[key_col]}
+        )
 
-    return hashed.groupby("content_hash").map_groups(_first, batch_format="pyarrow")
+    def _losers(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return group.select(["key"]).slice(0, 0)
+        idx = pc.sort_indices(group, sort_keys=[("key", "ascending")])
+        return group.take(idx[1:]).select(["key"])
+
+    losers = (
+        ds.map_batches(_skinny, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(_losers, batch_format="pyarrow")
+    )
+    ldf = losers.to_pandas()
+    drop = pa.array(ldf["key"]) if "key" in ldf.columns else pa.array([])
+    return drop_keys_filter(ds, key_col, drop)
 
 
 # --- minhash + LSH ---------------------------------------------------------
@@ -113,37 +241,12 @@ class MinHashStage:
                 sigs.append(blob)
         return pa.table(
             {
-                "key": pa.array(keys),
+                "key": pa.array(keys, type=batch[self.key_col].type),
                 "band_id": pa.array(band_ids, type=pa.int32()),
                 "band_hash": pa.array(band_hashes, type=pa.uint64()),
                 "signature": pa.array(sigs, type=pa.binary()),
             }
         )
-
-
-def _components_from_pairs(pairs: list[tuple], keys: list) -> dict:
-    """Union-find → {key: representative(min key)}. Driver-side; bounded
-    by the verified-pair count (see module docstring scale note)."""
-    parent: dict = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # keep the smaller key as root for deterministic representatives
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-
-    for a, b in pairs:
-        union(a, b)
-    return {k: find(k) for k in keys}
 
 
 def minhash_lsh_dedup(
@@ -155,20 +258,18 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
-    components: str = "driver",
+    components: str = "distributed",
 ) -> ray.data.Dataset:
     """Near-dup removal: keep one representative (min key) per MinHash
     cluster at estimated Jaccard ≥ ``threshold``.
 
     shingle→minhash→band→bucket-groupby per the standard LSH recipe;
-    signature-estimated Jaccard verifies candidates before clustering.
-
-    ``components="driver"`` resolves clusters with union-find on the
-    driver (bounded by the verified-pair count); ``"distributed"``
-    runs min-label propagation (stages/components.py) so no pair list
-    ever materializes on the driver — the scale path when duplicate
-    volume outgrows driver memory. Identical representatives either
-    way (min key per component).
+    signature-estimated Jaccard verifies candidates in-bucket before
+    clustering. Cluster resolution and the survivor filter follow the
+    drop-set pattern (``resolve_drop_keys`` / ``drop_keys_filter``) —
+    distributed min-label components by default, so no pair list or key
+    list ever materializes on the driver; only the duplicate-bounded
+    drop-set is broadcast.
     """
     band_rows = ds.map_batches(
         MinHashStage,
@@ -184,55 +285,27 @@ def minhash_lsh_dedup(
     )
 
     def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = group["key"].iloc[:0]
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "sim": []})
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
         rows = group.sort_values("key").drop_duplicates("key")
         ks = rows["key"].tolist()
         sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]]
-        out_a, out_b, out_s = [], [], []
+        out_a, out_b = [], []
         for i in range(len(ks)):
             for j in range(i + 1, len(ks)):
-                sim = float(np.mean(sigs[i] == sigs[j]))
-                if sim >= threshold:
+                if float(np.mean(sigs[i] == sigs[j])) >= threshold:
                     out_a.append(ks[i])
                     out_b.append(ks[j])
-                    out_s.append(sim)
-        return pd.DataFrame({"a": out_a, "b": out_b, "sim": out_s})
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=empty.dtype), "b": pd.Series(out_b, dtype=empty.dtype)}
+        )
 
     pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
-
-    if components == "distributed":
-        from .components import min_label_components
-
-        labels = min_label_components(
-            pairs_ds, ds.select_columns([key_col]), node_col=key_col
-        )
-        reps = labels.map_batches(
-            lambda t: t.filter(pc.equal(t["node"], t["component"])),
-            batch_format="pyarrow",
-        )
-        keep_keys = pa.array(reps.select_columns(["node"]).to_pandas()["node"])
-        keep_ref = ray.put(keep_keys)
-
-        def _filter_dist(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t[key_col], value_set=ray.get(keep_ref)))
-
-        return ds.map_batches(_filter_dist, batch_format="pyarrow")
-
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    all_keys = [r[key_col] for r in ds.select_columns([key_col]).take_all()]
-    rep = _components_from_pairs(pairs, all_keys)
-    keep = {k for k, root in rep.items() if k == root}
-    keep_ref = ray.put(keep)
-
-    def _filter(t: pa.Table) -> pa.Table:
-        keep_set = ray.get(keep_ref)
-        mask = [k in keep_set for k in t[key_col].to_pylist()]
-        return t.filter(pa.array(mask))
-
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    drop = resolve_drop_keys(pairs_ds, components=components)
+    return drop_keys_filter(ds, key_col, drop)
 
 
 # --- simhash ---------------------------------------------------------------
@@ -257,12 +330,14 @@ def simhash_dedup(
     *,
     max_hamming: int = 3,
     bands: int = 4,
+    components: str = "driver",
 ) -> ray.data.Dataset:
     """Near-dup removal by 64-bit SimHash with banded candidates.
 
     By pigeonhole, two hashes within Hamming distance < ``bands`` share
-    at least one of ``bands`` 16-bit bands — groupby those band values,
-    verify true Hamming distance, cluster, keep min key.
+    at least one of ``bands`` 16-bit bands — groupby those band values
+    (8-byte hash per band row; no payload fan-out), verify true Hamming
+    distance in-bucket, then drop-set resolution + broadcast filter.
     """
     hashed = add_simhash(ds, text_col)
     width = 64 // bands
@@ -278,7 +353,7 @@ def simhash_dedup(
                 full.append(h)
         return pa.table(
             {
-                "key": pa.array(keys),
+                "key": pa.array(keys, type=t[key_col].type),
                 "band_id": pa.array(bids, type=pa.int32()),
                 "band_val": pa.array(bvals, type=pa.uint64()),
                 "simhash": pa.array(full, type=pa.uint64()),
@@ -286,8 +361,9 @@ def simhash_dedup(
         )
 
     def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = group["key"].iloc[:0]
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
         rows = group.sort_values("key").drop_duplicates("key")
         ks, hs = rows["key"].tolist(), rows["simhash"].tolist()
         out_a, out_b = [], []
@@ -296,37 +372,112 @@ def simhash_dedup(
                 if hamming64(int(hs[i]), int(hs[j])) <= max_hamming:
                     out_a.append(ks[i])
                     out_b.append(ks[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=empty.dtype), "b": pd.Series(out_b, dtype=empty.dtype)}
+        )
 
     pairs_ds = (
         hashed.map_batches(_bands, batch_format="pyarrow")
         .groupby(["band_id", "band_val"])
         .map_groups(_verify, batch_format="pandas")
     )
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    keys = [r[key_col] for r in ds.select_columns([key_col]).take_all()]
-    rep = _components_from_pairs(pairs, keys)
-    keep = {k for k, root in rep.items() if k == root}
-    keep_ref = ray.put(keep)
-
-    def _filter(t: pa.Table) -> pa.Table:
-        keep_set = ray.get(keep_ref)
-        return t.filter(pa.array([k in keep_set for k in t[key_col].to_pylist()]))
-
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    drop = resolve_drop_keys(pairs_ds, components=components)
+    return drop_keys_filter(ds, key_col, drop)
 
 
 # --- exact n-gram Jaccard (verifier / small-input standalone) --------------
 
 
-def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    sa, sb = word_ngrams(a or "", n), word_ngrams(b or "", n)
+def ngram_jaccard(a, b, n: int = 3) -> float:
+    """Exact Jaccard over hashed word n-gram sets. Accepts raw text or
+    precomputed uint64 gram arrays (``word_ngrams`` output)."""
+    sa = a if isinstance(a, np.ndarray) else word_ngrams(a or "", n)
+    sb = b if isinstance(b, np.ndarray) else word_ngrams(b or "", n)
     if sa.size == 0 and sb.size == 0:
         return 1.0
     if sa.size == 0 or sb.size == 0:
         return 0.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     return inter / (sa.size + sb.size - inter)
+
+
+def _verify_pairs_with_sigs(
+    pairs_ds: ray.data.Dataset,
+    sigs_ds: ray.data.Dataset,
+    score_fn,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Distributed per-pair verification without shipping documents.
+
+    ``pairs_ds``: distinct candidate ``(a, b)``; ``sigs_ds``:
+    ``(key, sig: list<uint64>)`` for candidate keys only. Co-locates
+    each pair with its two signatures using the join-free union+groupby
+    pattern (same trick as stages/components.py — robust at any
+    partition occupancy):
+
+    1. request rows ``(key=a|b, a, b, sig=null)`` union signature rows
+       ``(key, a=null, b=null, sig)``; groupby ``key`` attaches the
+       key's signature to every pair it participates in — each sig is
+       replicated once per pair, bounded by candidate volume;
+    2. groupby ``(a, b)`` sees exactly two rows and scores them.
+
+    Returns verified pairs ``(a, b)``.
+    """
+
+    def _requests(t: pa.Table) -> pa.Table:
+        a, b = _concat(t["a"]), _concat(t["b"])
+        null_sig = pa.nulls(2 * t.num_rows, pa.list_(pa.uint64()))
+        return pa.table(
+            {
+                "key": pa.concat_arrays([a, b]),
+                "a": pa.concat_arrays([a, a]),
+                "b": pa.concat_arrays([b, b]),
+                "sig": null_sig,
+            }
+        )
+
+    def _sig_rows(t: pa.Table) -> pa.Table:
+        k = _concat(t["key"])
+        return pa.table(
+            {
+                "key": k,
+                "a": pa.nulls(t.num_rows, k.type),
+                "b": pa.nulls(t.num_rows, k.type),
+                "sig": t["sig"],
+            }
+        )
+
+    def _attach(group: pa.Table) -> pa.Table:
+        is_sig = pc.is_valid(group["sig"])
+        sig_rows = group.filter(is_sig)
+        reqs = group.filter(pc.invert(is_sig))
+        if sig_rows.num_rows == 0 or reqs.num_rows == 0:
+            return group.select(["a", "b", "sig"]).slice(0, 0)
+        sig = sig_rows["sig"][0]
+        return pa.table(
+            {
+                "a": reqs["a"],
+                "b": reqs["b"],
+                "sig": pa.array([sig.as_py()] * reqs.num_rows, pa.list_(pa.uint64())),
+            }
+        )
+
+    def _score(group: pa.Table) -> pa.Table:
+        if group.num_rows != 2:  # missing sig — cannot verify
+            return group.select(["a", "b"]).slice(0, 0)
+        s0 = np.asarray(group["sig"][0].as_py(), dtype=np.uint64)
+        s1 = np.asarray(group["sig"][1].as_py(), dtype=np.uint64)
+        if score_fn(s0, s1) >= threshold:
+            return group.select(["a", "b"]).slice(0, 1)
+        return group.select(["a", "b"]).slice(0, 0)
+
+    attached = (
+        pairs_ds.map_batches(_requests, batch_format="pyarrow")
+        .union(sigs_ds.map_batches(_sig_rows, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(_attach, batch_format="pyarrow")
+    )
+    return attached.groupby(["a", "b"]).map_groups(_score, batch_format="pyarrow")
 
 
 def ngram_jaccard_dedup(
@@ -338,74 +489,98 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
+    components: str = "driver",
 ) -> ray.data.Dataset:
     """Near-dup removal with *exact* word-n-gram Jaccard verification.
 
-    Candidates come from MinHash-LSH over word n-grams (wide bands →
-    high recall); each candidate pair is verified with true Jaccard
-    before clustering. Exact pairwise only within LSH buckets — never
-    all-pairs across the dataset.
-    """
+    Two-phase, payload-free (round-2 redesign — round 1 shipped the
+    full text into every band row, band-fanout × document bytes):
 
-    class _NgramMinhash(MinHashStage):
-        def __call__(self, batch: pa.Table) -> pa.Table:  # override shingling
-            keys, band_ids, band_hashes, texts = [], [], [], []
+    1. candidate generation: MinHash over word n-grams → SKINNY band
+       rows ``(key, band_id, band_hash)`` only → bucket groupby →
+       distinct candidate pairs (wide bands → high recall);
+    2. verification: hashed n-gram signature arrays (``word_ngrams``,
+       uint64 — exact Jaccard modulo 64-bit collisions) are computed
+       only for candidate keys (broadcast semi-join on the
+       duplicate-bounded candidate set) and co-located with their
+       pairs via ``_verify_pairs_with_sigs`` — each signature crosses
+       the exchange once per pair, never once per band.
+
+    Exact pairwise only within LSH buckets — never all-pairs across
+    the dataset; survivors via drop-set broadcast filter.
+    """
+    class _NgramBands:
+        def __init__(self) -> None:
+            self.a, self.b = minhash_params(num_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys, band_ids, band_hashes = [], [], []
             for key, text in zip(
-                batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()
+                batch[key_col].to_pylist(), batch[text_col].to_pylist()
             ):
                 sig = minhash_signature(word_ngrams(text or "", n), self.a, self.b)
-                for band_id, band_hash in lsh_band_keys(sig, self.bands):
+                for band_id, band_hash in lsh_band_keys(sig, bands):
                     keys.append(key)
                     band_ids.append(band_id)
                     band_hashes.append(band_hash)
-                    texts.append(text or "")
             return pa.table(
                 {
-                    "key": pa.array(keys),
+                    "key": pa.array(keys, type=batch[key_col].type),
                     "band_id": pa.array(band_ids, type=pa.int32()),
                     "band_hash": pa.array(band_hashes, type=pa.uint64()),
-                    "text": pa.array(texts),
                 }
             )
 
     band_rows = ds.map_batches(
-        _NgramMinhash,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, key_col=key_col, num_perm=num_perm, bands=bands
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        _NgramBands, batch_format="pyarrow", concurrency=(1, 8)
     )
 
-    def _verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        rows = group.sort_values("key").drop_duplicates("key")
-        ks, ts = rows["key"].tolist(), rows["text"].tolist()
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                sim = ngram_jaccard(ts[i], ts[j], n)
-                if sim >= threshold:
-                    out_a.append(ks[i])
-                    out_b.append(ks[j])
-                    out_j.append(sim)
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        keys = pc.unique(group["key"]).sort()
+        m = len(keys)
+        if m < 2:
+            return pa.table({"a": keys.slice(0, 0), "b": keys.slice(0, 0)})
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"a": keys.take(pa.array(ii)), "b": keys.take(pa.array(jj))})
 
-    pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _verify, batch_format="pandas"
+    candidates = _distinct_pairs(
+        band_rows.groupby(["band_id", "band_hash"]).map_groups(
+            _bucket_pairs, batch_format="pyarrow"
+        )
     )
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    keys = [r[key_col] for r in ds.select_columns([key_col]).take_all()]
-    rep = _components_from_pairs(pairs, keys)
-    keep = {k for k, root in rep.items() if k == root}
-    keep_ref = ray.put(keep)
+    candidates = candidates.materialize()  # reused: key set + verification
 
-    def _filter(t: pa.Table) -> pa.Table:
-        keep_set = ray.get(keep_ref)
-        return t.filter(pa.array([k in keep_set for k in t[key_col].to_pylist()]))
+    # candidate keys — duplicate-bounded — broadcast for the sig pass
+    def _keys(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])})
 
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    cand_keys = pa.array(
+        pd.unique(candidates.map_batches(_keys, batch_format="pyarrow").to_pandas()["key"])
+    )
+    if len(cand_keys) == 0:
+        return ds
+    keys_ref = ray.put(cand_keys)
+
+    def _sigs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
+        sigs = [
+            word_ngrams(v or "", n) for v in t[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "key": t[key_col],
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
+
+    def _jaccard(s0: np.ndarray, s1: np.ndarray) -> float:
+        return ngram_jaccard(s0, s1, n)
+
+    verified = _verify_pairs_with_sigs(candidates, sigs_ds, _jaccard, threshold)
+    drop = resolve_drop_keys(verified, components=components)
+    return drop_keys_filter(ds, key_col, drop)
 
 
 # --- embedding cosine near-dup ---------------------------------------------
@@ -419,56 +594,65 @@ def embedding_dedup(
     threshold: float = 0.95,
     n_buckets: int = 8,
     seed: int = 42,
+    components: str = "driver",
 ) -> ray.data.Dataset:
     """Cosine near-dup over an embedding column via random-hyperplane LSH.
 
     Per batch: sign-bucket each vector with ``log2(n_buckets)`` random
     hyperplanes (broadcast, seeded); groupby bucket; within a bucket,
-    vectorized cosine matrix → pairs ≥ threshold; keep min key.
-    Neighbors split across buckets are missed with probability that
-    shrinks as (1 - theta/pi)^planes — the standard SimHash-LSH recall
-    tradeoff; raise n_buckets=1 for exact small-input behavior.
+    vectorized cosine matrix → pairs ≥ threshold; drop-set resolution +
+    broadcast filter keeps min key per cluster. Each vector crosses the
+    bucket shuffle exactly once (no band fan-out). Neighbors split
+    across buckets are missed with probability (1 - theta/pi)^planes —
+    the standard SimHash-LSH recall tradeoff; ``n_buckets=1`` is the
+    exact form for small inputs / recall tests, never the default.
     """
-    planes_n = max(1, int(np.log2(n_buckets)))
+    planes_n = max(1, int(np.log2(n_buckets))) if n_buckets > 1 else 0
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: df[key_col],
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "vec": pd.Series([], dtype=object),
+                }
+            )
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-        planes = np.random.RandomState(seed).standard_normal((mat.shape[1], planes_n))
-        bits = (mat @ planes) >= 0
-        bucket = bits @ (1 << np.arange(planes_n))
+        if planes_n:
+            planes = np.random.RandomState(seed).standard_normal(
+                (mat.shape[1], planes_n)
+            )
+            bucket = ((mat @ planes) >= 0) @ (1 << np.arange(planes_n))
+        else:
+            bucket = np.zeros(len(df), dtype=np.int64)
         out = df[[key_col]].copy()
         out["bucket"] = bucket.astype(np.int64)
         out["vec"] = [v.tobytes() for v in mat]
-        out["dim"] = mat.shape[1]
         return out
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = group[key_col].iloc[:0]
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
         rows = group.sort_values(key_col)
-        mat = np.stack(
-            [np.frombuffer(v, dtype=np.float64) for v in rows["vec"]]
-        )
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in rows["vec"]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (mat / norms) @ (mat / norms).T
-        ks = rows[key_col].tolist()
+        ks = rows[key_col].to_numpy()
         ii, jj = np.where(np.triu(sims, 1) >= threshold)
-        return pd.DataFrame({"a": [ks[i] for i in ii], "b": [ks[j] for j in jj]})
+        return pd.DataFrame(
+            {
+                "a": pd.Series(ks[ii], dtype=empty.dtype),
+                "b": pd.Series(ks[jj], dtype=empty.dtype),
+            }
+        )
 
     pairs_ds = (
         ds.map_batches(_bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pandas")
     )
-    pairs = [(r["a"], r["b"]) for r in pairs_ds.take_all()]
-    keys = [r[key_col] for r in ds.select_columns([key_col]).take_all()]
-    rep = _components_from_pairs(pairs, keys)
-    keep = {k for k, root in rep.items() if k == root}
-    keep_ref = ray.put(keep)
-
-    def _filter(t: pa.Table) -> pa.Table:
-        keep_set = ray.get(keep_ref)
-        return t.filter(pa.array([k in keep_set for k in t[key_col].to_pylist()]))
-
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    drop = resolve_drop_keys(pairs_ds, components=components)
+    return drop_keys_filter(ds, key_col, drop)

@@ -64,6 +64,13 @@ class UrlIndex:
     def __init__(self, n_shards: int = 8) -> None:
         self.n_shards = n_shards
         self._shards = [UrlIndexShard.remote() for _ in range(n_shards)]
+        # partition ids whose url_hash columns this index has absorbed —
+        # persisted with the snapshot so a resume can reconcile against
+        # the manifest (see resume_from_run)
+        self.covered: set[int] = set()
+
+    def mark_covered(self, pid: int) -> None:
+        self.covered.add(int(pid))
 
     # -- routing -----------------------------------------------------------
     def _route(self, hashes: np.ndarray) -> list[np.ndarray]:
@@ -97,25 +104,78 @@ class UrlIndex:
 
     # -- persistence -------------------------------------------------------
     def save(self, index_dir: str) -> None:
+        import json
+
         os.makedirs(index_dir, exist_ok=True)
         snaps = ray.get([sh.snapshot.remote() for sh in self._shards])
         for s, snap in enumerate(snaps):
             tmp = os.path.join(index_dir, f".tmp-shard-{s:03d}.parquet")
             pq.write_table(pa.table({"url_hash": pa.array(snap, pa.uint64())}), tmp)
             os.replace(tmp, os.path.join(index_dir, f"shard-{s:03d}.parquet"))
+        tmp = os.path.join(index_dir, ".tmp-covered.json")
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": self.n_shards, "covered": sorted(self.covered)}, f)
+        os.replace(tmp, os.path.join(index_dir, "covered.json"))
 
     def load(self, index_dir: str) -> bool:
+        """Restore from a snapshot. ``save`` writes exactly one file per
+        shard, so the file count IS the writer's shard count; when it
+        differs from ours, filename-index routing would drop or misroute
+        hashes (``check_new`` routes by ``h % n_shards``) — replay every
+        file through ``add`` instead, which routes correctly for any
+        shard count."""
         files = sorted(glob.glob(os.path.join(index_dir, "shard-*.parquet")))
         if not files:
             return False
-        futs = []
-        for f in files:
-            s = int(os.path.basename(f)[6:9])
-            if s < self.n_shards:
+        if len(files) == self.n_shards:
+            futs = []
+            for f in files:
+                s = int(os.path.basename(f)[6:9])
                 arr = pq.read_table(f)["url_hash"].to_numpy(zero_copy_only=False)
                 futs.append(self._shards[s].load.remote(arr))
-        ray.get(futs)
+            ray.get(futs)
+        else:
+            for f in files:
+                self.add(pq.read_table(f)["url_hash"].to_numpy(zero_copy_only=False))
+        covered_path = os.path.join(index_dir, "covered.json")
+        if os.path.exists(covered_path):
+            import json
+
+            with open(covered_path) as f:
+                self.covered = set(json.load(f).get("covered", []))
         return True
+
+    def resume_from_run(self, out_dir: str, index_dir: str | None = None) -> int:
+        """Crash-safe resume: snapshot (if any) + manifest reconciliation.
+
+        A crash between a partition's manifest commit and the index
+        add/save leaves a snapshot that is BEHIND the manifests; simply
+        trusting ``load`` would re-ingest that partition's urls on a
+        later recapture (first-seen-wins violation). The manifests are
+        the source of truth, so after loading the snapshot we top up
+        every committed partition the snapshot doesn't cover —
+        ``add`` is idempotent, replaying is always safe. Returns the
+        number of partitions replayed.
+        """
+        from .manifest import RunManifest
+
+        index_dir = index_dir or os.path.join(out_dir, "_url_index")
+        self.load(index_dir)
+        committed = set(RunManifest(out_dir).completed())
+        missing = sorted(committed - self.covered)
+        for pid in missing:
+            for f in sorted(
+                glob.glob(os.path.join(out_dir, f"part={pid:05d}", "*.parquet"))
+            ):
+                self.add(
+                    pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+            self.mark_covered(pid)
+        if missing:
+            self.save(index_dir)
+        return len(missing)
 
     def rebuild_from_run(self, out_dir: str) -> int:
         """Exact rebuild from committed partitions (source of truth) —
@@ -127,5 +187,7 @@ class UrlIndex:
                 zero_copy_only=False
             )
             self.add(hashes)
+            part = os.path.basename(os.path.dirname(f))
+            self.mark_covered(int(part.split("=")[1]))
             n += len(hashes)
         return n

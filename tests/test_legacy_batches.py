@@ -92,7 +92,40 @@ def test_read_tesseract(ray_session, legacy_tree):
     df = read_legacy_tesseract(legacy_tree).to_pandas().sort_values("frame_name")
     assert list(df["video_id"].unique()) == ["vidA"]
     assert list(df["frame_idx"]) == [0, 1, 2]
+    assert list(df["frame_number"]) == [0, 1, 2]
     assert "<<< OCR_FAILED_EMPTY_TEXT >>>" in set(df["ocr_text"])  # sentinel preserved
+
+
+def test_join_alignment_nonconsecutive_seconds(ray_session, tmp_path):
+    """target_fps != 1: frame files at second marks 0/5/10. The LLM
+    reader emits positions 0/1/2, so the join must use the positional
+    rank, not the parsed second mark."""
+    root = str(tmp_path / "legacy2")
+    _write(
+        os.path.join(root, "vidC", "tesseract_ocr.json"),
+        {
+            "frame_000000.png": "sec zero",
+            "frame_000005.png": "sec five",
+            "frame_000010.png": "sec ten",
+        },
+    )
+    _write(
+        os.path.join(root, "vidC", "llm_output_batch_0001.json"),
+        {
+            "task1_raw_ocr": ["t0", "t5", "t10"],
+            "task2_augmented": ["a", "b", "c"],
+            "task3_cleaned": ["c0", "c5", "c10"],
+            "task4_markdown": ["m0", "m5", "m10"],
+            "task5_summary": "s",
+        },
+    )
+    t = read_legacy_tesseract(root)
+    l = read_legacy_llm_batches(root)
+    j = join_legacy(t, l, num_partitions=2).to_pandas().sort_values("frame_idx")
+    assert len(j) == 3  # round-1 bug: only second-mark 0 matched
+    assert list(j["frame_number"]) == [0, 5, 10]
+    assert list(j["ocr_text"]) == ["sec zero", "sec five", "sec ten"]
+    assert list(j["task1_raw_ocr"]) == ["t0", "t5", "t10"]
 
 
 def test_read_llm_batches_validation_and_decode(ray_session, legacy_tree):

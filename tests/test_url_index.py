@@ -64,6 +64,53 @@ def test_cross_pass_url_dedup(ray_session, tmp_path):
     assert len(df) == 58
 
 
+def test_load_shard_count_mismatch(ray_session, tmp_path):
+    """A snapshot written with a different n_shards must replay through
+    add() (correct routing) instead of filename-index loading, which
+    would drop or misroute hashes."""
+    idx = UrlIndex(n_shards=8)
+    h = stable_hash64_array([f"m{i}" for i in range(200)])
+    idx.add(h)
+    idx.save(str(tmp_path / "ix"))
+
+    for n in (3, 4, 12):
+        fresh = UrlIndex(n_shards=n)
+        assert fresh.load(str(tmp_path / "ix"))
+        assert not fresh.check_new(h).any(), f"n_shards={n} lost members"
+
+
+def test_resume_reconciles_stale_snapshot(ray_session, tmp_path):
+    """Crash between a partition's manifest commit and the index
+    add/save: the snapshot is BEHIND the manifests. resume_from_run
+    must top up the committed-but-uncovered partition so recaptures of
+    its urls are still rejected (first-seen-wins)."""
+    inp = str(tmp_path / "inp")
+    out = str(tmp_path / "out")
+    _write_shard(inp, "a.parquet", 0, 30)
+    idx = UrlIndex(n_shards=2)
+    incremental_pass(inp, out, files_per_partition=1, url_index=idx)
+    # snapshot now covers partition 0
+
+    # partition 1 commits WITHOUT the index being updated (the crash):
+    # run the pass without an index, so manifests advance past the
+    # snapshot
+    _write_shard(inp, "b.parquet", 30, 20)
+    incremental_pass(inp, out, files_per_partition=1, url_index=None)
+
+    fresh = UrlIndex(n_shards=2)
+    replayed = fresh.resume_from_run(out)
+    assert replayed == 1  # exactly the uncovered partition
+    # urls from BOTH partitions are now members
+    h_old = stable_hash64_array(
+        read_extracted(out).select_columns(["url"]).to_pandas()["url"].tolist()
+    )
+    assert not fresh.check_new(h_old).any()
+    # the refreshed snapshot now covers both partitions — a further
+    # resume replays nothing
+    again = UrlIndex(n_shards=2)
+    assert again.resume_from_run(out) == 0
+
+
 def test_rebuild_from_run_recovers_lost_snapshot(ray_session, tmp_path):
     inp = str(tmp_path / "inp")
     out = str(tmp_path / "out")
