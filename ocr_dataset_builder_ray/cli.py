@@ -41,11 +41,17 @@ def _cmd_extract(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .pipelines.extraction import run_partitioned_extraction
 
+    partition_range = None
+    if args.part_start is not None or args.part_end is not None:
+        partition_range = (args.part_start or 0, args.part_end if args.part_end is not None else args.partitions)
     summary = run_partitioned_extraction(
         args.input,
         args.output,
         num_partitions=args.partitions,
         dedup=not args.no_dedup,
+        global_dedup=args.global_dedup,
+        plan_ranges=args.plan_ranges,
+        partition_range=partition_range,
         batch_size=args.batch_size,
     )
     print(json.dumps(summary))
@@ -127,6 +133,27 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--partitions", type=int, default=16)
     e.add_argument("--batch-size", type=int, default=128)
     e.add_argument("--no-dedup", action="store_true")
+    e.add_argument(
+        "--global-dedup",
+        action="store_true",
+        help="after all partitions: cross-partition exact per-url dedup "
+        "(skinny plan + rewrite of affected partitions only)",
+    )
+    e.add_argument(
+        "--plan-ranges",
+        type=int,
+        default=None,
+        help="url-hash ranges for winner planning (bounds driver memory "
+        "at huge url counts)",
+    )
+    e.add_argument(
+        "--part-start", type=int, default=None,
+        help="first partition id this driver runs (manual multi-driver sharding)",
+    )
+    e.add_argument(
+        "--part-end", type=int, default=None,
+        help="one past the last partition id this driver runs",
+    )
     e.set_defaults(fn=_cmd_extract)
 
     d = sub.add_parser("daemon", help="incremental ingestion loop")
