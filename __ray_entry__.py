@@ -46,9 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-checkable SQL for every SQL-expressible query; queries
-    without an entry (dedup sketches, langid, extraction) get the
-    driver's rows-only check."""
+    """DuckDB-checkable oracle for EVERY registered query: genuine SQL
+    where expressible, committed-golden parquet (read_parquet) pins for
+    the deterministic non-SQL operators (see pipelines/queries.py
+    GOLDEN_SF01_ORACLES — generated at the driver gate's sf0.01)."""
     from ocr_dataset_builder_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -1065,6 +1065,58 @@ def q37_frameref_roundtrip(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q42_model_call_costs(sf_dir: str) -> pd.DataFrame:
+    """External-model call stage (bounded-concurrency actor pool, retry,
+    token/cost accounting — reference llm/text_pipeline.py:57-162) over
+    the documents table with the deterministic fake client; per-lang
+    cost aggregation. Tiered pricing exercises the threshold branch
+    (costing.py:101-144 semantics); cost is fixed-point micro-USD so
+    the distributed sum is exact."""
+    from ..stages.model_call import model_call
+
+    pricing = {
+        "threshold_k": 0.2,
+        "<=0.2k": {"input": 1.25, "output": 5.0},
+        ">0.2k": {"input": 2.5, "output": 10.0},
+    }
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    called = model_call(
+        ds,
+        text_col="text",
+        prompt="Clean the following OCR text please",
+        pricing=pricing,
+        concurrency=(1, 4),
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            n_failed=("call_status", lambda s: int((s != "ok").sum())),
+            sum_input_tokens=("input_tokens", "sum"),
+            sum_output_tokens=("output_tokens", "sum"),
+            total_cost_microusd=("cost_microusd", "sum"),
+        )
+        return out
+
+    res = (
+        called.map_batches(_partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_failed", alias_name="n_failed"),
+            Sum("sum_input_tokens", alias_name="sum_input_tokens"),
+            Sum("sum_output_tokens", alias_name="sum_output_tokens"),
+            Sum("total_cost_microusd", alias_name="total_cost_microusd"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in res.columns[1:]:
+        res[c] = res[c].astype("int64")
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1111,6 +1163,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q39_user_event_seq": q39_user_event_seq,
     "q40_hopping_windows": q40_hopping_windows,
     "q41_hll_distinct_users": q41_hll_distinct_users,
+    "q42_model_call_costs": q42_model_call_costs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1429,6 +1482,34 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS roundtrip_ok,
                md5(coalesce(text, '')) AS decoded_hash
         FROM documents ORDER BY doc_id
+    """,
+    # q42: the fake model is response = 'CLEANED: ' || text with
+    # whitespace token counts; prompt = 6 tokens; micro-USD = tokens ×
+    # (USD per M tokens) with binary-exact rates, tier chosen on input
+    # tokens <= 200 — every column reproduces exactly in SQL.
+    "q42_model_call_costs": r"""
+        WITH t AS (
+            SELECT lang,
+                   CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS ntok
+            FROM documents
+        ), c AS (
+            SELECT lang, 6 + ntok AS tin, 1 + ntok AS tout FROM t
+        ), p AS (
+            SELECT lang, tin, tout,
+                   CAST(floor(tin * CASE WHEN tin <= 200 THEN 1.25 ELSE 2.5 END
+                            + tout * CASE WHEN tin <= 200 THEN 5.0 ELSE 10.0 END
+                            + 0.5) AS BIGINT) AS cost
+            FROM c
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(0 AS BIGINT) AS n_failed,
+               CAST(sum(tin) AS BIGINT) AS sum_input_tokens,
+               CAST(sum(tout) AS BIGINT) AS sum_output_tokens,
+               CAST(sum(cost) AS BIGINT) AS total_cost_microusd
+        FROM p GROUP BY lang ORDER BY lang
     """,
 }
 

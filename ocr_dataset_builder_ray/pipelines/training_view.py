@@ -88,3 +88,45 @@ def training_view(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def iter_training_batches(
+    ds: ray.data.Dataset,
+    *,
+    batch_size: int = 32,
+    epoch: int | None = None,
+    shuffle_buffer_size: int | None = None,
+    seed: int = 42,
+):
+    """Training-consumer adapter — the reference's PyTorch ``Dataset``
+    (data/pytorch_dataset.py:41-98) re-expressed as a streaming batch
+    iterator with on-the-fly augmentation (its ``transform`` hook,
+    data/pytorch_dataset.py:596-601).
+
+    Yields dict batches (column → list/ndarray) of the training-view
+    triples. ``epoch=None`` keeps the precomputed ``augmented_text``
+    column; ``epoch=k`` RE-augments on the fly with the profile and RNG
+    seeded on ``url:k`` — a fresh deterministic noising per epoch, the
+    fix for the reference's unseeded ``random.choice`` applied at
+    consumption time. ``shuffle_buffer_size`` enables Ray's local
+    shuffle (seeded). With torch installed the same Dataset feeds
+    ``iter_torch_batches`` directly; this adapter holds the
+    augmentation semantics either way and never materializes the view.
+    """
+    it = ds.iter_batches(
+        batch_size=batch_size,
+        batch_format="pandas",
+        local_shuffle_buffer_size=shuffle_buffer_size,
+        local_shuffle_seed=seed if shuffle_buffer_size else None,
+    )
+    for df in it:
+        batch = {c: df[c].tolist() for c in df.columns}
+        if epoch is not None:
+            keys = [f"{u}:{epoch}" for u in batch["url"]]
+            profs = [profile_for_key(k) for k in keys]
+            batch["aug_profile"] = profs
+            batch["augmented_text"] = [
+                apply_profile(p, t, k) if t else ""
+                for p, t, k in zip(profs, batch["clean_text"], keys)
+            ]
+        yield batch
