@@ -6,16 +6,20 @@ OCR (tesseract/processing.py:53-99) after a decode/resize stage
 for opaque ``binary`` media columns in the new engine:
 
 * schema: ``media: binary`` + ``media_type: string`` + per-row typed
-  metadata columns (width/height/duration as applicable);
+  metadata columns (width/height/sample_rate as applicable);
 * decode / feature-extract / resize / frame-sample are actor-pool
-  ``map_batches`` stages whose Ray-side plumbing (batch sizing for
-  multi-MB rows, actor ``__init__`` codec setup, Arrow binary in/out)
-  is real and tested — the codec itself is STUBBED because no
-  image/audio library exists in this container. ``DecodeMedia``
-  raises ``NotImplementedError`` for real codecs unless constructed
-  with ``fake=True``, which swaps in a deterministic fake decoder so
-  the pipeline shape is exercisable end-to-end (SURVEY.md M1/M2
-  graft: decode moves into the first map_batches).
+  ``map_batches`` stages: batch sizing for multi-MB rows, actor
+  ``__init__`` codec setup, Arrow binary in/out;
+* ``DecodeMedia(fake=False)`` REALLY decodes the library-free formats
+  (netpbm P6/P5, uncompressed BMP, PCM WAV —
+  functions/media_codecs.py, pure numpy/stdlib) and soft-fails
+  compressed formats (PNG/JPEG need a codec library this container
+  lacks) per M5: ``decoded_ok=False`` rows, never a raise.
+  ``fake=True`` keeps the deterministic hash-based stand-in used by
+  the q33 golden. With ``emit_pixels=True`` the decoded raster rides
+  along as a binary column so ``ResizeMedia`` performs a REAL
+  aspect-preserving nearest-neighbor downscale
+  (video/processing.py:163-185 semantics without cv2).
 """
 
 from __future__ import annotations
@@ -25,6 +29,15 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import stable_hash64
+from ..functions.media_codecs import (
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_pgm,
+    decode_ppm,
+    decode_wav,
+    nearest_resize,
+    sniff_media_format,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -38,22 +51,27 @@ MEDIA_SCHEMA = pa.schema(
 class DecodeMedia:
     """Actor-pool decode stage (callable class; one codec init per actor).
 
-    Real decode requires an image/audio codec library that is NOT
-    available in this environment — constructing with ``fake=False``
-    raises ``NotImplementedError`` at init (fail-fast, per-actor, the
-    same place the reference checks for a Tesseract install,
-    tesseract/pipeline.py:319-324). ``fake=True`` installs a
-    deterministic stand-in that "decodes" bytes into a stable
-    (width, height, checksum) triple so tests can drive the plumbing.
+    ``fake=False`` (real path): decode netpbm/BMP images to pixel
+    arrays and PCM WAV to sample arrays with the pure-numpy codecs;
+    unknown/compressed/corrupt payloads emit ``decoded_ok=False`` rows
+    (M5 — never raise; the reference instead fail-fast-checks its
+    Tesseract install per actor, tesseract/pipeline.py:319-324, which
+    here maps to the codec table built in ``__init__``).
+
+    Output columns: ``width, height`` (images: pixels; audio:
+    n_samples × channels), ``sample_rate`` (0 for images),
+    ``checksum`` (over DECODED content, so e.g. the same image stored
+    as PPM and BMP checksums identically), ``decoded_ok``; plus
+    ``pixels, channels`` raster passthrough when ``emit_pixels=True``.
+
+    ``fake=True``: deterministic hash-based stand-in (the q33 golden's
+    codec) — exercises the plumbing with arbitrary payload bytes.
     """
 
-    def __init__(self, fake: bool = False) -> None:
-        if not fake:
-            raise NotImplementedError(
-                "no image/audio codec library in this environment; "
-                "construct DecodeMedia(fake=True) for the deterministic stub"
-            )
-        self._decode = self._fake_decode
+    def __init__(self, fake: bool = False, emit_pixels: bool = False) -> None:
+        self.fake = fake
+        self.emit_pixels = emit_pixels and not fake
+        self._image_codecs = {"ppm": decode_ppm, "pgm": decode_pgm, "bmp": decode_bmp}
 
     @staticmethod
     def _fake_decode(payload: bytes | None) -> tuple[int, int, int]:
@@ -62,46 +80,111 @@ class DecodeMedia:
         h = stable_hash64(payload)
         return (64 + h % 1024, 64 + (h >> 16) % 1024, h & 0xFFFFFFFF)
 
+    def _real_decode(self, payload: bytes | None):
+        """→ (width, height, sample_rate, checksum, ok, pixels, channels)."""
+        fmt = sniff_media_format(payload or b"")
+        try:
+            if fmt in self._image_codecs:
+                arr = self._image_codecs[fmt](payload)
+                h, w = arr.shape[:2]
+                ch = arr.shape[2] if arr.ndim == 3 else 1
+                check = stable_hash64(arr.tobytes()) & 0xFFFFFFFF
+                px = arr.tobytes() if self.emit_pixels else None
+                return w, h, 0, check, True, px, ch
+            if fmt == "wav":
+                samples, rate = decode_wav(payload)
+                check = stable_hash64(samples.tobytes()) & 0xFFFFFFFF
+                return samples.shape[0], samples.shape[1], rate, check, True, None, 0
+        except UnsupportedMediaError:
+            pass
+        return 0, 0, 0, 0, False, None, 0
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, checks, ok = [], [], [], []
+        widths, heights, rates, checks, ok = [], [], [], [], []
+        pixels, channels = [], []
         for payload in batch["media"].to_pylist():
-            w, h, c = self._decode(payload)
+            if self.fake:
+                w, h, c = self._fake_decode(payload)
+                r, good, px, ch = 0, bool(payload), None, 0
+            else:
+                w, h, r, c, good, px, ch = self._real_decode(payload)
             widths.append(w)
             heights.append(h)
+            rates.append(r)
             checks.append(c)
-            ok.append(bool(payload))
-        return (
+            ok.append(good)
+            pixels.append(px)
+            channels.append(ch)
+        out = (
             batch.append_column("width", pa.array(widths, type=pa.int32()))
             .append_column("height", pa.array(heights, type=pa.int32()))
+            .append_column("sample_rate", pa.array(rates, type=pa.int32()))
             .append_column("checksum", pa.array(checks, type=pa.int64()))
             .append_column("decoded_ok", pa.array(ok, type=pa.bool_()))
         )
+        if self.emit_pixels:
+            out = out.append_column(
+                "pixels", pa.array(pixels, type=pa.binary())
+            ).append_column("channels", pa.array(channels, type=pa.int32()))
+        return out
 
 
 class ResizeMedia:
-    """Resize stage stub: mirrors video/processing.py:163-185 semantics
-    (downscale so max(h,w) <= max_dimension, aspect preserved) on the
-    metadata columns; payload transform stubbed (no codec)."""
+    """Resize stage: downscale so max(h, w) <= max_dimension, aspect
+    preserved (video/processing.py:163-185 semantics).
+
+    When the batch carries a ``pixels`` raster column
+    (``DecodeMedia(emit_pixels=True)``), the PIXELS are really resized
+    (nearest-neighbor index striding — no cv2 needed) and the raster is
+    replaced; otherwise only the metadata columns transform."""
 
     def __init__(self, max_dimension: int = 1024) -> None:
         self.max_dimension = max_dimension
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         ws = batch["width"].to_pylist()
         hs = batch["height"].to_pylist()
-        out_w, out_h = [], []
-        for w, h in zip(ws, hs):
-            m = max(w, h)
-            if m > self.max_dimension and m > 0:
-                scale = self.max_dimension / m
-                w, h = max(1, int(w * scale)), max(1, int(h * scale))
+        real = "pixels" in batch.column_names
+        px_in = batch["pixels"].to_pylist() if real else None
+        ch_in = batch["channels"].to_pylist() if real else None
+        rates = (
+            batch["sample_rate"].to_pylist()
+            if "sample_rate" in batch.column_names
+            else [0] * len(ws)
+        )
+        out_w, out_h, out_px = [], [], []
+        for i, (w, h) in enumerate(zip(ws, hs)):
+            if rates[i]:  # audio: (n_samples, channels) is not a raster
+                out_w.append(w)
+                out_h.append(h)
+                out_px.append(px_in[i] if real else None)
+                continue
+            if real and px_in[i] is not None and ch_in[i]:
+                arr = np.frombuffer(px_in[i], dtype=np.uint8)
+                arr = arr.reshape(h, w, ch_in[i]) if ch_in[i] > 1 else arr.reshape(h, w)
+                arr = nearest_resize(arr, self.max_dimension)
+                h, w = arr.shape[:2]
+                out_px.append(arr.tobytes())
+            else:
+                m = max(w, h)
+                if m > self.max_dimension and m > 0:
+                    scale = self.max_dimension / m
+                    w, h = max(1, int(w * scale)), max(1, int(h * scale))
+                out_px.append(px_in[i] if real else None)
             out_w.append(w)
             out_h.append(h)
-        return batch.set_column(
+        out = batch.set_column(
             batch.schema.get_field_index("width"), "width", pa.array(out_w, pa.int32())
         ).set_column(
             batch.schema.get_field_index("height"), "height", pa.array(out_h, pa.int32())
         )
+        if real:
+            out = out.set_column(
+                out.schema.get_field_index("pixels"), "pixels", pa.array(out_px, pa.binary())
+            )
+        return out
 
 
 def sample_frames(
@@ -141,6 +224,7 @@ def decode_pipeline(
     ds: ray.data.Dataset,
     *,
     fake: bool = True,
+    emit_pixels: bool = False,
     max_dimension: int = 1024,
     batch_size: int = 16,
     concurrency: int | tuple[int, int] = (1, 4),
@@ -149,7 +233,7 @@ def decode_pipeline(
     small ``batch_size`` so batch × concurrency fits worker heap)."""
     ds = ds.map_batches(
         DecodeMedia,
-        fn_constructor_kwargs={"fake": fake},
+        fn_constructor_kwargs={"fake": fake, "emit_pixels": emit_pixels},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

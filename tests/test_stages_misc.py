@@ -92,9 +92,13 @@ def _media_ds(n=20):
     return ray.data.from_arrow(pa.Table.from_pylist(rows))
 
 
-def test_decode_media_requires_fake():
-    with pytest.raises(NotImplementedError):
-        DecodeMedia(fake=False)
+def test_decode_media_real_soft_fails_unknown():
+    # real path: arbitrary bytes are not a decodable format -> M5 soft
+    # fail (decoded_ok=False rows), never a raise
+    out = DecodeMedia(fake=False)(
+        pa.table({"media": pa.array([b"\x89PNG\r\n\x1a\n garbage", None], pa.binary())})
+    )
+    assert out["decoded_ok"].to_pylist() == [False, False]
 
 
 def test_decode_pipeline_deterministic(ray_session):
