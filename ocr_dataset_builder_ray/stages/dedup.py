@@ -62,11 +62,18 @@ def _concat(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+# auto policy: pairs are duplicate-bounded, so up to this many resolve
+# with driver union-find (a 1M-pair list is ~tens of MB); beyond it the
+# distributed min-label path keeps the driver out of the loop entirely
+AUTO_DRIVER_PAIR_LIMIT = 1_000_000
+
+
 def resolve_drop_keys(
     pairs_ds: ray.data.Dataset,
     *,
-    components: str = "driver",
+    components: str = "auto",
     max_rounds: int = 10,
+    driver_pair_limit: int = AUTO_DRIVER_PAIR_LIMIT,
 ) -> pa.Array:
     """Verified duplicate pairs ``(a, b)`` → Array of keys to DROP.
 
@@ -80,8 +87,18 @@ def resolve_drop_keys(
     (``take_all`` of PAIRS — fine while verified duplicates fit the
     driver). ``components="distributed"``: min-label propagation over
     pair-touched nodes only (stages/components.py); only the final
-    drop-set is collected. Byte-identical output either way.
+    drop-set is collected. ``"auto"`` (default) counts the
+    (duplicate-bounded) pair list once and picks: union-find up to
+    ``driver_pair_limit`` pairs — the iterative min-label rounds cost
+    several groupby exchanges, pure overhead at small duplicate volume
+    — and min-label beyond, where a pair list would stress the driver.
+    Byte-identical output on every path.
     """
+    if components == "auto":
+        pairs_ds = pairs_ds.materialize()
+        components = (
+            "driver" if pairs_ds.count() <= driver_pair_limit else "distributed"
+        )
     if components == "distributed":
         from .components import min_label_components
 
@@ -258,7 +275,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
-    components: str = "distributed",
+    components: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup removal: keep one representative (min key) per MinHash
     cluster at estimated Jaccard ≥ ``threshold``.
@@ -266,10 +283,10 @@ def minhash_lsh_dedup(
     shingle→minhash→band→bucket-groupby per the standard LSH recipe;
     signature-estimated Jaccard verifies candidates in-bucket before
     clustering. Cluster resolution and the survivor filter follow the
-    drop-set pattern (``resolve_drop_keys`` / ``drop_keys_filter``) —
-    distributed min-label components by default, so no pair list or key
-    list ever materializes on the driver; only the duplicate-bounded
-    drop-set is broadcast.
+    drop-set pattern (``resolve_drop_keys`` / ``drop_keys_filter``):
+    no all-keys materialization on any path; the auto policy escalates
+    from pair-bounded driver union-find to distributed min-label
+    components when duplicate volume outgrows the driver.
     """
     band_rows = ds.map_batches(
         MinHashStage,
@@ -330,7 +347,7 @@ def simhash_dedup(
     *,
     max_hamming: int = 3,
     bands: int = 4,
-    components: str = "driver",
+    components: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup removal by 64-bit SimHash with banded candidates.
 
@@ -489,7 +506,7 @@ def ngram_jaccard_dedup(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    components: str = "driver",
+    components: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup removal with *exact* word-n-gram Jaccard verification.
 
@@ -594,7 +611,7 @@ def embedding_dedup(
     threshold: float = 0.95,
     n_buckets: int = 8,
     seed: int = 42,
-    components: str = "driver",
+    components: str = "auto",
 ) -> ray.data.Dataset:
     """Cosine near-dup over an embedding column via random-hyperplane LSH.
 
