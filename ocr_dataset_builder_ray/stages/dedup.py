@@ -276,18 +276,43 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     components: str = "auto",
+    verify: str = "bucket",
 ) -> ray.data.Dataset:
     """Near-dup removal: keep one representative (min key) per MinHash
     cluster at estimated Jaccard ≥ ``threshold``.
 
     shingle→minhash→band→bucket-groupby per the standard LSH recipe;
-    signature-estimated Jaccard verifies candidates in-bucket before
-    clustering. Cluster resolution and the survivor filter follow the
-    drop-set pattern (``resolve_drop_keys`` / ``drop_keys_filter``):
-    no all-keys materialization on any path; the auto policy escalates
-    from pair-bounded driver union-find to distributed min-label
-    components when duplicate volume outgrows the driver.
+    signature-estimated Jaccard verifies candidates before clustering.
+    Cluster resolution and the survivor filter follow the drop-set
+    pattern (``resolve_drop_keys`` / ``drop_keys_filter``): no all-keys
+    materialization on any path; the auto policy escalates from
+    pair-bounded driver union-find to distributed min-label components
+    when duplicate volume outgrows the driver.
+
+    ``verify="bucket"`` ships the signature blob in every band row
+    (bands × num_perm×8 bytes per doc through the one bucket shuffle)
+    and verifies in-bucket — fewest stages, right when docs are small
+    or bands are few. ``verify="pairs"`` ships SKINNY band rows
+    (key, band_id, band_hash), derives distinct candidate pairs, then
+    recomputes signatures only for candidate keys and verifies via the
+    distributed pair-join (``_verify_pairs_with_sigs``) — each
+    signature crosses an exchange once per candidate pair instead of
+    once per band; the scale path when band fan-out dominates.
+    Byte-identical survivors either way (same signatures, same
+    threshold).
     """
+    if verify == "pairs":
+        return _minhash_dedup_two_phase(
+            ds,
+            text_col,
+            key_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            components=components,
+        )
+
     band_rows = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(
@@ -322,6 +347,86 @@ def minhash_lsh_dedup(
         _bucket_pairs, batch_format="pandas"
     )
     drop = resolve_drop_keys(pairs_ds, components=components)
+    return drop_keys_filter(ds, key_col, drop)
+
+
+def _minhash_dedup_two_phase(
+    ds, text_col, key_col, *, num_perm, bands, shingle_k, threshold, components
+):
+    """verify="pairs" path: skinny candidate generation + distributed
+    signature verification (shares the shape of ngram_jaccard_dedup)."""
+
+    class _Bands:
+        def __init__(self) -> None:
+            self.a, self.b = minhash_params(num_perm)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys, band_ids, band_hashes = [], [], []
+            for key, text in zip(
+                batch[key_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                sig = minhash_signature(
+                    char_shingles(text or "", shingle_k), self.a, self.b
+                )
+                for band_id, band_hash in lsh_band_keys(sig, bands):
+                    keys.append(key)
+                    band_ids.append(band_id)
+                    band_hashes.append(band_hash)
+            return pa.table(
+                {
+                    "key": pa.array(keys, type=batch[key_col].type),
+                    "band_id": pa.array(band_ids, type=pa.int32()),
+                    "band_hash": pa.array(band_hashes, type=pa.uint64()),
+                }
+            )
+
+    band_rows = ds.map_batches(_Bands, batch_format="pyarrow", concurrency=(1, 8))
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        keys = pc.unique(group["key"]).sort()
+        m = len(keys)
+        if m < 2:
+            return pa.table({"a": keys.slice(0, 0), "b": keys.slice(0, 0)})
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"a": keys.take(pa.array(ii)), "b": keys.take(pa.array(jj))})
+
+    candidates = _distinct_pairs(
+        band_rows.groupby(["band_id", "band_hash"]).map_groups(
+            _bucket_pairs, batch_format="pyarrow"
+        )
+    ).materialize()
+
+    def _keys(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])})
+
+    cand_keys = pa.array(
+        pd.unique(candidates.map_batches(_keys, batch_format="pyarrow").to_pandas()["key"])
+    )
+    if len(cand_keys) == 0:
+        return ds
+    keys_ref = ray.put(cand_keys)
+    params_a, params_b = minhash_params(num_perm)
+
+    def _sigs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
+        sigs = [
+            minhash_signature(char_shingles(v or "", shingle_k), params_a, params_b)
+            for v in t[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "key": t[key_col],
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
+
+    def _est_jaccard(s0: np.ndarray, s1: np.ndarray) -> float:
+        return float(np.mean(s0 == s1))
+
+    verified = _verify_pairs_with_sigs(candidates, sigs_ds, _est_jaccard, threshold)
+    drop = resolve_drop_keys(verified, components=components)
     return drop_keys_filter(ds, key_col, drop)
 
 
