@@ -82,3 +82,57 @@ def test_dedup_winner_invariant_under_row_order(perm):
     b = dedup_table(shuffled).to_pydict()
     key = lambda d: sorted(zip(d["url"], d["content_hash"]))  # noqa: E731
     assert key(a) == key(b)
+
+
+# --- media codec round-trips ------------------------------------------------
+
+import numpy as np
+from hypothesis import HealthCheck
+
+from ocr_dataset_builder_ray.functions.media_codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    nearest_resize,
+)
+
+DIMS = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+@given(DIMS, st.integers(0, 2**32 - 1))
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow])
+def test_ppm_bmp_roundtrip_any_dims(dims, seed):
+    h, w = dims
+    arr = np.random.RandomState(seed % 2**31).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    assert np.array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+@given(st.integers(1, 500), st.integers(1, 4), st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40)
+def test_wav_roundtrip_any_shape(n, channels, rate):
+    samples = np.random.RandomState(n * channels).randint(
+        -32768, 32767, (n, channels)
+    ).astype("<i2")
+    arr, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate and np.array_equal(arr, samples)
+
+
+@given(DIMS, st.integers(1, 64))
+@settings(max_examples=80)
+def test_nearest_resize_bounds_and_aspect(dims, max_dim):
+    h, w = dims
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    out = nearest_resize(arr, max_dim)
+    oh, ow = out.shape[:2]
+    assert max(oh, ow) <= max(max_dim, 1)
+    if max(h, w) <= max_dim:
+        assert (oh, ow) == (h, w)  # no upscale, no-op
+    elif min(oh, ow) > 1:
+        # aspect preserved within integer truncation (the 1-pixel clamp
+        # on degenerate dims intentionally breaks aspect)
+        assert abs(oh / ow - h / w) <= 1.0
+    assert oh <= h and ow <= w  # never upscales
