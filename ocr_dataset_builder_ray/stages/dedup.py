@@ -164,10 +164,84 @@ def drop_keys_filter(
 
 def _distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
     """One row per (a, b) — removes the multi-band repeats before any
-    per-pair work. Skinny shuffle over candidate pairs only."""
-    return pairs_ds.groupby(["a", "b"]).map_groups(
-        lambda t: t.take([0]), batch_format="pyarrow"
+    per-pair work. Native count aggregate (vectorized; a per-group
+    ``map_groups`` here pays per-PAIR Python overhead), skinny shuffle
+    over candidate pairs only."""
+    from ray.data.aggregate import Count
+
+    return (
+        pairs_ds.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
+
+
+
+def _pool_max() -> int:
+    """Kernel actor-pool cap: most of the cluster, leaving a slice for
+    the read/shuffle stages (same sizing rule as the flagship pool)."""
+    import os
+
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", os.cpu_count() or 8))
+    except Exception:
+        cpus = os.cpu_count() or 8
+    return max(2, cpus - max(1, cpus // 8))
+
+
+_MIX_PRIME = np.uint64(0x9E3779B97F4A7C15)
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _bucket_mix(id_arr, hash_arr) -> np.ndarray:
+    """Composite bucket key (band_id, band_hash) → one uint64 (wrapping
+    multiply-xor). Used only as a filter key: a mix collision merely
+    lets an extra singleton bucket through (emits no pairs) — it can
+    never drop a real bucket."""
+    return np.asarray(hash_arr).astype(np.uint64) ^ (
+        (np.asarray(id_arr).astype(np.uint64) + np.uint64(1)) * _MIX_PRIME
+    )
+
+
+def drop_singleton_buckets(
+    band_rows: ray.data.Dataset, id_col: str, hash_col: str, key_col: str = "key"
+) -> ray.data.Dataset:
+    """Pre-filter LSH band rows to buckets holding ≥ 2 rows.
+
+    The pair-generating ``groupby().map_groups`` pays a per-group
+    invocation cost; with realistic duplicate rates the vast majority
+    of buckets are singletons that can emit nothing. A native count
+    aggregate (vectorized, no per-group Python) finds the non-singleton
+    buckets; their composite keys are broadcast (proportional to
+    COLLIDING buckets, i.e. duplicate-bounded) and the band rows are
+    filtered before the expensive grouped pass — measured 4-6x on the
+    20k-doc near-dup bench.
+    """
+    # band rows are consumed twice (count aggregate + filter) and the
+    # survivors twice more downstream (bucket stats + big-bucket
+    # expansion) — materialize the SKINNY rows once instead of
+    # re-running the signature kernel per consumer (Ray datasets are
+    # lazy; the recompute doubled the whole operator's wall time)
+    band_rows = band_rows.materialize()
+    counts = band_rows.groupby([id_col, hash_col]).count()
+    cdf = counts.to_pandas()
+    if cdf.empty:
+        return band_rows
+    ccol = [c for c in cdf.columns if c not in (id_col, hash_col)][0]
+    hot = cdf[cdf[ccol] >= 2]
+    hot_mix = pa.array(_bucket_mix(hot[id_col].to_numpy(), hot[hash_col].to_numpy()))
+    hot_ref = ray.put(hot_mix)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        mix = _bucket_mix(
+            _concat(t[id_col]).to_numpy(zero_copy_only=False),
+            _concat(t[hash_col]).to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pc.is_in(pa.array(mix), value_set=ray.get(hot_ref)))
+
+    return band_rows.map_batches(_filter, batch_format="pyarrow").materialize()
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -260,10 +334,147 @@ class MinHashStage:
             {
                 "key": pa.array(keys, type=batch[self.key_col].type),
                 "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.uint64()),
+                # int64 REINTERPRET of the uint64 band hash: bijective
+                # (bucket identity preserved) and keeps native
+                # aggregates off the pandas big-int/object path
+                "band_hash": pa.array(
+                    np.array(band_hashes, dtype=np.uint64).view(np.int64)
+                ),
                 "signature": pa.array(sigs, type=pa.binary()),
             }
         )
+
+
+def lsh_candidate_pairs(
+    band_rows: ray.data.Dataset, id_col: str, hash_col: str
+) -> ray.data.Dataset:
+    """Band rows ``(key, id_col, hash_col)`` → distinct candidate pairs
+    ``(a, b)``, a < b — with NO per-group Python for the dominant case.
+
+    At realistic duplicate rates almost every colliding bucket holds
+    exactly 2 rows (a doc and its near-dup, once per matching band);
+    routing those through ``groupby().map_groups`` pays a per-group
+    invocation cost ~1000× the actual work (measured: 400k two-row
+    buckets ≈ 100 s). Instead ONE native aggregate computes
+    ``(min(key), max(key), count)`` per bucket — fully vectorized —
+    and yields the pair directly for 2-row buckets; only buckets with
+    ≥ 3 rows (exact-dup cliques and rare collisions, duplicate-bounded)
+    go through the grouped pair expansion. Identical pair set.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = band_rows.groupby([id_col, hash_col]).aggregate(
+        Min("key", alias_name="a"), Max("key", alias_name="b"), Count(alias_name="n")
+    )
+    stats = stats.materialize()
+
+    def _two_row(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["n"], 2), pc.not_equal(t["a"], t["b"]))
+        return t.filter(keep).select(["a", "b"])
+
+    small_pairs = stats.map_batches(_two_row, batch_format="pyarrow")
+
+    big = stats.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 2)), batch_format="pyarrow"
+    )
+    big_df = big.select_columns([id_col, hash_col]).to_pandas()  # dup-bounded
+    if id_col not in big_df.columns:  # empty dataset loses its schema
+        return _distinct_pairs(small_pairs)
+    if len(big_df) == 0:
+        return _distinct_pairs(small_pairs)
+    big_mix = pa.array(
+        _bucket_mix(big_df[id_col].to_numpy(), big_df[hash_col].to_numpy())
+    )
+    big_ref = ray.put(big_mix)
+
+    def _filter_big(t: pa.Table) -> pa.Table:
+        mix = _bucket_mix(
+            _concat(t[id_col]).to_numpy(zero_copy_only=False),
+            _concat(t[hash_col]).to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pc.is_in(pa.array(mix), value_set=ray.get(big_ref)))
+
+    def _expand(group: pa.Table) -> pa.Table:
+        keys = pc.unique(group["key"]).sort()
+        m = len(keys)
+        if m < 2:
+            return pa.table({"a": keys.slice(0, 0), "b": keys.slice(0, 0)})
+        ii, jj = np.triu_indices(m, k=1)
+        return pa.table({"a": keys.take(pa.array(ii)), "b": keys.take(pa.array(jj))})
+
+    big_pairs = (
+        band_rows.map_batches(_filter_big, batch_format="pyarrow")
+        .groupby([id_col, hash_col])
+        .map_groups(_expand, batch_format="pyarrow")
+    )
+    return _distinct_pairs(small_pairs.union(big_pairs))
+
+
+def _verify_candidates(
+    candidates: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    sig_fn,
+    score_fn,
+    threshold: float,
+    verify: str = "auto",
+    driver_limit: int = AUTO_DRIVER_PAIR_LIMIT,
+):
+    """Distinct candidate pairs → verified pairs Dataset.
+
+    Signatures (``sig_fn(text) -> uint64[]``) are computed only for
+    candidate keys (broadcast semi-join on the duplicate-bounded
+    candidate set). ``verify="driver"`` collects the candidate pairs
+    and their signatures (both duplicate-bounded) and scores in numpy;
+    ``"distributed"`` co-locates each pair with its two signatures via
+    the union+groupby pair-join (``_verify_pairs_with_sigs``) so
+    nothing pair-shaped touches the driver; ``"auto"`` picks by
+    candidate count. Identical verified pairs on every path.
+    """
+    candidates = candidates.materialize()
+    n_cand = candidates.count()
+    if n_cand == 0:
+        return candidates
+
+    def _keys(t: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])})
+
+    cand_keys = pa.array(
+        pd.unique(candidates.map_batches(_keys, batch_format="pyarrow").to_pandas()["key"])
+    )
+    keys_ref = ray.put(cand_keys)
+
+    def _sigs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
+        sigs = [sig_fn(v or "") for v in t[text_col].to_pylist()]
+        return pa.table(
+            {
+                "key": t[key_col],
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
+
+    sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
+
+    if verify == "auto":
+        verify = "driver" if n_cand <= driver_limit else "distributed"
+    if verify == "distributed":
+        return _verify_pairs_with_sigs(candidates, sigs_ds, score_fn, threshold)
+
+    # driver verify: duplicate-bounded pair list + signature map
+    pdf = candidates.to_pandas()
+    sdf = sigs_ds.to_pandas()
+    sigmap = {
+        k: np.asarray(v, dtype=np.uint64) for k, v in zip(sdf["key"], sdf["sig"])
+    }
+    mask = [
+        a in sigmap and b in sigmap and score_fn(sigmap[a], sigmap[b]) >= threshold
+        for a, b in zip(pdf["a"], pdf["b"])
+    ]
+    return ray.data.from_arrow(
+        pa.Table.from_pandas(pdf[mask] if any(mask) else pdf.iloc[:0], preserve_index=False)
+    )
 
 
 def minhash_lsh_dedup(
@@ -276,85 +487,27 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     components: str = "auto",
-    verify: str = "bucket",
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup removal: keep one representative (min key) per MinHash
     cluster at estimated Jaccard ≥ ``threshold``.
 
-    shingle→minhash→band→bucket-groupby per the standard LSH recipe;
-    signature-estimated Jaccard verifies candidates before clustering.
-    Cluster resolution and the survivor filter follow the drop-set
-    pattern (``resolve_drop_keys`` / ``drop_keys_filter``): no all-keys
-    materialization on any path; the auto policy escalates from
-    pair-bounded driver union-find to distributed min-label components
-    when duplicate volume outgrows the driver.
-
-    ``verify="bucket"`` ships the signature blob in every band row
-    (bands × num_perm×8 bytes per doc through the one bucket shuffle)
-    and verifies in-bucket — fewest stages, right when docs are small
-    or bands are few. ``verify="pairs"`` ships SKINNY band rows
-    (key, band_id, band_hash), derives distinct candidate pairs, then
-    recomputes signatures only for candidate keys and verifies via the
-    distributed pair-join (``_verify_pairs_with_sigs``) — each
-    signature crosses an exchange once per candidate pair instead of
-    once per band; the scale path when band fan-out dominates.
-    Byte-identical survivors either way (same signatures, same
-    threshold).
+    shingle→minhash→band→bucket per the standard LSH recipe, all
+    skinny: band rows carry (key, band_id, band_hash) only — the
+    signature never fans out with the bands. Candidate pairs come from
+    ``lsh_candidate_pairs`` (native aggregate for 2-row buckets, no
+    per-group Python); verification recomputes signatures for candidate
+    keys only and scores estimated Jaccard (``_verify_candidates``,
+    driver/distributed/auto); resolution + survivor filter follow the
+    drop-set pattern. No all-keys materialization on any path; every
+    driver-touching artifact (candidates, drop-set) is
+    duplicate-bounded. ``verify``/``components`` escalate to fully
+    distributed forms when duplicate volume outgrows the driver
+    (byte-identical results on every path; "bucket"/"pairs" accepted
+    as legacy aliases).
     """
-    if verify == "pairs":
-        return _minhash_dedup_two_phase(
-            ds,
-            text_col,
-            key_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-            threshold=threshold,
-            components=components,
-        )
-
-    band_rows = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(
-            text_col=text_col,
-            key_col=key_col,
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-
-    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = group["key"].iloc[:0]
-        if len(group) < 2:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        rows = group.sort_values("key").drop_duplicates("key")
-        ks = rows["key"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["signature"]]
-        out_a, out_b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                if float(np.mean(sigs[i] == sigs[j])) >= threshold:
-                    out_a.append(ks[i])
-                    out_b.append(ks[j])
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=empty.dtype), "b": pd.Series(out_b, dtype=empty.dtype)}
-        )
-
-    pairs_ds = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    drop = resolve_drop_keys(pairs_ds, components=components)
-    return drop_keys_filter(ds, key_col, drop)
-
-
-def _minhash_dedup_two_phase(
-    ds, text_col, key_col, *, num_perm, bands, shingle_k, threshold, components
-):
-    """verify="pairs" path: skinny candidate generation + distributed
-    signature verification (shares the shape of ngram_jaccard_dedup)."""
+    if verify in ("bucket", "pairs"):  # round-2 legacy aliases
+        verify = "auto" if verify == "bucket" else "distributed"
 
     class _Bands:
         def __init__(self) -> None:
@@ -376,56 +529,31 @@ def _minhash_dedup_two_phase(
                 {
                     "key": pa.array(keys, type=batch[key_col].type),
                     "band_id": pa.array(band_ids, type=pa.int32()),
-                    "band_hash": pa.array(band_hashes, type=pa.uint64()),
+                    "band_hash": pa.array(
+                        np.array(band_hashes, dtype=np.uint64).view(np.int64)
+                    ),
                 }
             )
 
-    band_rows = ds.map_batches(_Bands, batch_format="pyarrow", concurrency=(1, 8))
-
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        keys = pc.unique(group["key"]).sort()
-        m = len(keys)
-        if m < 2:
-            return pa.table({"a": keys.slice(0, 0), "b": keys.slice(0, 0)})
-        ii, jj = np.triu_indices(m, k=1)
-        return pa.table({"a": keys.take(pa.array(ii)), "b": keys.take(pa.array(jj))})
-
-    candidates = _distinct_pairs(
-        band_rows.groupby(["band_id", "band_hash"]).map_groups(
-            _bucket_pairs, batch_format="pyarrow"
-        )
-    ).materialize()
-
-    def _keys(t: pa.Table) -> pa.Table:
-        return pa.table({"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])})
-
-    cand_keys = pa.array(
-        pd.unique(candidates.map_batches(_keys, batch_format="pyarrow").to_pandas()["key"])
+    band_rows = ds.map_batches(
+        _Bands, batch_format="pyarrow", concurrency=(1, _pool_max())
     )
-    if len(cand_keys) == 0:
-        return ds
-    keys_ref = ray.put(cand_keys)
+    candidates = lsh_candidate_pairs(
+        drop_singleton_buckets(band_rows, "band_id", "band_hash"),
+        "band_id",
+        "band_hash",
+    )
     params_a, params_b = minhash_params(num_perm)
 
-    def _sigs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
-        sigs = [
-            minhash_signature(char_shingles(v or "", shingle_k), params_a, params_b)
-            for v in t[text_col].to_pylist()
-        ]
-        return pa.table(
-            {
-                "key": t[key_col],
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
-
-    sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
+    def _sig(text: str) -> np.ndarray:
+        return minhash_signature(char_shingles(text, shingle_k), params_a, params_b)
 
     def _est_jaccard(s0: np.ndarray, s1: np.ndarray) -> float:
         return float(np.mean(s0 == s1))
 
-    verified = _verify_pairs_with_sigs(candidates, sigs_ds, _est_jaccard, threshold)
+    verified = _verify_candidates(
+        candidates, ds, text_col, key_col, _sig, _est_jaccard, threshold, verify
+    )
     drop = resolve_drop_keys(verified, components=components)
     return drop_keys_filter(ds, key_col, drop)
 
@@ -482,26 +610,50 @@ def simhash_dedup(
             }
         )
 
-    def _verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = group["key"].iloc[:0]
-        if len(group) < 2:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        rows = group.sort_values("key").drop_duplicates("key")
-        ks, hs = rows["key"].tolist(), rows["simhash"].tolist()
+    def _verify(group: pa.Table) -> pa.Table:
+        # 16-bit band values are low-entropy — same-language corpora
+        # pile thousands of docs into one bucket, so the Hamming
+        # verification is vectorized (chunked pairwise XOR + popcount
+        # LUT), never a Python pair loop
+        keys_arr = _concat(group["key"])
+        empty = keys_arr.slice(0, 0)
+        if group.num_rows < 2:
+            return pa.table({"a": empty, "b": empty})
+        df = (
+            pd.DataFrame(
+                {
+                    "key": keys_arr.to_pandas(),
+                    "simhash": _concat(group["simhash"]).to_pandas(),
+                }
+            )
+            .sort_values("key")
+            .drop_duplicates("key")
+        )
+        m = len(df)
+        if m < 2:
+            return pa.table({"a": empty, "b": empty})
+        ks = df["key"].to_numpy()
+        hs = df["simhash"].to_numpy().astype(np.uint64)
         out_a, out_b = [], []
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                if hamming64(int(hs[i]), int(hs[j])) <= max_hamming:
-                    out_a.append(ks[i])
-                    out_b.append(ks[j])
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=empty.dtype), "b": pd.Series(out_b, dtype=empty.dtype)}
+        for s in range(0, m, 2048):
+            x = hs[s : s + 2048, None] ^ hs[None, :]
+            ham = _POPCOUNT8[x.view(np.uint8).reshape(x.shape[0], m, 8)].sum(axis=2)
+            ii, jj = np.where(ham <= max_hamming)
+            keep = (ii + s) < jj  # strict upper triangle only
+            out_a.append(ks[ii[keep] + s])
+            out_b.append(ks[jj[keep]])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), type=keys_arr.type),
+                "b": pa.array(np.concatenate(out_b), type=keys_arr.type),
+            }
         )
 
+    band_rows = hashed.map_batches(_bands, batch_format="pyarrow")
     pairs_ds = (
-        hashed.map_batches(_bands, batch_format="pyarrow")
+        drop_singleton_buckets(band_rows, "band_id", "band_val")
         .groupby(["band_id", "band_val"])
-        .map_groups(_verify, batch_format="pandas")
+        .map_groups(_verify, batch_format="pyarrow")
     )
     drop = resolve_drop_keys(pairs_ds, components=components)
     return drop_keys_filter(ds, key_col, drop)
@@ -612,6 +764,7 @@ def ngram_jaccard_dedup(
     num_perm: int = 128,
     bands: int = 32,
     components: str = "auto",
+    verify: str = "auto",
 ) -> ray.data.Dataset:
     """Near-dup removal with *exact* word-n-gram Jaccard verification.
 
@@ -619,14 +772,15 @@ def ngram_jaccard_dedup(
     full text into every band row, band-fanout × document bytes):
 
     1. candidate generation: MinHash over word n-grams → SKINNY band
-       rows ``(key, band_id, band_hash)`` only → bucket groupby →
-       distinct candidate pairs (wide bands → high recall);
+       rows ``(key, band_id, band_hash)`` only → ``lsh_candidate_pairs``
+       (native aggregate for 2-row buckets, grouped expansion only for
+       ≥3-row cliques) → distinct candidate pairs (wide bands → high
+       recall);
     2. verification: hashed n-gram signature arrays (``word_ngrams``,
        uint64 — exact Jaccard modulo 64-bit collisions) are computed
-       only for candidate keys (broadcast semi-join on the
-       duplicate-bounded candidate set) and co-located with their
-       pairs via ``_verify_pairs_with_sigs`` — each signature crosses
-       the exchange once per pair, never once per band.
+       only for candidate keys and scored per pair
+       (``_verify_candidates``: driver numpy at duplicate-bounded
+       volume, union+groupby pair-join beyond).
 
     Exact pairwise only within LSH buckets — never all-pairs across
     the dataset; survivors via drop-set broadcast filter.
@@ -649,58 +803,30 @@ def ngram_jaccard_dedup(
                 {
                     "key": pa.array(keys, type=batch[key_col].type),
                     "band_id": pa.array(band_ids, type=pa.int32()),
-                    "band_hash": pa.array(band_hashes, type=pa.uint64()),
+                    "band_hash": pa.array(
+                        np.array(band_hashes, dtype=np.uint64).view(np.int64)
+                    ),
                 }
             )
 
     band_rows = ds.map_batches(
-        _NgramBands, batch_format="pyarrow", concurrency=(1, 8)
+        _NgramBands, batch_format="pyarrow", concurrency=(1, _pool_max())
+    )
+    candidates = lsh_candidate_pairs(
+        drop_singleton_buckets(band_rows, "band_id", "band_hash"),
+        "band_id",
+        "band_hash",
     )
 
-    def _bucket_pairs(group: pa.Table) -> pa.Table:
-        keys = pc.unique(group["key"]).sort()
-        m = len(keys)
-        if m < 2:
-            return pa.table({"a": keys.slice(0, 0), "b": keys.slice(0, 0)})
-        ii, jj = np.triu_indices(m, k=1)
-        return pa.table({"a": keys.take(pa.array(ii)), "b": keys.take(pa.array(jj))})
-
-    candidates = _distinct_pairs(
-        band_rows.groupby(["band_id", "band_hash"]).map_groups(
-            _bucket_pairs, batch_format="pyarrow"
-        )
-    )
-    candidates = candidates.materialize()  # reused: key set + verification
-
-    # candidate keys — duplicate-bounded — broadcast for the sig pass
-    def _keys(t: pa.Table) -> pa.Table:
-        return pa.table({"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])})
-
-    cand_keys = pa.array(
-        pd.unique(candidates.map_batches(_keys, batch_format="pyarrow").to_pandas()["key"])
-    )
-    if len(cand_keys) == 0:
-        return ds
-    keys_ref = ray.put(cand_keys)
-
-    def _sigs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
-        sigs = [
-            word_ngrams(v or "", n) for v in t[text_col].to_pylist()
-        ]
-        return pa.table(
-            {
-                "key": t[key_col],
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
-
-    sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
+    def _sig(text: str) -> np.ndarray:
+        return word_ngrams(text, n)
 
     def _jaccard(s0: np.ndarray, s1: np.ndarray) -> float:
         return ngram_jaccard(s0, s1, n)
 
-    verified = _verify_pairs_with_sigs(candidates, sigs_ds, _jaccard, threshold)
+    verified = _verify_candidates(
+        candidates, ds, text_col, key_col, _sig, _jaccard, threshold, verify
+    )
     drop = resolve_drop_keys(verified, components=components)
     return drop_keys_filter(ds, key_col, drop)
 

@@ -131,8 +131,8 @@ def test_nearest_resize_bounds_and_aspect(dims, max_dim):
     assert max(oh, ow) <= max(max_dim, 1)
     if max(h, w) <= max_dim:
         assert (oh, ow) == (h, w)  # no upscale, no-op
-    elif min(oh, ow) > 1:
-        # aspect preserved within integer truncation (the 1-pixel clamp
-        # on degenerate dims intentionally breaks aspect)
-        assert abs(oh / ow - h / w) <= 1.0
+    else:
+        # exact contract: truncated scale with a 1-pixel floor
+        scale = max_dim / max(h, w)
+        assert (oh, ow) == (max(1, int(h * scale)), max(1, int(w * scale)))
     assert oh <= h and ow <= w  # never upscales
