@@ -763,6 +763,7 @@ def incremental_pass(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 512,
     url_index=None,
+    plan_ranges: int | None = None,
 ) -> dict:
     """One incremental scan: process input files not yet covered by any
     committed partition (the reference's daemon-pass semantics,
@@ -811,6 +812,7 @@ def incremental_pass(
             concurrency=concurrency,
             batch_size=batch_size,
             prefilter=prefilter,
+            plan_ranges=plan_ranges,
         )
         if url_index is not None:
             # commit-then-mark: read back the committed partition's
