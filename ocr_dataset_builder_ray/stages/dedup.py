@@ -32,8 +32,6 @@ Scale invariants (10^12-doc design):
 
 from __future__ import annotations
 
-import logging
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -43,7 +41,6 @@ import ray.data
 
 from ..functions.hashing import (
     char_shingles,
-    hamming64,
     lsh_band_keys,
     md5_hex,
     minhash_params,
@@ -51,8 +48,6 @@ from ..functions.hashing import (
     simhash64,
     word_ngrams,
 )
-
-logger = logging.getLogger(__name__)
 
 
 # --- shared: pairs -> drop-set -> filter ------------------------------------
@@ -294,55 +289,6 @@ def exact_dedup(
 
 
 # --- minhash + LSH ---------------------------------------------------------
-
-
-class MinHashStage:
-    """Actor-pool stage: text → minhash signature (+ LSH band rows).
-
-    Permutation parameters are derived once per actor in ``__init__``
-    (A1 pattern); per batch it emits one row per (doc, band):
-    ``(key, band_id, band_hash, signature:binary)``.
-    """
-
-    def __init__(
-        self,
-        text_col: str,
-        key_col: str,
-        num_perm: int = 64,
-        bands: int = 16,
-        shingle_k: int = 5,
-    ) -> None:
-        self.text_col = text_col
-        self.key_col = key_col
-        self.bands = bands
-        self.shingle_k = shingle_k
-        self.a, self.b = minhash_params(num_perm)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        keys, band_ids, band_hashes, sigs = [], [], [], []
-        for key, text in zip(
-            batch[self.key_col].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            sig = minhash_signature(char_shingles(text or "", self.shingle_k), self.a, self.b)
-            blob = sig.tobytes()
-            for band_id, band_hash in lsh_band_keys(sig, self.bands):
-                keys.append(key)
-                band_ids.append(band_id)
-                band_hashes.append(band_hash)
-                sigs.append(blob)
-        return pa.table(
-            {
-                "key": pa.array(keys, type=batch[self.key_col].type),
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                # int64 REINTERPRET of the uint64 band hash: bijective
-                # (bucket identity preserved) and keeps native
-                # aggregates off the pandas big-int/object path
-                "band_hash": pa.array(
-                    np.array(band_hashes, dtype=np.uint64).view(np.int64)
-                ),
-                "signature": pa.array(sigs, type=pa.binary()),
-            }
-        )
 
 
 def lsh_candidate_pairs(
