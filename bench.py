@@ -257,6 +257,47 @@ def run_dedup_bench() -> dict:
             "survivors": survivors,
             "dropped": n_docs - survivors,
         }
+
+    # embedding family at volume (the testdata embeddings table is 500
+    # rows): planted near-dup vectors, bucketed cosine dedup + brute KNN
+    import numpy as np
+
+    from ocr_dataset_builder_ray.sources.documents import (
+        default_vecs_corpus_dir,
+        generate_embeddings_corpus,
+    )
+    from ocr_dataset_builder_ray.stages.dedup import embedding_dedup
+    from ocr_dataset_builder_ray.stages.similarity import knn_bruteforce
+
+    n_vecs = int(os.environ.get("GRAFT_DEDUP_VECS", str(n_docs)))
+    vcorpus = generate_embeddings_corpus(default_vecs_corpus_dir(n_vecs), n_vecs)
+
+    def _vread():
+        return ray.data.read_parquet(vcorpus)
+
+    n_base = int(n_vecs * 0.8)
+    t0 = time.monotonic()
+    survivors = embedding_dedup(
+        _vread(), "embedding", "vec_id", threshold=0.99, n_buckets=64
+    ).count()
+    sec = time.monotonic() - t0
+    results["embedding_dedup"] = {
+        "sec": round(sec, 2),
+        "docs_per_sec": round(n_vecs / sec, 1),
+        "survivors": survivors,
+        "dropped": n_vecs - survivors,
+        "planted_dups": n_vecs - n_base,
+    }
+    qdf = _vread().limit(3).to_pandas()
+    queries_m = np.stack([np.asarray(v) for v in qdf["embedding"]])
+    t0 = time.monotonic()
+    res = knn_bruteforce(_vread(), queries_m, k=10)
+    sec = time.monotonic() - t0
+    results["knn_bruteforce"] = {
+        "sec": round(sec, 2),
+        "vecs_per_sec": round(n_vecs / sec, 1),
+        "result_rows": len(res),
+    }
     out = {
         "metric": "near-dedup family over synthetic near-dup corpus",
         "value": results["minhash_lsh_dedup"]["sec"],

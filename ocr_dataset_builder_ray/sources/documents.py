@@ -129,3 +129,50 @@ def generate_documents_corpus(
 
 def default_docs_corpus_dir(n_docs: int, seed: int = 7) -> str:
     return f"/tmp/graft_docs/n{n_docs}_s{seed}_v3"
+
+
+def generate_embeddings_corpus(
+    out_dir: str,
+    n_vecs: int = 100_000,
+    *,
+    dim: int = 64,
+    seed: int = 11,
+    near_rate: float = 0.2,
+    rows_per_file: int = 25_000,
+) -> str:
+    """Deterministic (vec_id, embedding) table with planted near-dups:
+    base vectors are unit Gaussians; near-dups are a base plus tiny
+    noise (cosine ≥ ~0.999). Same layout contract as the documents
+    corpus."""
+    import numpy as np
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_base = int(n_vecs * (1 - near_rate))
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n_base, dim))
+    idx = (np.arange(n_base, n_vecs, dtype=np.int64) * _KNUTH) % n_base
+    near = base[idx] + 0.01 * rng.standard_normal((n_vecs - n_base, dim))
+    vecs = np.vstack([base, near])
+    for k, s in enumerate(range(0, n_vecs, rows_per_file)):
+        chunk = vecs[s : s + rows_per_file]
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(s, s + len(chunk)), pa.int64()),
+                    "embedding": pa.array(
+                        [row.tolist() for row in chunk], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            os.path.join(out_dir, f"embeddings-{k:05d}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write(f"n_vecs={n_vecs} dim={dim} seed={seed} near={near_rate}\n")
+    return out_dir
+
+
+def default_vecs_corpus_dir(n_vecs: int, seed: int = 11) -> str:
+    return f"/tmp/graft_vecs/n{n_vecs}_s{seed}_v1"
