@@ -83,6 +83,7 @@ def _cmd_daemon(args: argparse.Namespace) -> int:
         files_per_partition=args.files_per_partition,
         dedup=not args.no_dedup,
         url_index=url_index,
+        plan_ranges=args.plan_ranges,
     )
     print(json.dumps(results))
     return 0
@@ -167,6 +168,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--cross-pass-dedup",
         action="store_true",
         help="first-seen-wins url dedup across passes (seen-url index actors)",
+    )
+    d.add_argument(
+        "--plan-ranges",
+        type=int,
+        default=None,
+        help="url-hash ranges for winner planning (bounds driver memory)",
     )
     d.set_defaults(fn=_cmd_daemon)
 
