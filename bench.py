@@ -163,15 +163,25 @@ def run_scaling() -> dict:
     # cluster would not — each node brings its own memory system. The
     # 8 -> 32 pair can be selected via GRAFT_SCALE_LO/HI; BASELINE.md
     # reports both with the bandwidth analysis.
+    #
+    # Noise protocol: the host shows ±20% multi-minute interference
+    # windows (identical fresh-process runs of the same job measured
+    # 12.8-26.4 s this session). Running all lo-CPU reps then all
+    # hi-CPU reps lets one window bias a whole leg (observed
+    # efficiencies 0.59-1.15 on identical code). Instead run
+    # INTERLEAVED (lo, hi) pairs — each pair temporally adjacent in
+    # fresh processes — compute per-pair efficiency, and report the
+    # MEDIAN pair; byte-identity is asserted across every run.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    results = {}
-    for ncpu in (lo, hi):
+    pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+
+    def _one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
-            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"),
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "1"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -181,22 +191,32 @@ def run_scaling() -> dict:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+        return json.loads(out.strip().splitlines()[-1])
+
+    runs = [( _one(lo), _one(hi) ) for _ in range(max(1, pairs))]
+    effs = sorted(
+        (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+        for r_lo, r_hi in runs
+    )
+    eff = effs[len(effs) // 2]  # median pair
+    checksums = {r["output_checksum"] for pair in runs for r in pair}
+    best_lo = min((r_lo for r_lo, _ in runs), key=lambda r: r["value"])
+    best_hi = min((r_hi for _, r_hi in runs), key=lambda r: r["value"])
     return {
         "metric": f"extraction throughput scaling (N={lo} -> 4N={hi} CPUs)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        f"sec_{lo}": results[lo]["value"],
-        f"sec_{hi}": results[hi]["value"],
-        f"docs_per_sec_{lo}": results[lo]["docs_per_sec"],
-        f"docs_per_sec_{hi}": results[hi]["docs_per_sec"],
-        "pages": results[hi]["pages"],
+        f"sec_{lo}": best_lo["value"],
+        f"sec_{hi}": best_hi["value"],
+        f"docs_per_sec_{lo}": best_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": best_hi["docs_per_sec"],
+        "pair_efficiencies": [round(e, 3) for e in effs],
+        "pages": best_hi["pages"],
         "scaling_efficiency": round(eff, 3),
-        "byte_identical": results[lo]["output_checksum"] == results[hi]["output_checksum"],
-        "output_checksum": results[hi]["output_checksum"],
+        "byte_identical": len(checksums) == 1,
+        "output_checksum": best_hi["output_checksum"],
     }
 
 
