@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "q27_top_orders_per_segment",
     "q29_nation_revenue",
     "q30_top_event_per_type",
+    "q19_minhash_dedup",
+    "q42_model_call_costs",
 ]
 
 # pages-corpus size per sf tag (sized so fixed costs — session spin-up,
