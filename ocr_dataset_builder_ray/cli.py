@@ -60,8 +60,6 @@ def _cmd_extract(args: argparse.Namespace) -> int:
 
 def _cmd_daemon(args: argparse.Namespace) -> int:
     _ensure_ray()
-    import os
-
     from .pipelines.extraction import run_daemon
 
     url_index = None

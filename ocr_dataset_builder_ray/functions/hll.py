@@ -79,7 +79,6 @@ def approx_distinct(ds, value_col: str, group_col: str, p: int = 14):
     Returns a pandas DataFrame (group_col, approx_distinct).
     """
     import pandas as pd_  # local alias, clarity with module-level pd
-    import pyarrow as pa
 
     def _partial(df: pd_.DataFrame) -> pd_.DataFrame:
         out = []

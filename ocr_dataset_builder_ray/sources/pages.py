@@ -30,7 +30,6 @@ from __future__ import annotations
 import os
 import random
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 

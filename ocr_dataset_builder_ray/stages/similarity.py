@@ -17,7 +17,6 @@ import heapq
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 import ray
 import ray.data
