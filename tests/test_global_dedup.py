@@ -134,6 +134,24 @@ def test_plan_global_winners_range_scoped(ray_session, tmp_path, cross_partition
     assert len(full) > 0
 
 
+def test_ranged_planning_through_partitioned_run(ray_session, tmp_path, cross_partition_corpus):
+    """plan_ranges + global_dedup composed through the runner equals the
+    unranged run byte-for-byte."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_partitioned_extraction(
+        cross_partition_corpus, out_a, num_partitions=2, global_dedup=True
+    )
+    run_partitioned_extraction(
+        cross_partition_corpus,
+        out_b,
+        num_partitions=2,
+        global_dedup=True,
+        plan_ranges=3,
+    )
+    assert _url_ts(out_a).equals(_url_ts(out_b))
+
+
 def test_partition_range_slicing(ray_session, tmp_path, cross_partition_corpus):
     """Manual multi-driver sharding: disjoint partition ranges against
     one out dir compose into a complete, resumable run."""
