@@ -285,8 +285,17 @@ def q09_union_extremes(sf_dir: str) -> pd.DataFrame:
 
 
 def q10_customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti join via broadcast key set (J3 checkpoint anti-join graft)."""
-    orders = _small_pdf(sf_dir, "orders", ["o_custkey"])
+    """Anti join via broadcast key set (J3 checkpoint anti-join graft).
+
+    The anti-joined side is orders above 300000 total price — at this
+    data's order/customer ratio every customer has SOME order, so an
+    unfiltered anti-join is empty at every sf and the oracle would
+    pass vacuously (VERDICT r2 "What's wrong" #1); the high-value
+    restriction leaves a real gap (3 customers at sf0.001, 30 at
+    sf0.01) that the gate value-checks.
+    """
+    orders = _small_pdf(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders[orders["o_totalprice"] > 300000.0]
     have = ray.put(pa.array(orders["o_custkey"].unique()))
 
     def _anti(t: pa.Table) -> pa.Table:
@@ -527,7 +536,11 @@ def q23_embedding_dedup(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_dedup
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    kept = embedding_dedup(ds, "embedding", "vec_id", threshold=0.95, n_buckets=8)
+    # n_buckets=1 is the exact form — the oracle is exact pairwise SQL,
+    # and hyperplane bucketing (approximate by design) would make the
+    # gate seed-dependent (ADVICE r2). The bucketed scale path is
+    # exercised with recall accounting in bench --dedup and tests.
+    kept = embedding_dedup(ds, "embedding", "vec_id", threshold=0.95, n_buckets=1)
     return (
         kept.select_columns(["vec_id"]).to_pandas().sort_values("vec_id").reset_index(drop=True)
     )
@@ -887,6 +900,11 @@ def q38_native_hash_join(sf_dir: str) -> pd.DataFrame:
     hash-join aggregator fails on hash partitions that received zero
     blocks, which a selective pre-join filter readily produces; at real
     scale the filter would be pushed below the join once that is fixed.
+
+    Threshold 400000 yields ~2% of orders at every sf (298 rows at
+    sf0.001, ~3k at sf0.01) so the oracle compares real joined rows —
+    the round-2 threshold of 500000 matched nothing and the gate
+    passed vacuously (VERDICT r2 "What's wrong" #1).
     """
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
@@ -899,7 +917,7 @@ def q38_native_hash_join(sf_dir: str) -> pd.DataFrame:
     )
     res = (
         j.map_batches(
-            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(500000.0))),
+            lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(400000.0))),
             batch_format="pyarrow",
         )
         .select_columns(["o_orderkey", "c_name"])
@@ -1234,7 +1252,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q10_customers_without_orders": """
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        )
         ORDER BY c_custkey
     """,
     "q11_parts_in_lineitem": """
@@ -1342,7 +1362,7 @@ ORACLE_SQL: dict[str, str] = {
     "q38_native_hash_join": """
         SELECT o_orderkey, c_name
         FROM orders JOIN customer ON o_custkey = c_custkey
-        WHERE o_totalprice > 500000
+        WHERE o_totalprice > 400000
         ORDER BY o_orderkey
     """,
     "q39_user_event_seq": """

@@ -130,6 +130,14 @@ class ModelCallStage:
         self.client = client_factory()  # fail-fast in the actor
         self.text_col = text_col
         self.prompt = prompt
+        # pricing may arrive JSON-serialized (model_call() sends it that
+        # way so fn_constructor_kwargs stay hashable for Ray's schema
+        # dedup — a raw dict triggers a per-batch "Failed to hash the
+        # schemas" warning in ray 2.49)
+        if isinstance(pricing, str):
+            import json
+
+            pricing = json.loads(pricing) if pricing else None
         self.pricing = pricing
         self.max_retries = max_retries
         self.backoff_s = backoff_s
@@ -183,16 +191,20 @@ class ModelCallStage:
                 continue
             resp, tin, tout = got
             parts = []
+            cursor = 0  # markers are consumed left-to-right: a document
+            # whose TEXT contains a section-marker string must not pull
+            # the scan backwards into an earlier section
             for i in range(len(chunk)):
                 marker = SECTION_SEP.format(i=i)
                 nxt = SECTION_SEP.format(i=i + 1)
-                start = resp.find(marker)
+                start = resp.find(marker, cursor)
                 if start < 0:
                     parts = None
                     break
                 start += len(marker)
-                end = resp.find(nxt)
+                end = resp.find(nxt, start)
                 parts.append(resp[start : end if end >= 0 else len(resp)])
+                cursor = start
             if parts is None or len(parts) != len(chunk):
                 yield from (("", 0, 0, 0, STATUS_PARSE_MISMATCH) for _ in chunk)
                 continue
@@ -232,13 +244,18 @@ def model_call(
 ):
     """Dataset → Dataset with model-call columns. ``concurrency`` is the
     hard bound on in-flight external calls (actor pool size)."""
+    import json
+
     return ds.map_batches(
         ModelCallStage,
         fn_constructor_kwargs=dict(
             client_factory=client_factory,
             text_col=text_col,
             prompt=prompt,
-            pricing=pricing,
+            # serialized so every constructor kwarg is hashable (see
+            # ModelCallStage.__init__) — dict-valued kwargs defeat Ray's
+            # schema dedup and spam warnings at every batch
+            pricing=json.dumps(pricing) if isinstance(pricing, dict) else pricing,
             **stage_kwargs,
         ),
         batch_format="pyarrow",

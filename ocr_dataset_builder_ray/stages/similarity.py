@@ -128,7 +128,19 @@ def knn_ivf(
     3. exact cosine within the probed subset, same partial-top-k merge
        as brute force.
     """
-    sample_rows = ds.limit(train_sample).to_pandas()
+    # seeded whole-dataset sample, not ds.limit(): the first blocks of
+    # a sorted/partitioned corpus are not representative and centroids
+    # trained on them probe the wrong buckets (VERDICT r2 finding #4);
+    # count() on a parquet read is metadata-only, and the sample that
+    # reaches the driver stays ≤ ~train_sample rows either way
+    n_total = ds.count()
+    if n_total > train_sample:
+        frac = train_sample / n_total
+        sample_rows = ds.random_sample(frac, seed=seed).to_pandas()
+        if len(sample_rows) == 0:  # pathological tiny-fraction draw
+            sample_rows = ds.limit(train_sample).to_pandas()
+    else:
+        sample_rows = ds.limit(train_sample).to_pandas()
     sample = _normalize(_as_matrix(sample_rows[vec_col]))
     cents = _normalize(_kmeans_centroids(sample, n_centroids, seed=seed))
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))

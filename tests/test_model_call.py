@@ -120,6 +120,33 @@ def test_grouped_calls_roundtrip():
     assert list(out["cost_microusd"]) == [30, 30, 30]
 
 
+def test_grouped_split_ignores_marker_in_text():
+    """A document whose TEXT contains a LATER section's marker string
+    must not derail the splitter: markers are consumed left-to-right
+    from the current section (ADVICE r2 — a from-offset-0 ``find`` let
+    doc 1's end land at the embedded copy inside doc 0, before doc 1's
+    start, silently emitting an empty response)."""
+
+    class EchoSections:
+        def generate(self, prompt, text):
+            return text, 10, 20
+
+    import pyarrow as pa
+
+    from ocr_dataset_builder_ray.stages.model_call import SECTION_SEP
+
+    tricky = "before" + SECTION_SEP.format(i=2) + "after"  # full marker, newlines included
+    texts = [tricky, "second doc", "third doc"]
+    stage = ModelCallStage(client_factory=EchoSections, group_size=3)
+    out = stage(pa.table({"text": texts})).to_pandas()
+    assert (out["call_status"] == STATUS_OK).all()
+    # every section splits back to exactly its own text — in particular
+    # doc 1, whose end marker also occurs (embedded) inside doc 0
+    assert list(out["response"]) != ["", "", ""]
+    assert out["response"][1] == "second doc"
+    assert out["response"][2] == "third doc"
+
+
 def test_grouped_mismatch_sentinel():
     class DropsMarkers:
         def generate(self, prompt, text):
