@@ -320,6 +320,8 @@ def run_dedup_bench() -> dict:
         "vecs_per_sec": round(n_vecs / sec, 1),
         "result_rows": len(res),
     }
+    results["hot_bucket"] = _hot_bucket_kernels()
+
     out = {
         "metric": "near-dedup family over synthetic near-dup corpus",
         "value": results["minhash_lsh_dedup"]["sec"],
@@ -332,10 +334,176 @@ def run_dedup_bench() -> dict:
     return out
 
 
+_HOT_BUCKET_SCRIPT = r"""
+import json, resource, sys, time
+import numpy as np
+from ocr_dataset_builder_ray.stages.dedup import (
+    _simhash_bucket_pairs, _cosine_pairs_recursive, _BUCKET_PAIR_CAP)
+
+mode, m = sys.argv[1], int(sys.argv[2])
+rng = np.random.RandomState(11)
+out = {"mode": mode, "rows": m}
+if mode == "simhash":
+    # every row shares band 0's 16-bit value (one deliberately hot
+    # bucket); plant near-dup pairs within hamming<=3
+    base = rng.randint(0, 2**63, size=m, dtype=np.int64).astype(np.uint64)
+    band_val = np.uint64(0xBEEF)
+    hs = (base & ~np.uint64(0xFFFF)) | band_val
+    n_plant = min(2000, m // 4)
+    for i in range(n_plant):  # row 2i+1 = row 2i with one flipped bit (17..63)
+        hs[2*i + 1] = hs[2*i] ^ (np.uint64(1) << np.uint64(17 + (i % 47)))
+    ks = np.arange(m, dtype=np.int64)
+    free = np.array([b for b in range(64) if b >= 16], dtype=np.int64)
+    t0 = time.monotonic()
+    a, b = _simhash_bucket_pairs(ks, hs, free, 3)
+    sec = time.monotonic() - t0
+    found = set(zip(a.tolist(), b.tolist()))
+    planted = {(2*i, 2*i+1) for i in range(n_plant)}
+    out.update(sec=round(sec, 2), pairs=len(found),
+               planted=n_plant, planted_recall=round(len(planted & found)/n_plant, 4))
+else:
+    dim = 64
+    base = rng.standard_normal((m, dim))
+    n_plant = min(2000, m // 4)
+    for i in range(n_plant):  # row 2i+1 = near-identical copy of row 2i
+        base[2*i + 1] = base[2*i] + 0.02 * rng.standard_normal(dim)
+    nm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    ks = np.arange(m, dtype=np.int64)
+    threshold = 0.99
+    t0 = time.monotonic()
+    oa, ob = [], []
+    _cosine_pairs_recursive(ks, nm, threshold, 42, 0, oa, ob)
+    sec = time.monotonic() - t0
+    import pandas as pd
+    pairs = pd.DataFrame({"a": np.concatenate(oa) if oa else ks[:0],
+                          "b": np.concatenate(ob) if ob else ks[:0]}).drop_duplicates()
+    found = set(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+    planted = {(2*i, 2*i+1) for i in range(n_plant)}
+    out.update(sec=round(sec, 2), pairs=len(found),
+               planted=n_plant, planted_recall=round(len(planted & found)/n_plant, 4))
+out["peak_rss_mb"] = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+print(json.dumps(out))
+"""
+
+
+def _hot_bucket_kernels() -> dict:
+    """One deliberately hot LSH bucket per family (VERDICT r2 #1 done
+    criterion): every row shares a band value, so the whole input is
+    ONE bucket — the in-bucket kernels must stay memory-bounded (tiled
+    pairwise + recursive splitting) instead of allocating O(m^2).
+    Each case runs in a fresh subprocess so peak RSS is the kernel's
+    own high-water mark."""
+    m = int(os.environ.get("GRAFT_HOT_BUCKET", "200000"))
+    out = {}
+    for mode in ("simhash", "embedding"):
+        res = subprocess.run(
+            [sys.executable, "-c", _HOT_BUCKET_SCRIPT, mode, str(m)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[mode] = json.loads(res.stdout.strip().splitlines()[-1])
+    return out
+
+
+def run_skew_bench() -> dict:
+    """Heavy-tailed corpus: the standard pages corpus plus a shard of
+    multi-MB html blobs (a few giant template pages), run through the
+    flagship with and without ``size_split`` (VERDICT r2 #8 — the skew
+    path existed but the bench never exercised it). Reports both wall
+    times and the per-task straggler ceiling from ds.stats()."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_SKEW_PAGES", "100000"))
+    n_heavy = int(os.environ.get("GRAFT_SKEW_HEAVY", "24"))
+    heavy_mb = int(os.environ.get("GRAFT_SKEW_HEAVY_MB", "8"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_dataset_builder_ray.pipelines.extraction import extraction_pipeline
+    from ocr_dataset_builder_ray.sources.pages import (
+        default_corpus_dir,
+        generate_pages_corpus,
+        pages_parquet_files,
+    )
+
+    corpus = generate_pages_corpus(default_corpus_dir(n_pages), n_rows=n_pages)
+    files = list(pages_parquet_files(corpus))
+    heavy_dir = f"/tmp/graft_heavy_n{n_heavy}_mb{heavy_mb}"
+    heavy_file = os.path.join(heavy_dir, "pages-heavy.parquet")
+    if not os.path.exists(heavy_file):
+        os.makedirs(heavy_dir, exist_ok=True)
+        para = (
+            b"<p>A deliberately enormous template page whose body repeats a "
+            b"long paragraph of plausible prose to exercise the oversized-"
+            b"blob route of the extraction pipeline at multi megabyte scale.</p>"
+        )
+        body = para * (heavy_mb * 1024 * 1024 // len(para))
+        rows = {
+            "url": [f"https://heavy.example/giant/{i}" for i in range(n_heavy)],
+            "warc_ts": pa.array([1_700_000_000_000_000 + i for i in range(n_heavy)], pa.timestamp("us")),
+            "html": [b"<html><body>" + body + b"</body></html>"] * n_heavy,
+            "text": [""] * n_heavy,
+            "lang": ["en"] * n_heavy,
+        }
+        pq.write_table(pa.table(rows), heavy_file)
+    files_heavy = files + [heavy_file]
+
+    extraction_pipeline(files[: max(1, len(files) // 16)]).count()  # warm pool
+
+    def _run(size_split: bool) -> dict:
+        t0 = time.monotonic()
+        ds = extraction_pipeline(files_heavy, size_split=size_split)
+        n = ds.count()
+        sec = time.monotonic() - t0
+        # straggler ceiling: max block wall time of the extract stage
+        import re as _re
+
+        stats = ds.stats()
+        maxes = _re.findall(r"max:\s*([0-9.]+)s", stats)
+        return {
+            "sec": round(sec, 2),
+            "rows": n,
+            "max_block_s": max((float(x) for x in maxes), default=None),
+        }
+
+    plain = _run(False)
+    split = _run(True)
+    out = {
+        "metric": "flagship on heavy-tailed corpus (size_split off vs on)",
+        "value": split["sec"],
+        "unit": "sec",
+        "num_cpus": ncpu,
+        "pages": n_pages,
+        "heavy_rows": n_heavy,
+        "heavy_mb": heavy_mb,
+        "no_split": plain,
+        "size_split": split,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--dedup" in sys.argv:
         print(json.dumps(run_dedup_bench()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew_bench()))
     else:
         print(json.dumps(run_bench()))

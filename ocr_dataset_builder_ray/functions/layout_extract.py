@@ -21,11 +21,12 @@ heuristics — no ML, no external PDF library:
    NFC kernel as the HTML path, and emit the same
    ``extracted_text/spans/status`` layout (span kind ``pdf_paragraph``).
 
-Real PDF *decoding* (bytes → positioned lines) needs a PDF parser that
-is not available in this environment; ``decode_pdf_lines`` is the
-stubbed seam (STATUS_PDF_DECODE_UNAVAILABLE), while the deterministic
-``FAKE-PDF`` textual container below exercises the full layout path in
-tests and benchmarks.
+Real PDF *decoding* (bytes → positioned lines) is handled library-free
+by ``functions/pdf_decode.py`` for the uncompressed/FlateDecode
+text-object profile; PDFs outside that profile soft-fail with
+STATUS_PDF_DECODE_UNAVAILABLE (M5), and the deterministic ``FAKE-PDF``
+textual container below exercises the full layout path in tests and
+benchmarks.
 """
 
 from __future__ import annotations
@@ -51,9 +52,13 @@ MIN_COLUMN_OVERLAP = 0.5
 def decode_pdf_lines(payload: bytes) -> list[dict]:
     """bytes → positioned text lines.
 
-    Real `%PDF-` payloads require a parser (pdfminer/poppler) that is
-    not installed here — that path is the documented stub. The
-    `%FAKE-PDF` container decodes deterministically.
+    Real `%PDF-` payloads parse library-free for the
+    uncompressed/FlateDecode text-object profile
+    (``functions/pdf_decode.py``); out-of-profile PDFs (DCT/CCITT
+    filters, CMap encodings, xref streams with predictors) surface as
+    NotImplementedError, which ``extract_pdf_document`` soft-fails to
+    the STATUS_PDF_DECODE_UNAVAILABLE sentinel per M5. The `%FAKE-PDF`
+    container decodes deterministically.
     """
     if payload.startswith(FAKE_PDF_MAGIC):
         lines = []
@@ -62,10 +67,14 @@ def decode_pdf_lines(payload: bytes) -> list[dict]:
                 lines.append(json.loads(raw))
         return lines
     if payload.startswith(PDF_MAGIC):
-        raise NotImplementedError(
-            "real PDF decoding requires a PDF parser (pdfminer/poppler); "
-            "not available in this environment"
-        )
+        from .pdf_decode import UnsupportedPdfError, decode_real_pdf_lines
+
+        try:
+            return decode_real_pdf_lines(payload)
+        except UnsupportedPdfError as e:
+            raise NotImplementedError(
+                f"PDF outside the minimal supported profile: {e}"
+            ) from e
     raise ValueError("not a PDF payload")
 
 

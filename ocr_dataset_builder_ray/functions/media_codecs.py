@@ -9,11 +9,15 @@ numpy and the stdlib:
 * netpbm P6 (binary RGB) / P5 (binary grayscale) — header + raw bytes;
 * BMP (BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB) — fixed
   headers + 4-byte-padded bottom-up rows;
-* WAV (PCM) — stdlib ``wave``.
+* WAV (PCM) — stdlib ``wave``;
+* PNG (8-bit non-interlaced; DEFLATE via stdlib ``zlib`` + numpy
+  unfilter) — ``png_codec.py``, the reference's actual frame format
+  (video/processing.py:223-245).
 
 These back ``DecodeMedia(fake=False)``: a *real* decode → resize path
-for real payloads, with compressed formats (PNG/JPEG) still failing
-soft per M5 (unknown-codec rows are flagged, never raised on).
+for real payloads, with JPEG (needs a DCT codec this container lacks)
+still failing soft per M5 (unknown-codec rows are flagged, never
+raised on).
 """
 
 from __future__ import annotations
@@ -29,9 +33,12 @@ class UnsupportedMediaError(ValueError):
 
 
 def sniff_media_format(payload: bytes) -> str | None:
-    """'ppm' | 'pgm' | 'bmp' | 'wav' | None (unknown/compressed)."""
+    """'png' | 'ppm' | 'pgm' | 'bmp' | 'wav' | None (unknown — e.g.
+    JPEG, which genuinely needs a DCT codec this container lacks)."""
     if not payload:
         return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":

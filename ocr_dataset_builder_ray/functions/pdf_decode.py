@@ -1,0 +1,421 @@
+"""Minimal real-PDF text extraction: ``%PDF-`` bytes → positioned lines.
+
+The flagship dispatcher routes PDF payloads to the layout extractor
+(``layout_extract.extract_pdf_document``), whose geometry heuristics
+need ``{"page", "x0", "y0", "x1", "y1", "text"}`` line boxes — what
+pdftotext/pdfminer would emit. This module produces those boxes for
+the profile VERDICT r2 names (missing #2): uncompressed or FlateDecode
+content streams with standard text objects. No external PDF library;
+zlib is stdlib.
+
+Supported surface (everything else raises UnsupportedPdfError, which
+the layout extractor soft-fails per M5):
+
+* classic cross-reference PDFs — objects located by scanning for
+  ``N G obj`` ... ``endobj`` (no xref table walk: fixtures and the vast
+  majority of linearized single-revision files resolve identically,
+  and a scan survives mildly damaged xrefs that would kill a strict
+  parser);
+* content streams stored uncompressed or with ``/FlateDecode`` (no
+  predictors);
+* text operators: BT/ET blocks, Tm/Td/TD/T*/TL positioning, Tf size
+  tracking, Tj / ' / " and TJ (kern offsets ignored) show operators,
+  literal ``(...)`` strings with escapes + octal and hex ``<...>``
+  strings, latin-1 byte semantics (no CMap/ToUnicode — embedded-font
+  custom encodings are out of scope);
+* page attribution via ``/Type /Page`` objects' ``/Contents``
+  references, in object order; content streams referenced by no page
+  object land on page 0 (fixture-friendly fallback).
+
+Each Tj-style show op emits one line box at the current text-space
+position; x1 approximates width as ``0.5 × size`` per character —
+enough for the column-overlap clustering the layout extractor runs,
+exact metrics would need font programs.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+
+class UnsupportedPdfError(ValueError):
+    """PDF uses features outside the minimal supported profile."""
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+# a content-dict token like /Filter /FlateDecode or /Filter[/FlateDecode]
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
+_ANY_FILTER_RE = re.compile(rb"/Filter")
+_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+
+
+def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """→ {obj_num: (dict_and_body_bytes, stream_bytes_or_None)}."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(payload):
+        num = int(m.group(1))
+        end = payload.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        body = payload[m.end() : end]
+        stream = None
+        sm = _STREAM_RE.search(body)
+        if sm:
+            se = body.find(b"endstream", sm.end())
+            if se < 0:
+                raise UnsupportedPdfError("unterminated stream")
+            stream = body[sm.end() : se]
+            # trailing EOL before endstream is not stream data
+            if stream.endswith(b"\r\n"):
+                stream = stream[:-2]
+            elif stream.endswith(b"\n") or stream.endswith(b"\r"):
+                stream = stream[:-1]
+            body = body[: sm.start()]
+        objects[num] = (body, stream)
+    if not objects:
+        raise UnsupportedPdfError("no PDF objects found")
+    return objects
+
+
+def _decode_stream(head: bytes, stream: bytes) -> bytes:
+    if _FLATE_RE.search(head):
+        try:
+            return zlib.decompress(stream)
+        except zlib.error as e:
+            raise UnsupportedPdfError(f"bad FlateDecode stream: {e}") from e
+    if _ANY_FILTER_RE.search(head):
+        raise UnsupportedPdfError("only /FlateDecode or unfiltered streams supported")
+    return stream
+
+
+def _unescape_literal(raw: bytes) -> str:
+    """PDF literal-string body (between parens) → text, latin-1 bytes."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        e = raw[i]
+        if e in b"nrtbf":
+            out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+            i += 1
+        elif e in b"()\\":
+            out.append(e)
+            i += 1
+        elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+            oct_digits = bytearray()
+            while i < n and len(oct_digits) < 3 and 0x30 <= raw[i] <= 0x37:
+                oct_digits.append(raw[i])
+                i += 1
+            out.append(int(oct_digits.decode(), 8) & 0xFF)
+        elif e in (10, 13):  # line continuation
+            i += 1
+            if e == 13 and i < n and raw[i] == 10:
+                i += 1
+        else:
+            out.append(e)
+            i += 1
+    return out.decode("latin-1")
+
+
+def _tokenize_content(data: bytes):
+    """Content-stream tokens: ('str', text) | ('num', float) |
+    ('name', bytes) | ('op', bytes) | ('arr_open'/'arr_close', None)."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"%":  # comment to EOL
+            while i < n and data[i] not in (10, 13):
+                i += 1
+        elif c == b"(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                cj = data[j]
+                if cj == 0x5C:
+                    j += 2
+                    continue
+                if cj == 0x28:
+                    depth += 1
+                elif cj == 0x29:
+                    depth -= 1
+                j += 1
+            yield ("str", _unescape_literal(data[i + 1 : j - 1]))
+            i = j
+        elif c == b"<" and data[i : i + 2] != b"<<":
+            j = data.find(b">", i)
+            if j < 0:
+                raise UnsupportedPdfError("unterminated hex string")
+            hx = re.sub(rb"\s", b"", data[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+            i = j + 1
+        elif data[i : i + 2] == b"<<":
+            yield ("op", b"<<")
+            i += 2
+        elif data[i : i + 2] == b">>":
+            yield ("op", b">>")
+            i += 2
+        elif c == b"[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == b"]":
+            yield ("arr_close", None)
+            i += 1
+        elif c == b"/":
+            j = i + 1
+            while j < n and data[j : j + 1] not in b" \t\r\n()<>[]{}/%" :
+                j += 1
+            yield ("name", data[i + 1 : j])
+            i = j
+        else:
+            m = _NUM_RE.match(data, i)
+            if m and m.start() == i:
+                yield ("num", float(m.group()))
+                i = m.end()
+            else:
+                j = i
+                while j < n and data[j : j + 1] not in b" \t\r\n()<>[]{}/%" :
+                    j += 1
+                if j == i:
+                    i += 1  # stray delimiter
+                    continue
+                yield ("op", data[i:j])
+                i = j
+
+
+def _extract_stream_lines(data: bytes, page: int) -> list[dict]:
+    """One decoded content stream → positioned line boxes."""
+    lines: list[dict] = []
+    in_text = False
+    # text state: tm holds (a b c d e f); we track only e,f (translation)
+    # and approximate glyph size from Tf / Tm d-scale
+    x = y = 0.0
+    line_x = line_y = 0.0
+    size = 12.0
+    leading = 0.0
+    stack: list = []  # operand accumulator
+    in_array = 0
+    arr_strings: list[str] = []
+
+    def _emit(text: str) -> None:
+        nonlocal x
+        if text:
+            w = 0.5 * size * len(text)
+            lines.append(
+                {
+                    "page": page,
+                    "x0": round(x, 2),
+                    "y0": round(y, 2),
+                    "x1": round(x + w, 2),
+                    "y1": round(y + size, 2),
+                    "text": text,
+                }
+            )
+            x += w
+
+    def _newline() -> None:
+        nonlocal x, y, line_x, line_y
+        line_y -= leading if leading else size * 1.2
+        x, y = line_x, line_y
+
+    for kind, val in _tokenize_content(data):
+        if kind == "arr_open":
+            in_array += 1
+            arr_strings = []
+            continue
+        if kind == "arr_close":
+            in_array = max(0, in_array - 1)
+            stack.append(("arr", "".join(arr_strings)))
+            continue
+        if in_array:
+            if kind == "str":
+                arr_strings.append(val)
+            continue  # kern numbers ignored
+        if kind in ("num", "str", "name", "arr"):
+            stack.append((kind, val))
+            continue
+        op = val
+        if op == b"BT":
+            in_text = True
+            x = y = line_x = line_y = 0.0
+            stack.clear()
+        elif op == b"ET":
+            in_text = False
+            stack.clear()
+        elif not in_text:
+            stack.clear()
+        elif op == b"Tf":
+            if stack and stack[-1][0] == "num":
+                size = float(stack[-1][1]) or size
+            stack.clear()
+        elif op == b"TL":
+            if stack and stack[-1][0] == "num":
+                leading = float(stack[-1][1])
+            stack.clear()
+        elif op in (b"Td", b"TD"):
+            if len(stack) >= 2 and stack[-1][0] == "num" and stack[-2][0] == "num":
+                tx, ty = float(stack[-2][1]), float(stack[-1][1])
+                line_x += tx
+                line_y += ty
+                x, y = line_x, line_y
+                if op == b"TD":
+                    leading = -ty
+            stack.clear()
+        elif op == b"Tm":
+            nums = [v for k, v in stack if k == "num"]
+            if len(nums) >= 6:
+                # only the translation (e, f) matters for line boxes;
+                # scale/rotation would need full matrix tracking
+                e, f = nums[-2], nums[-1]
+                line_x, line_y = e, f
+                x, y = e, f
+            stack.clear()
+        elif op == b"T*":
+            _newline()
+            stack.clear()
+        elif op == b"Tj":
+            if stack and stack[-1][0] == "str":
+                _emit(stack[-1][1])
+            stack.clear()
+        elif op == b"'":
+            _newline()
+            if stack and stack[-1][0] == "str":
+                _emit(stack[-1][1])
+            stack.clear()
+        elif op == b'"':
+            _newline()
+            if stack and stack[-1][0] == "str":
+                _emit(stack[-1][1])
+            stack.clear()
+        elif op == b"TJ":
+            if stack and stack[-1][0] == "arr":
+                _emit(stack[-1][1])
+            stack.clear()
+        else:
+            # any other operator consumes its operands
+            stack.clear()
+    return lines
+
+
+def decode_real_pdf_lines(payload: bytes) -> list[dict]:
+    """``%PDF-`` bytes → positioned text lines for the layout extractor.
+
+    Raises UnsupportedPdfError outside the supported profile (the
+    caller soft-fails per M5)."""
+    if not payload.startswith(b"%PDF-"):
+        raise UnsupportedPdfError("not a %PDF- payload")
+    objects = _parse_objects(payload)
+
+    # page attribution: /Type /Page objects in object-number order
+    page_of_stream: dict[int, int] = {}
+    page_idx = 0
+    for num in sorted(objects):
+        body, _ = objects[num]
+        if _PAGE_RE.search(body):
+            for cm in _CONTENTS_RE.finditer(body):
+                page_of_stream[int(cm.group(1))] = page_idx
+            page_idx += 1
+
+    lines: list[dict] = []
+    for num in sorted(objects):
+        body, stream = objects[num]
+        if stream is None:
+            continue
+        if page_of_stream and num not in page_of_stream:
+            continue  # non-content stream (fonts, xref streams, ...)
+        data = _decode_stream(body, stream)
+        if b"BT" not in data:
+            continue
+        lines.extend(_extract_stream_lines(data, page_of_stream.get(num, 0)))
+    return lines
+
+
+# --- fixture writer ---------------------------------------------------------
+
+
+def render_minimal_pdf(
+    page_lines: list[list[tuple[float, float, str]]],
+    *,
+    compress: bool = True,
+    font_size: float = 12.0,
+) -> bytes:
+    """Hand-built single-revision PDF for tests: one content stream per
+    page, each line a (x, y, text) Td+Tj at ``font_size``. Produces a
+    structurally complete file (catalog, pages, page objects, xref,
+    trailer) so third-party tools parse it too."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    n_pages = len(page_lines)
+    # object layout: 1 catalog, 2 pages, 3 font, then per page i:
+    # (4+2i) page object, (5+2i) content stream
+    def add_obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    add_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    add_obj(
+        2,
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+    )
+    add_obj(3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, lines in enumerate(page_lines):
+        page_num, content_num = 4 + 2 * i, 5 + 2 * i
+        ops = ["BT", f"/F1 {font_size:g} Tf"]
+        prev_x = prev_y = 0.0
+        for x, y, text in lines:
+            ops.append(f"{x - prev_x:g} {y - prev_y:g} Td")
+            ops.append(f"({esc(text)}) Tj")
+            prev_x, prev_y = x, y
+        ops.append("ET")
+        data = "\n".join(ops).encode("latin-1")
+        if compress:
+            body = zlib.compress(data)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
+        else:
+            body = data
+            head = b"<< /Length %d >>" % len(body)
+        add_obj(
+            page_num,
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_num} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode(),
+        )
+        offsets[content_num] = len(out)
+        out.extend(b"%d 0 obj\n" % content_num)
+        out.extend(head)
+        out.extend(b"\nstream\n")
+        out.extend(body)
+        out.extend(b"\nendstream\nendobj\n")
+    xref_at = len(out)
+    n_objs = 3 + 2 * n_pages
+    out.extend(b"xref\n0 %d\n" % (n_objs + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, n_objs + 1):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n_objs + 1, xref_at)
+    )
+    return bytes(out)

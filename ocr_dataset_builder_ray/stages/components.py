@@ -40,10 +40,19 @@ def min_label_components(
     node_col: str = "key",
     src_col: str = "a",
     dst_col: str = "b",
-    max_rounds: int = 10,
+    max_rounds: int | None = None,
 ) -> ray.data.Dataset:
     """→ Dataset ``(node, component)``; component = min node id of the
-    connected component. Deterministic at any parallelism."""
+    connected component. Deterministic at any parallelism.
+
+    ``max_rounds=None`` (default) iterates until no label changes —
+    convergence is exact, bounded by the largest cluster diameter. A
+    chain-shaped cluster deeper than a fixed cap would otherwise keep
+    several representatives silently (ADVICE r2), breaking equality
+    with the driver union-find. Pass an int cap only for bounded-round
+    experiments; hitting it logs a warning and returns the partial
+    labels.
+    """
 
     def _as_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t[node_col], "label": t[node_col]})
@@ -72,7 +81,9 @@ def min_label_components(
     edges = edges.materialize()  # small relative to nodes; reused every round
 
     n_changed = 0
-    for _ in range(max_rounds):
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        rounds += 1
         lab_rows = labels.map_batches(
             lambda t: pa.table(
                 {"key": t["node"], "peer": pa.nulls(t.num_rows, t["node"].type), "label": t["label"]}

@@ -11,10 +11,11 @@ for opaque ``binary`` media columns in the new engine:
   ``map_batches`` stages: batch sizing for multi-MB rows, actor
   ``__init__`` codec setup, Arrow binary in/out;
 * ``DecodeMedia(fake=False)`` REALLY decodes the library-free formats
-  (netpbm P6/P5, uncompressed BMP, PCM WAV —
-  functions/media_codecs.py, pure numpy/stdlib) and soft-fails
-  compressed formats (PNG/JPEG need a codec library this container
-  lacks) per M5: ``decoded_ok=False`` rows, never a raise.
+  (netpbm P6/P5, uncompressed BMP, PCM WAV, 8-bit non-interlaced PNG —
+  functions/media_codecs.py + functions/png_codec.py, pure
+  numpy/stdlib) and soft-fails formats that genuinely need a codec
+  library (JPEG's DCT) per M5: ``decoded_ok=False`` rows, never a
+  raise.
   ``fake=True`` keeps the deterministic hash-based stand-in used by
   the q33 golden. With ``emit_pixels=True`` the decoded raster rides
   along as a binary column so ``ResizeMedia`` performs a REAL
@@ -69,9 +70,16 @@ class DecodeMedia:
     """
 
     def __init__(self, fake: bool = False, emit_pixels: bool = False) -> None:
+        from ..functions.png_codec import decode_png
+
         self.fake = fake
         self.emit_pixels = emit_pixels and not fake
-        self._image_codecs = {"ppm": decode_ppm, "pgm": decode_pgm, "bmp": decode_bmp}
+        self._image_codecs = {
+            "ppm": decode_ppm,
+            "pgm": decode_pgm,
+            "bmp": decode_bmp,
+            "png": decode_png,
+        }
 
     @staticmethod
     def _fake_decode(payload: bytes | None) -> tuple[int, int, int]:
