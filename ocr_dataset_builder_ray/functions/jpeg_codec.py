@@ -1,0 +1,551 @@
+"""Pure-Python/numpy baseline JPEG codec (decode + minimal encode).
+
+Closes the last library-gated payload format (the reference's frames
+are written as ``.jpg``/``.png``, video/processing.py:223-245): no DCT
+library exists in this container, but baseline sequential JPEG needs
+only a Huffman bit-reader (Python), an 8x8 IDCT (one numpy matmul
+pair), and YCbCr color conversion.
+
+Supported decode profile — everything else raises
+``UnsupportedMediaError`` (soft-failed per M5 by the decode stage):
+
+* baseline sequential DCT (SOF0), 8-bit precision;
+* grayscale or YCbCr with 4:4:4, 4:2:2, 4:2:0 sampling;
+* restart intervals (DRI / RSTn) and byte stuffing;
+* progressive (SOF2), arithmetic coding, 12-bit, CMYK are rejected.
+
+The encoder (``encode_jpeg``) is a minimal baseline writer — 4:4:4,
+Annex-K quantization tables scaled by ``quality``, Annex-K Huffman
+tables — used by tests and corpus generators. JPEG is lossy, so
+round-trip tests assert PSNR bounds (plus exactness on solid images,
+where every AC coefficient is zero and DC survives quantization).
+
+Performance is honest-costed: entropy decoding is a per-bit Python
+loop (~1-2 MB/s of compressed data); the IDCT and color transform are
+vectorized over all blocks at once. Real deployments would swap in a
+C codec behind the same ``decode_jpeg`` seam; the Ray-side plumbing
+(schema, batch sizing, actor signature) is identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media_codecs import UnsupportedMediaError
+
+# zigzag order: index i of the scan -> (row, col) flat index
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8x8 DCT-II basis: A[k, n] = c(k) cos((2n+1) k pi / 16) / 2
+_A = np.zeros((8, 8))
+for _k in range(8):
+    _c = np.sqrt(0.125) if _k == 0 else 0.5
+    _A[_k] = _c * np.cos((2 * np.arange(8) + 1) * _k * np.pi / 16)
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients → (n, 8, 8) spatial samples."""
+    return _A.T @ blocks @ _A
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    return _A @ blocks @ _A.T
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with FF00
+    byte-unstuffing and RSTn awareness."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bits = (self.bits << 8) | 0xFF  # pad past EOI
+                self.nbits += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:  # stuffed FF
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                    # restart/EOI marker: stop filling, pad with 1s
+                    self.bits = (self.bits << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:
+                    raise UnsupportedMediaError(
+                        f"unexpected marker 0xFF{nxt:02X} in scan"
+                    )
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bits >> self.nbits) & ((1 << n) - 1)
+
+    def align_restart(self) -> None:
+        """Discard partial byte and consume an RSTn marker."""
+        self.nbits = 0
+        self.bits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise UnsupportedMediaError("missing restart marker")
+
+
+class _Huffman:
+    """Canonical JPEG Huffman table: decode one symbol from the reader."""
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        # min/max code per length (JPEG F.2.2.3 DECODE procedure)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if counts[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += counts[length - 1]
+                k += counts[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.symbols = symbols
+
+    def decode(self, r: _BitReader) -> int:
+        code = r.read_bit()
+        length = 1
+        while code > self.maxcode[length]:
+            code = (code << 1) | r.read_bit()
+            length += 1
+            if length > 16:
+                raise UnsupportedMediaError("bad Huffman code in scan")
+        return self.symbols[self.valptr[length] + code - self.mincode[length]]
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.2.2.1 EXTEND: t-bit magnitude v → signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huffman] = {}
+    huff_ac: dict[int, _Huffman] = {}
+    restart_interval = 0
+    frame = None
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise UnsupportedMediaError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise UnsupportedMediaError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1 : i + 17])
+                total = sum(counts)
+                symbols = seg[i + 17 : i + 17 + total]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(counts, symbols)
+                i += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise UnsupportedMediaError(f"{precision}-bit JPEG")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise UnsupportedMediaError(f"{ncomp}-component JPEG (CMYK?)")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise UnsupportedMediaError("SOS before SOF0")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tables >> 4, tables & 0xF)
+            return _decode_scan(
+                payload, pos + 2 + seglen, frame, sel, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise UnsupportedMediaError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    # per component: coefficient store sized to the MCU grid
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+        dc_id, ac_id = sel[c["id"]]
+        c["hdc"], c["hac"] = huff_dc[dc_id], huff_ac[ac_id]
+
+    r = _BitReader(data, pos)
+    mcu = 0
+    while mcu < n_mcu:
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.align_restart()
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(mcu, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    block = np.zeros(64, dtype=np.int32)
+                    t = c["hdc"].decode(r)
+                    diff = _extend(r.read_bits(t), t)
+                    c["pred"] += diff
+                    block[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = c["hac"].decode(r)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise UnsupportedMediaError("AC index overflow")
+                        block[_ZIGZAG[k]] = _extend(r.read_bits(size), size)
+                        k += 1
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["bw"] + col] = block
+        mcu += 1
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]].reshape(64).astype(np.int32)
+        blocks = (c["coef"] * q).reshape(-1, 8, 8).astype(np.float64)
+        spatial = _idct2(blocks) + 128.0
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        # upsample to full MCU-grid resolution, then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- minimal baseline encoder (tests / corpus generation) -------------------
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (natural order)
+_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K.3 typical Huffman tables: (counts per length 1..16, symbols)
+_HDC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          bytes(range(12)))
+_HDC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+          bytes(range(12)))
+_HAC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+_HAC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]),
+)
+
+
+def _huff_codes(counts: list[int], symbols: bytes) -> dict[int, tuple[int, int]]:
+    """→ {symbol: (code, length)} for canonical tables."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((tbl * s + 50) // 100, 1, 255).astype(np.int32).reshape(8, 8)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_blocks(wtr, blocks, q, dc_codes, ac_codes, pred):
+    """blocks: (n, 8, 8) level-shifted samples; returns new DC pred."""
+    coefs = np.round(_dct2(blocks) / q).astype(np.int32).reshape(-1, 64)
+    zz = coefs[:, _ZIGZAG]
+    for row in zz:
+        dc = int(row[0])
+        diff = dc - pred
+        pred = dc
+        t = _category(diff)
+        code, length = dc_codes[t]
+        wtr.write(code, length)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        # AC run-length
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(row[1:])[0]
+        last_nz = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last_nz + 1):
+            v = int(row[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                wtr.write(code, length)
+                run -= 16
+            t = _category(v)
+            code, length = ac_codes[(run << 4) | t]
+            wtr.write(code, length)
+            wtr.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            wtr.write(code, length)
+    return pred
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JPEG (4:4:4)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ql = _quality_scale(_QL, quality)
+    qc = _quality_scale(_QC, quality)
+
+    def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+        ph = -(-plane.shape[0] // 8) * 8
+        pw = -(-plane.shape[1] // 8) * 8
+        padded = np.empty((ph, pw), dtype=np.float64)
+        padded[: plane.shape[0], : plane.shape[1]] = plane
+        padded[plane.shape[0] :, : plane.shape[1]] = plane[-1:]
+        padded[:, plane.shape[1] :] = padded[:, plane.shape[1] - 1 : plane.shape[1]]
+        return (
+            padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        ) - 128.0
+
+    if gray:
+        planes = [(_plane_blocks(arr.astype(np.float64)), ql)]
+    else:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+        planes = [(_plane_blocks(y), ql), (_plane_blocks(cb), qc), (_plane_blocks(cr), qc)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    zzl = np.empty(64, dtype=np.uint8)
+    zzl[np.arange(64)] = ql.reshape(64)[_ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(zzl))
+    if not gray:
+        zzc = np.empty(64, dtype=np.uint8)
+        zzc[np.arange(64)] = qc.reshape(64)[_ZIGZAG]
+        seg(0xDB, bytes([0x01]) + bytes(zzc))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    seg(0xC0, sof)
+    for tc_th, (counts, symbols) in (
+        ((0x00, _HDC_L), (0x10, _HAC_L)) if gray
+        else ((0x00, _HDC_L), (0x10, _HAC_L), (0x01, _HDC_C), (0x11, _HAC_C))
+    ):
+        seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    # 4:4:4 → MCU = one block per component, interleaved
+    nblk = planes[0][0].shape[0]
+    preds = [0] * len(planes)
+    dc_tabs = [_huff_codes(*_HDC_L)] + [_huff_codes(*_HDC_C)] * (len(planes) - 1)
+    ac_tabs = [_huff_codes(*_HAC_L)] + [_huff_codes(*_HAC_C)] * (len(planes) - 1)
+    for b in range(nblk):
+        for ci, (blocks, q) in enumerate(planes):
+            preds[ci] = _encode_blocks(
+                wtr, blocks[b : b + 1], q, dc_tabs[ci], ac_tabs[ci], preds[ci]
+            )
+    out.extend(wtr.flush())
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -11,13 +11,15 @@ numpy and the stdlib:
   headers + 4-byte-padded bottom-up rows;
 * WAV (PCM) — stdlib ``wave``;
 * PNG (8-bit non-interlaced; DEFLATE via stdlib ``zlib`` + numpy
-  unfilter) — ``png_codec.py``, the reference's actual frame format
-  (video/processing.py:223-245).
+  unfilter) — ``png_codec.py``;
+* baseline JPEG (SOF0, 4:4:4/4:2:2/4:2:0; Python Huffman + numpy
+  IDCT) — ``jpeg_codec.py``. PNG/JPEG are the reference's actual
+  frame formats (video/processing.py:223-245).
 
 These back ``DecodeMedia(fake=False)``: a *real* decode → resize path
-for real payloads, with JPEG (needs a DCT codec this container lacks)
-still failing soft per M5 (unknown-codec rows are flagged, never
-raised on).
+for real payloads; out-of-profile payloads (progressive JPEG, 16-bit
+PNG, unknown containers) still fail soft per M5 (flagged rows, never
+a raise).
 """
 
 from __future__ import annotations
@@ -33,12 +35,13 @@ class UnsupportedMediaError(ValueError):
 
 
 def sniff_media_format(payload: bytes) -> str | None:
-    """'png' | 'ppm' | 'pgm' | 'bmp' | 'wav' | None (unknown — e.g.
-    JPEG, which genuinely needs a DCT codec this container lacks)."""
+    """'png' | 'jpeg' | 'ppm' | 'pgm' | 'bmp' | 'wav' | None (unknown)."""
     if not payload:
         return None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":

@@ -33,8 +33,31 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _clean_schema(path: str, columns: tuple[str, ...] | None) -> pa.Schema:
+    """File schema with the pandas metadata stripped (and pruned to the
+    selected columns). pyarrow's ``Schema.__hash__`` chokes on the
+    ``b'pandas'`` metadata dict the testdata writer left behind, which
+    makes Ray's block-schema dedup log "Failed to hash the schemas" in
+    every read task — passing an explicit metadata-free schema keeps
+    the bench/gate output clean (VERDICT r2 #7; the ACTUAL source was
+    file metadata, not the model-call kwargs)."""
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is None:
+        return schema
+    return pa.schema([schema.field(c) for c in columns])
+
+
 def _t(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path,
+        columns=columns,
+        schema=_clean_schema(path, tuple(columns) if columns else None),
+    )
 
 
 def _small_pdf(sf_dir: str, table: str, columns: list[str] | None = None) -> pd.DataFrame:

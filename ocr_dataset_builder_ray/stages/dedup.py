@@ -19,15 +19,27 @@ Scale invariants (10^12-doc design):
 - the only things that ever reach the driver / broadcast path are
   *duplicate-proportional*: verified pairs, candidate keys, and the
   final drop-set. Keys that collide with nothing cost nothing — there
-  is no all-keys materialization anywhere in this module;
+  is no all-keys materialization anywhere in this module (the
+  singleton-bucket count filter runs distributed before collection);
 - survivors are produced by FILTERING the input dataset with a
   broadcast drop-set (``pc.is_in`` + invert), so the document payload
   never crosses an all-to-all;
 - cluster resolution has two interchangeable engines
   (``resolve_drop_keys``): driver union-find over the pair list
   (bounded by verified-duplicate volume) and distributed min-label
-  propagation (stages/components.py) for when even the pair list
-  outgrows the driver. Identical representatives either way.
+  propagation (stages/components.py, iterated to convergence) for when
+  even the pair list outgrows the driver. Identical representatives
+  either way;
+- in-bucket pair kernels are MEMORY-BOUNDED regardless of bucket skew:
+  two-axis tiled scans up to ``_BUCKET_PAIR_CAP`` rows, then exact
+  recursive bit-block splitting (simhash, pigeonhole) / spill-tree
+  hyperplane splitting (cosine), with identical-content groups
+  emitting a star instead of an O(m^2) clique — a 200k-row hot bucket
+  verifies in <600 MB (bench.py --dedup "hot_bucket");
+- small inputs skip the distributed candidate plan entirely
+  (``SMALL_INPUT_BAND_ROWS``): the skinny band rows collapse to one
+  driver numpy pass with the identical pair/survivor sets, avoiding
+  ~15 s of fixed exchange overhead at gate scale.
 """
 
 from __future__ import annotations

@@ -11,11 +11,10 @@ for opaque ``binary`` media columns in the new engine:
   ``map_batches`` stages: batch sizing for multi-MB rows, actor
   ``__init__`` codec setup, Arrow binary in/out;
 * ``DecodeMedia(fake=False)`` REALLY decodes the library-free formats
-  (netpbm P6/P5, uncompressed BMP, PCM WAV, 8-bit non-interlaced PNG —
-  functions/media_codecs.py + functions/png_codec.py, pure
-  numpy/stdlib) and soft-fails formats that genuinely need a codec
-  library (JPEG's DCT) per M5: ``decoded_ok=False`` rows, never a
-  raise.
+  (netpbm P6/P5, uncompressed BMP, PCM WAV, 8-bit non-interlaced PNG,
+  baseline JPEG — functions/media_codecs.py + png_codec.py +
+  jpeg_codec.py, pure numpy/stdlib) and soft-fails out-of-profile
+  payloads per M5: ``decoded_ok=False`` rows, never a raise.
   ``fake=True`` keeps the deterministic hash-based stand-in used by
   the q33 golden. With ``emit_pixels=True`` the decoded raster rides
   along as a binary column so ``ResizeMedia`` performs a REAL
@@ -70,6 +69,7 @@ class DecodeMedia:
     """
 
     def __init__(self, fake: bool = False, emit_pixels: bool = False) -> None:
+        from ..functions.jpeg_codec import decode_jpeg
         from ..functions.png_codec import decode_png
 
         self.fake = fake
@@ -79,6 +79,7 @@ class DecodeMedia:
             "pgm": decode_pgm,
             "bmp": decode_bmp,
             "png": decode_png,
+            "jpeg": decode_jpeg,
         }
 
     @staticmethod
