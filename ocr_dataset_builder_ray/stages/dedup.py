@@ -570,6 +570,7 @@ def _verify_candidates(
     verify: str = "auto",
     driver_limit: int = AUTO_DRIVER_PAIR_LIMIT,
     score_pairs_fn=None,
+    sigs=None,
 ):
     """Distinct candidate pairs → verified pairs Dataset.
 
@@ -586,6 +587,14 @@ def _verify_candidates(
     path) — verified driver-side unless ``verify="distributed"`` is
     explicitly requested, returning a DataFrame that
     ``resolve_drop_keys`` accepts directly.
+
+    ``sigs`` (optional) short-circuits signature computation with
+    signatures the candidate-generation stage already produced — a
+    ``pd.DataFrame(key, sig: np.ndarray)`` or a Dataset with ``key`` +
+    ``sig list<uint64>`` columns. Without it, verification re-reads
+    every candidate document's text and recomputes ``sig_fn`` — a
+    second full pass over the payload that the caller usually already
+    paid for once.
     """
     cand_pdf: pd.DataFrame | None = None
     if isinstance(candidates, pd.DataFrame):
@@ -593,9 +602,6 @@ def _verify_candidates(
         n_cand = len(cand_pdf)
         if n_cand == 0:
             return cand_pdf
-        cand_keys = pa.array(
-            pd.unique(np.concatenate([cand_pdf["a"].to_numpy(), cand_pdf["b"].to_numpy()]))
-        )
         if verify == "distributed":
             candidates = ray.data.from_arrow(
                 pa.Table.from_pandas(cand_pdf, preserve_index=False)
@@ -606,38 +612,82 @@ def _verify_candidates(
         if n_cand == 0:
             return candidates
 
+    # cand_keys / keys_ref are only needed by the branches that prune
+    # sigs to candidate keys — computed lazily: the all-driver path
+    # (cand_pdf + sig frame) would otherwise pay an object-store put of
+    # the full key list (and, on this host, seconds of first-touch
+    # page faults on the transient concat) for nothing
+    def _cand_keys() -> pa.Array:
+        if cand_pdf is not None:
+            return pa.array(
+                pd.unique(
+                    np.concatenate(
+                        [cand_pdf["a"].to_numpy(), cand_pdf["b"].to_numpy()]
+                    )
+                )
+            )
+
         def _keys(t: pa.Table) -> pa.Table:
             return pa.table(
                 {"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])}
             )
 
-        cand_keys = pa.array(
+        return pa.array(
             pd.unique(
                 candidates.map_batches(_keys, batch_format="pyarrow").to_pandas()["key"]
             )
         )
-    keys_ref = ray.put(cand_keys)
 
-    def _sigs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
-        sigs = [sig_fn(v or "") for v in t[text_col].to_pylist()]
-        return pa.table(
-            {
-                "key": t[key_col],
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-            }
-        )
+    sig_pdf: pd.DataFrame | None = None
+    if isinstance(sigs, pd.DataFrame):
+        sig_pdf = sigs
+        sigs_ds = None  # built on demand below if the distributed path runs
+    elif sigs is not None:  # Dataset of (key, sig list<uint64>)
+        keys_ref = ray.put(_cand_keys())
 
-    sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
+        def _prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["key"], value_set=ray.get(keys_ref)))
+
+        sigs_ds = sigs.map_batches(_prune, batch_format="pyarrow")
+    else:
+        keys_ref = ray.put(_cand_keys())
+
+        def _sigs(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[key_col], value_set=ray.get(keys_ref)))
+            sig_vals = [sig_fn(v or "") for v in t[text_col].to_pylist()]
+            return pa.table(
+                {
+                    "key": t[key_col],
+                    "sig": pa.array(
+                        [s.tolist() for s in sig_vals], pa.list_(pa.uint64())
+                    ),
+                }
+            )
+
+        sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
 
     if verify == "auto":
         verify = "driver" if n_cand <= driver_limit else "distributed"
     if verify == "distributed":
+        if sigs_ds is None:  # driver-side sig frame but distributed verify forced
+            keep = pc.is_in(pa.array(sig_pdf["key"]), value_set=_cand_keys())
+            kept = sig_pdf[keep.to_numpy(zero_copy_only=False)]
+            sigs_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "key": pa.array(kept["key"]),
+                        "sig": pa.array(
+                            [np.asarray(s, dtype=np.uint64).tolist() for s in kept["sig"]],
+                            pa.list_(pa.uint64()),
+                        ),
+                    }
+                )
+            )
         return _verify_pairs_with_sigs(candidates, sigs_ds, score_fn, threshold)
 
     # driver verify: duplicate-bounded pair list + signature map
     pdf = cand_pdf if cand_pdf is not None else candidates.to_pandas()
-    sdf = sigs_ds.to_pandas()
+    sdf = sig_pdf if sig_pdf is not None else sigs_ds.to_pandas()
     if score_pairs_fn is not None and len(pdf) and len(sdf):
         # fixed-width signatures: score pairs vectorized in chunks — a
         # per-pair Python loop over a big LSH clique's quadratic
@@ -656,7 +706,7 @@ def _verify_candidates(
         if n_valid:
             idx_a = ai.to_numpy()[valid].astype(np.int64)
             idx_b = bi.to_numpy()[valid].astype(np.int64)
-            chunk = 65536
+            chunk = 16384
             perm = sig_mat.shape[1]
             buf_a = np.empty((min(chunk, n_valid), perm), dtype=sig_mat.dtype)
             buf_b = np.empty_like(buf_a)
@@ -700,13 +750,14 @@ def minhash_lsh_dedup(
     cluster at estimated Jaccard ≥ ``threshold``.
 
     shingle→minhash→band→bucket per the standard LSH recipe, all
-    skinny: band rows carry (key, band_id, band_hash) only — the
-    signature never fans out with the bands. Candidate pairs come from
+    skinny: band rows carry (key, band_id, band_hash) plus ONE packed
+    copy of the signature per document (num_perm*8 bytes, no band
+    fan-out, dropped before every wide op). Candidate pairs come from
     ``lsh_candidate_pairs`` (native aggregate for 2-row buckets, no
-    per-group Python); verification recomputes signatures for candidate
-    keys only and scores estimated Jaccard (``_verify_candidates``,
-    driver/distributed/auto); resolution + survivor filter follow the
-    drop-set pattern. No all-keys materialization on any path; every
+    per-group Python); verification REUSES the carried signatures for
+    candidate keys and scores estimated Jaccard (``_verify_candidates``,
+    driver/distributed/auto) — the text is read exactly once per run;
+    resolution + survivor filter follow the drop-set pattern. No all-keys materialization on any path; every
     driver-touching artifact (candidates, drop-set) is
     duplicate-bounded. ``verify``/``components`` escalate to fully
     distributed forms when duplicate volume outgrows the driver
@@ -722,16 +773,25 @@ def minhash_lsh_dedup(
     # that warm task workers don't
     mh_a, mh_b = minhash_params(num_perm)
 
+    # the signature rides along ONCE per doc (packed binary on the
+    # doc's first band row, null on the other bands-1 rows): num_perm*8
+    # bytes per DOCUMENT, no band fan-out, dropped before every wide
+    # op. Verification then reuses it instead of re-reading every
+    # candidate text and recomputing — at corpus scale that second full
+    # payload pass dominated the whole operator
     def _band_batch(batch: pa.Table) -> pa.Table:
-        keys, band_ids, band_hashes = [], [], []
+        keys, band_ids, band_hashes, sig_bins = [], [], [], []
         for key, text in zip(
             batch[key_col].to_pylist(), batch[text_col].to_pylist()
         ):
             sig = minhash_signature(char_shingles(text or "", shingle_k), mh_a, mh_b)
+            first = True
             for band_id, band_hash in lsh_band_keys(sig, bands):
                 keys.append(key)
                 band_ids.append(band_id)
                 band_hashes.append(band_hash)
+                sig_bins.append(np.ascontiguousarray(sig).tobytes() if first else None)
+                first = False
         return pa.table(
             {
                 "key": pa.array(keys, type=batch[key_col].type),
@@ -739,24 +799,48 @@ def minhash_lsh_dedup(
                 "band_hash": pa.array(
                     np.array(band_hashes, dtype=np.uint64).view(np.int64)
                 ),
+                "sig": pa.array(sig_bins, type=pa.binary()),
             }
         )
 
     band_rows = ds.map_batches(_band_batch, batch_format="pyarrow").materialize()
     if band_rows.count() <= SMALL_INPUT_BAND_ROWS:
-        candidates = _driver_candidate_pairs(
-            band_rows.to_pandas(), "band_id", "band_hash"
+        bdf = band_rows.to_pandas()
+        candidates = _driver_candidate_pairs(bdf, "band_id", "band_hash")
+        sig_rows = bdf[bdf["sig"].notna()]
+        sigs = pd.DataFrame(
+            {
+                "key": sig_rows["key"].to_numpy(),
+                "sig": [np.frombuffer(b, dtype=np.uint64) for b in sig_rows["sig"]],
+            }
         )
     else:
+        skinny = band_rows.select_columns(["key", "band_id", "band_hash"])
         candidates = lsh_candidate_pairs(
-            drop_singleton_buckets(band_rows, "band_id", "band_hash"),
+            drop_singleton_buckets(skinny, "band_id", "band_hash"),
             "band_id",
             "band_hash",
         )
-    params_a, params_b = minhash_params(num_perm)
+
+        def _unpack_sigs(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["sig"]))
+            return pa.table(
+                {
+                    "key": t["key"],
+                    "sig": pa.array(
+                        [
+                            np.frombuffer(b, dtype=np.uint64).tolist()
+                            for b in t["sig"].to_pylist()
+                        ],
+                        pa.list_(pa.uint64()),
+                    ),
+                }
+            )
+
+        sigs = band_rows.map_batches(_unpack_sigs, batch_format="pyarrow")
 
     def _sig(text: str) -> np.ndarray:
-        return minhash_signature(char_shingles(text, shingle_k), params_a, params_b)
+        return minhash_signature(char_shingles(text, shingle_k), mh_a, mh_b)
 
     def _est_jaccard(s0: np.ndarray, s1: np.ndarray) -> float:
         return float(np.mean(s0 == s1))
@@ -774,6 +858,7 @@ def minhash_lsh_dedup(
         threshold,
         verify,
         score_pairs_fn=_est_jaccard_pairs,
+        sigs=sigs,
     )
     drop = resolve_drop_keys(verified, components=components)
     return drop_keys_filter(ds, key_col, drop)
