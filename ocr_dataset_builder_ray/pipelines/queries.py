@@ -1158,6 +1158,57 @@ def q42_model_call_costs(sf_dir: str) -> pd.DataFrame:
     return res
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.3, "es": 0.3, "fr": 0.2, "zh": 0.1}
+
+
+def q43_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language quota sample (multiplicative-hash
+    ticket < per-lang threshold — exact same integer arithmetic as the
+    SQL oracle)."""
+    from ..stages.curation import stratified_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    kept = stratified_sample(ds, "lang", "doc_id", SAMPLE_FRACTIONS)
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q44_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Top 25% of each language by (n_chars DESC, doc_id ASC) — exact
+    per-group order statistics via the histogram-selection operator (no
+    corpus sort; equals SQL row_number <= ceil(0.25*n))."""
+    from ..stages.curation import quality_percentile_filter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    kept = quality_percentile_filter(ds, "lang", "n_chars", "doc_id", 0.25)
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q45_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy char-budget sequence packing per language (budget 2000):
+    (lang, doc_id, n_chars, seq_id, seq_pos) in doc_id order."""
+    from ..stages.curation import pack_sequences
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    packed = pack_sequences(ds, "lang", "doc_id", "n_chars", 2000)
+    return (
+        packed.to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)[["lang", "doc_id", "n_chars", "seq_id", "seq_pos"]]
+    )
+
+
+def q46_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """Repeated 8-token-window drop spans, first occurrence wins
+    (exact-substring dedup recipe); the engine groups by 64-bit rolling
+    hash, the oracle by the literal window string — equality also
+    cross-checks the no-collision assumption."""
+    from ..stages.span_dedup import span_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    spans = span_dedup(ds, "text", "doc_id", w=8)
+    return spans.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1205,6 +1256,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q40_hopping_windows": q40_hopping_windows,
     "q41_hll_distinct_users": q41_hll_distinct_users,
     "q42_model_call_costs": q42_model_call_costs,
+    "q43_stratified_sample": q43_stratified_sample,
+    "q44_quality_filter": q44_quality_filter,
+    "q45_pack_sequences": q45_pack_sequences,
+    "q46_span_dedup": q46_span_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1553,6 +1608,96 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(tout) AS BIGINT) AS sum_output_tokens,
                CAST(sum(cost) AS BIGINT) AS total_cost_microusd
         FROM p GROUP BY lang ORDER BY lang
+    """,
+    # thresholds are floor(fraction * 2^32) — the exact integers the
+    # engine computes (stages/curation.py KNUTH_32 ticket)
+    "q43_stratified_sample": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang
+                  WHEN 'en' THEN 2147483648
+                  WHEN 'de' THEN 1288490188
+                  WHEN 'es' THEN 1288490188
+                  WHEN 'fr' THEN 858993459
+                  WHEN 'zh' THEN 429496729
+                  ELSE 0
+              END
+        ORDER BY doc_id
+    """,
+    "q44_quality_filter": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        ) WHERE rn <= ceil(0.25 * n)
+        ORDER BY doc_id
+    """,
+    "q45_pack_sequences": """
+        WITH RECURSIVE ordered AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+            FROM documents
+        ), pack AS (
+            SELECT lang, doc_id, n_chars, rn,
+                   CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_pos,
+                   n_chars AS acc
+            FROM ordered WHERE rn = 1
+            UNION ALL
+            SELECT o.lang, o.doc_id, o.n_chars, o.rn,
+                   CASE WHEN p.acc + o.n_chars <= 2000
+                        THEN p.seq_id ELSE p.seq_id + 1 END,
+                   CASE WHEN p.acc + o.n_chars <= 2000
+                        THEN p.seq_pos + 1 ELSE CAST(0 AS BIGINT) END,
+                   CASE WHEN p.acc + o.n_chars <= 2000
+                        THEN p.acc + o.n_chars ELSE o.n_chars END
+            FROM ordered o JOIN pack p ON o.lang = p.lang AND o.rn = p.rn + 1
+        )
+        SELECT lang, doc_id, n_chars, seq_id, seq_pos
+        FROM pack ORDER BY lang, doc_id
+    """,
+    # the engine groups windows by 64-bit rolling hash; this oracle
+    # groups by the literal window string — agreement also certifies
+    # the no-collision assumption at gate scale. 4194304 = 2^22 =
+    # stages/span_dedup.py POS_MOD
+    "q46_span_dedup": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), positions AS (
+            SELECT doc_id, t, unnest(range(len(t) - 7)) AS pos
+            FROM toks WHERE len(t) >= 8
+        ), wins AS (
+            SELECT doc_id, pos,
+                   array_to_string(t[pos + 1 : pos + 8], ' ') AS win
+            FROM positions
+        ), firsts AS (
+            SELECT win, min(doc_id * 4194304 + pos) AS first_packed
+            FROM wins GROUP BY win
+        ), losers AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN firsts f USING (win)
+            WHERE w.doc_id * 4194304 + w.pos <> f.first_packed
+        ), marked AS (
+            SELECT doc_id, pos AS s, pos + 8 AS e,
+                   CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) THEN 1 ELSE 0 END AS new_isl
+            FROM losers
+        ), islands AS (
+            SELECT doc_id, s, e,
+                   sum(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS isl
+            FROM marked
+        )
+        SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+        FROM islands GROUP BY doc_id, isl
+        ORDER BY doc_id, span_start
     """,
 }
 

@@ -1,0 +1,279 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Three operators a 100-TB curation run needs between extraction and
+training-set export (reference scope: the builder stops at extraction +
+filtering — these extend the engine the same way the dedup family does;
+semantic anchors are the reference's pass/fail record gating,
+e.g. tesseract/processing.py's per-record skip logic, generalized to
+corpus-level policies):
+
+* ``stratified_sample`` — deterministic per-group quota sampling.
+  Keep a row iff its key's multiplicative-hash ticket falls under the
+  group's fraction. Embarrassingly parallel (no shuffle, no state), and
+  the ticket is plain integer arithmetic, so the exact same sample is
+  reproducible anywhere — including in SQL for the oracle.
+* ``quality_percentile_filter`` — keep the top ``keep_frac`` of every
+  group by ``(score DESC, key ASC)``, EXACT order statistics without
+  sorting the corpus: per-group Count/Min/Max (native aggregate), a
+  bucketed score histogram (native aggregate), then a driver collect of
+  ONLY the boundary bucket (expected group_size/n_buckets rows;
+  tie-heavy degenerate groups collapse to one bucket and are collected
+  whole — documented tie-bounded). The kept set is defined by a
+  broadcast per-group cutoff pair, so the payload never shuffles.
+* ``pack_sequences`` — greedy fixed-budget sequence packing (the
+  training-side step after curation: concatenate documents into
+  ~constant-cost training sequences). Inherently sequential PER SHARD
+  (the greedy fold is order-defined), parallel across shards: only the
+  skinny (group, key, size) columns enter the per-group fold, never the
+  payload.
+
+Scale notes: stratified_sample is a pure map. quality_percentile_filter
+moves only (group, bucket) count rows through its aggregates — driver
+state is n_groups x n_buckets integers. pack_sequences' map_groups
+carries ~16 bytes/row; a 10^9-doc shard folds in seconds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+# Knuth's multiplicative constant: floor(2^32 / golden ratio), coprime
+# with 2^32 — the map key -> (key * K) mod 2^32 is a bijection on
+# 32-bit ints, so tickets are uniform over any key set
+KNUTH_32 = 2654435761
+TICKET_MOD = 1 << 32
+
+
+def sample_ticket(keys: np.ndarray) -> np.ndarray:
+    """uint64 ticket in [0, 2^32) per integer key — the deterministic
+    coin for quota sampling. Exactly ``(key * 2654435761) % 2^32``,
+    reproducible in any engine with 64-bit integer arithmetic."""
+    return (keys.astype(np.uint64) * np.uint64(KNUTH_32)) % np.uint64(TICKET_MOD)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic per-group quota sample: keep a row iff
+    ``ticket(key) < floor(fraction[group] * 2^32)``.
+
+    Stateless pure map — the fractions dict rides in the task closure
+    (tiny); no shuffle, no driver state, identical output at any
+    parallelism. ``key_col`` must be integral and unique (the engine's
+    standard key precondition, see stages/dedup.py).
+    """
+    thresholds = {
+        g: int(math.floor(f * TICKET_MOD)) for g, f in fractions.items()
+    }
+    default_thr = int(math.floor(default_fraction * TICKET_MOD))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        tickets = sample_ticket(keys)
+        groups, inverse = np.unique(
+            np.asarray(batch[group_col].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        thr_per_group = np.array(
+            [thresholds.get(g, default_thr) for g in groups], dtype=np.uint64
+        )
+        keep = tickets < thr_per_group[inverse]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def group_topk_cutoffs(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    key_col: str,
+    keep_frac: float,
+    n_buckets: int = 4096,
+) -> dict:
+    """Per-group cutoff pair ``(score_t, key_t)`` such that exactly
+    ``ceil(keep_frac * n_g)`` rows per group satisfy
+    ``score > score_t OR (score == score_t AND key <= key_t)``
+    under the total order (score DESC, key ASC).
+
+    Exact selection without a corpus sort:
+    1. native per-group Count/Min/Max of the score (driver gets
+       n_groups rows);
+    2. native per-(group, bucket) Count over a linear score bucketing
+       (driver gets <= n_groups * n_buckets ints) — locates the bucket
+       containing the k-th row;
+    3. collect ONLY that boundary bucket's (score, key) rows per group
+       (expected n_g / n_buckets; a group whose scores all tie
+       collapses to one bucket and is collected whole) and cut exactly.
+    Bucket assignment is a pure function of the score, so every row
+    with the cutoff score lands in the boundary bucket — the cutoff
+    pair is globally correct, not just within the bucket.
+    """
+    stats = {
+        r[group_col]: (r["count()"], r[f"min({score_col})"], r[f"max({score_col})"])
+        for r in ds.groupby(group_col)
+        .aggregate(Count(), Min(score_col), Max(score_col))
+        .take_all()
+    }
+    k = {g: int(math.ceil(keep_frac * n)) for g, (n, _, _) in stats.items()}
+
+    spans = {
+        g: (float(lo), float(hi) - float(lo) or 1.0) for g, (_, lo, hi) in stats.items()
+    }
+
+    def _bucket_of(group_vals, score_vals) -> np.ndarray:
+        lo = np.array([spans[g][0] for g in group_vals])
+        width = np.array([spans[g][1] for g in group_vals])
+        b = np.floor((score_vals - lo) / width * n_buckets).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        gv = batch[group_col].to_pylist()
+        sv = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("__bucket", pa.array(_bucket_of(gv, sv)))
+
+    hist_rows = (
+        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby([group_col, "__bucket"])
+        .aggregate(Count())
+        .take_all()
+    )
+    hist: dict = {}
+    for r in hist_rows:
+        hist.setdefault(r[group_col], {})[r["__bucket"]] = r["count()"]
+
+    # walk buckets from the top score down; b* = first bucket where the
+    # running count reaches k_g
+    boundary: dict = {}
+    above: dict = {}
+    for g, counts in hist.items():
+        need = k[g]
+        if need <= 0:  # keep_frac rounds to nothing — group fully dropped
+            continue
+        run = 0
+        for b in sorted(counts, reverse=True):
+            if run + counts[b] >= need:
+                boundary[g] = b
+                above[g] = run
+                break
+            run += counts[b]
+
+    bset = {(g, b) for g, b in boundary.items()}
+
+    def _boundary_rows(batch: pa.Table) -> pa.Table:
+        gv = batch[group_col].to_pylist()
+        sv = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bv = _bucket_of(gv, sv)
+        keep = np.array([(g, b) in bset for g, b in zip(gv, bv)])
+        return batch.filter(pa.array(keep)).select([group_col, score_col, key_col])
+
+    bdf = ds.map_batches(_boundary_rows, batch_format="pyarrow").to_pandas()
+
+    cutoffs: dict = {}
+    for g, sub in bdf.groupby(group_col, sort=False):
+        m = k[g] - above[g]  # rows still needed from the boundary bucket
+        sub = sub.sort_values(
+            [score_col, key_col], ascending=[False, True], kind="mergesort"
+        )
+        row = sub.iloc[m - 1]
+        cutoffs[g] = (row[score_col], row[key_col])
+    return cutoffs
+
+
+def quality_percentile_filter(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    key_col: str,
+    keep_frac: float,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Keep exactly the top ``ceil(keep_frac * n_g)`` rows of each group
+    under (score DESC, key ASC) — equivalent to SQL's
+    ``row_number() OVER (PARTITION BY g ORDER BY score DESC, key)
+    <= ceil(frac * n_g)`` — via broadcast per-group cutoffs
+    (``group_topk_cutoffs``); the payload never shuffles."""
+    cutoffs = group_topk_cutoffs(
+        ds, group_col, score_col, key_col, keep_frac, n_buckets
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        sv = batch[score_col].to_numpy(zero_copy_only=False)
+        kv = batch[key_col].to_numpy(zero_copy_only=False)
+        groups, inverse = np.unique(
+            np.asarray(batch[group_col].to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        # vectorized per-group cutoff compare; groups without a cutoff
+        # (dropped entirely) get an impossible (inf, -inf) sentinel
+        s_t = np.array(
+            [cutoffs.get(g, (np.inf, None))[0] for g in groups], dtype=np.float64
+        )[inverse]
+        k_t_list = [cutoffs.get(g, (None, None))[1] for g in groups]
+        has_cut = np.array([t is not None for t in k_t_list])[inverse]
+        k_t = np.array(
+            [t if t is not None else 0 for t in k_t_list], dtype=kv.dtype
+        )[inverse]
+        svf = sv.astype(np.float64)
+        keep = has_cut & ((svf > s_t) | ((svf == s_t) & (kv <= k_t)))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    size_col: str,
+    max_size: int,
+) -> ray.data.Dataset:
+    """Greedy sequence packing: within each group, walk rows in
+    ``key_col`` ascending order and append each row to the current
+    sequence while the running size stays <= ``max_size``; otherwise
+    start a new sequence. A row larger than ``max_size`` gets a
+    sequence of its own (the fit test fails for it and for whatever
+    follows it). Emits (group, key, size, seq_id, seq_pos).
+
+    The greedy fold is order-DEFINED, hence sequential per group — but
+    only the three skinny columns enter the fold (select before the
+    groupby), groups pack in parallel, and the per-row work is two
+    integer ops. Shard the corpus into as many groups as you want
+    parallelism (the natural group is the output partition).
+    """
+
+    def _pack(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        sizes = group[size_col].to_numpy()
+        seq_ids = np.empty(len(sizes), dtype=np.int64)
+        seq_pos = np.empty(len(sizes), dtype=np.int64)
+        sid, pos, acc = 0, 0, 0
+        for i, n in enumerate(sizes):
+            n = int(n)
+            if i > 0 and acc + n > max_size:
+                sid += 1
+                pos = 0
+                acc = 0
+            seq_ids[i] = sid
+            seq_pos[i] = pos
+            acc += n
+            pos += 1
+        group["seq_id"] = seq_ids
+        group["seq_pos"] = seq_pos
+        return group
+
+    return (
+        ds.select_columns([group_col, key_col, size_col])
+        .groupby(group_col)
+        .map_groups(_pack, batch_format="pandas")
+    )

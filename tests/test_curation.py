@@ -1,0 +1,185 @@
+"""Curation operators (stages/curation.py) vs brute-force references."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from ocr_dataset_builder_ray.stages.curation import (
+    TICKET_MOD,
+    pack_sequences,
+    quality_percentile_filter,
+    sample_ticket,
+    stratified_sample,
+)
+
+
+def _frame(n=900, seed=11, tie_heavy=False):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64) * 7 + 3,  # non-contiguous keys
+            "lang": rng.choice(["en", "de", "zh", "fr"], n),
+            "score": (
+                np.full(n, 42, dtype=np.int64)
+                if tie_heavy
+                else rng.integers(0, 10_000, n).astype(np.int64)
+            ),
+        }
+    )
+
+
+def _brute_sample(df, fractions, default=0.0):
+    tick = sample_ticket(df["doc_id"].to_numpy())
+    thr = (
+        df["lang"]
+        .map({g: math.floor(f * TICKET_MOD) for g, f in fractions.items()})
+        .fillna(math.floor(default * TICKET_MOD))
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    return df[tick < thr].reset_index(drop=True)
+
+
+def _brute_topk(df, frac):
+    out = []
+    for _, sub in df.groupby("lang"):
+        k = math.ceil(frac * len(sub))
+        out.append(
+            sub.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+        )
+    return (
+        pd.concat(out).sort_values("doc_id").reset_index(drop=True)
+        if out
+        else df.iloc[:0]
+    )
+
+
+def _brute_pack(df, mx):
+    rows = []
+    for g, sub in df.groupby("lang"):
+        sid, pos, acc = 0, 0, 0
+        for _, r in sub.sort_values("doc_id").iterrows():
+            if pos > 0 and acc + r["score"] > mx:
+                sid, pos, acc = sid + 1, 0, 0
+            rows.append((g, r["doc_id"], r["score"], sid, pos))
+            acc += r["score"]
+            pos += 1
+    return pd.DataFrame(
+        rows, columns=["lang", "doc_id", "score", "seq_id", "seq_pos"]
+    ).sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize(
+    "fractions,default",
+    [
+        ({"en": 0.5, "de": 0.25, "zh": 0.1}, 0.0),
+        ({"en": 1.0, "de": 0.0}, 0.33),
+        ({}, 0.5),
+    ],
+)
+def test_stratified_sample_matches_brute(ray_session, fractions, default):
+    df = _frame()
+    got = (
+        stratified_sample(
+            ray.data.from_pandas(df), "lang", "doc_id", fractions, default
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(_brute_sample(df, fractions, default))
+
+
+def test_stratified_sample_parallelism_invariant(ray_session):
+    df = _frame()
+    fr = {"en": 0.4, "de": 0.6, "zh": 0.2, "fr": 0.9}
+    a = (
+        stratified_sample(
+            ray.data.from_pandas(df), "lang", "doc_id", fr
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        stratified_sample(
+            ray.data.from_pandas(df).repartition(13), "lang", "doc_id", fr
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+@pytest.mark.parametrize("frac", [0.25, 0.5, 1.0])
+@pytest.mark.parametrize("n_buckets", [4096, 7])
+def test_quality_percentile_matches_row_number(ray_session, frac, n_buckets):
+    # tiny n_buckets forces every group through the boundary-bucket
+    # exact-cut logic
+    df = _frame()
+    got = (
+        quality_percentile_filter(
+            ray.data.from_pandas(df), "lang", "score", "doc_id", frac, n_buckets
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(_brute_topk(df, frac))
+
+
+def test_quality_percentile_all_ties(ray_session):
+    # every score identical: one bucket holds the whole group
+    # (documented tie-bounded collect); the key tiebreak must still cut
+    # exactly
+    df = _frame(tie_heavy=True)
+    got = (
+        quality_percentile_filter(
+            ray.data.from_pandas(df), "lang", "score", "doc_id", 0.5
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(_brute_topk(df, 0.5))
+
+
+def test_pack_sequences_matches_brute(ray_session):
+    df = _frame(n=400)
+    got = (
+        pack_sequences(ray.data.from_pandas(df), "lang", "doc_id", "score", 25_000)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["lang", "doc_id", "seq_id", "seq_pos"]].equals(
+        _brute_pack(df, 25_000)[["lang", "doc_id", "seq_id", "seq_pos"]]
+    )
+
+
+def test_pack_sequences_oversized_rows_get_own_sequence(ray_session):
+    df = pd.DataFrame(
+        {
+            "lang": ["en"] * 5,
+            "doc_id": np.arange(5, dtype=np.int64),
+            "score": np.array([10, 99999, 10, 10, 10], dtype=np.int64),
+        }
+    )
+    got = (
+        pack_sequences(ray.data.from_pandas(df), "lang", "doc_id", "score", 100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 exceeds the budget: alone in its sequence, neighbours split
+    assert got["seq_id"].tolist() == [0, 1, 2, 2, 2]
+    assert got["seq_pos"].tolist() == [0, 0, 0, 1, 2]
+    assert got.equals(
+        _brute_pack(df, 100)
+        .sort_values("doc_id")
+        .reset_index(drop=True)[got.columns.tolist()]
+    )
