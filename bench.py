@@ -280,6 +280,21 @@ def run_dedup_bench() -> dict:
             "dropped": n_docs - survivors,
         }
 
+    # span-level dedup at volume: one window row per token, so 100k
+    # docs push well past SMALL_INPUT_WINDOW_ROWS and exercise the
+    # distributed min/count plan
+    from ocr_dataset_builder_ray.stages.span_dedup import span_dedup
+
+    t0 = time.monotonic()
+    spans = span_dedup(_read(), "text", "doc_id", w=8)
+    sec = time.monotonic() - t0
+    results["span_dedup"] = {
+        "sec": round(sec, 2),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "spans": int(len(spans)),
+        "docs_with_spans": int(spans["doc_id"].nunique()),
+    }
+
     # embedding family at volume (the testdata embeddings table is 500
     # rows): planted near-dup vectors, bucketed cosine dedup + brute KNN
     import numpy as np

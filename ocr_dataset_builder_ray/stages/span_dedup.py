@@ -37,9 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from ..functions.hashing import stable_hash64_array
 
@@ -137,21 +135,29 @@ def span_dedup(
     key_col: str,
     *,
     w: int = 8,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | ray.data.Dataset:
     """Drop-span table for repeated ``w``-token windows: one row per
     merged span ``(key, span_start, span_end)`` (token indices, end
     exclusive) that duplicates content first seen at a smaller
     (key, pos). Deterministic; spans are duplicate-bounded.
 
-    Returns a driver DataFrame (the span table is the duplicate-bounded
-    artifact the drop-set pattern broadcasts); feed it to
-    ``apply_span_dedup`` to produce cleaned text.
+    Returns a driver DataFrame by default (the span table is the
+    duplicate-bounded artifact the drop-set pattern broadcasts); feed
+    it to ``apply_span_dedup`` to produce cleaned text. For corpora
+    whose duplicate volume itself outgrows the driver (boilerplate-
+    heavy web text can repeat half its tokens), ``as_dataset=True``
+    keeps the merge distributed too — loser occurrences shuffle by
+    key-bucket and each bucket merges vectorized (``_merge_spans`` is
+    key-aware, so a bucket of whole keys merges correctly) — and
+    returns a Dataset with the identical rows.
     """
     window_rows = ds.map_batches(
         lambda t: _window_rows(t, text_col, key_col, w),
         batch_format="pyarrow",
     ).materialize()
 
+    losers_ds: ray.data.Dataset | None = None
     if window_rows.count() <= SMALL_INPUT_WINDOW_ROWS:
         wdf = window_rows.to_pandas()
         wh = wdf["whash"].to_numpy()
@@ -161,47 +167,80 @@ def span_dedup(
         first = np.r_[True, wh_s[1:] != wh_s[:-1]]
         losers = pk_s[~first]
     else:
-        # native per-hash (min, count); only hashes with >= 2
-        # occurrences (duplicate-bounded) survive the filter, and only
-        # their min-packed winners are broadcast back
-        agg = (
-            window_rows.groupby("whash")
-            .aggregate(Min("packed"), Count())
-            .map_batches(
-                lambda t: t.filter(pc.greater_equal(t["count()"], 2)),
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-        )
-        dup_df = agg[["whash", "min(packed)"]].rename(
-            columns={"min(packed)": "min_packed"}
-        )
-        dup_ref = ray.put(dup_df)
+        # ONE exchange, then a vectorized per-bucket reduce that emits
+        # losers directly. A per-hash native aggregate is the wrong
+        # shape here: distinct windows ~ corpus tokens, so a
+        # 25M-group aggregate spent minutes in the grouping machinery
+        # (measured 154 s at 100k docs) where a coarse hash-bucket sort
+        # + one lexsort per ~2M-row bucket takes seconds. Bucket count
+        # scales with the row count so a bucket's occurrence list stays
+        # task-sized regardless of corpus size; skew is impossible by
+        # construction (buckets key on the top hash bits of a uniform
+        # 64-bit hash, and no single window content can overflow a
+        # bucket because equal windows share one hash -> one bucket,
+        # counted once in the row total).
+        n_rows = window_rows.count()
+        n_buckets = max(32, int(n_rows // 2_000_000) + 1)
 
-        def _losers(t: pa.Table) -> pa.Table:
-            dm = ray.get(dup_ref)
-            # int64-exact inner merge (a dict/Series map would coerce
-            # min_packed to float64 and corrupt packed values > 2^53)
-            m = pd.DataFrame(
-                {
-                    "whash": t["whash"].to_numpy(zero_copy_only=False),
-                    "packed": t["packed"].to_numpy(zero_copy_only=False),
-                }
-            ).merge(dm, on="whash", how="inner")
-            out = m.loc[m["packed"] != m["min_packed"], "packed"].to_numpy()
-            return pa.table({"packed": pa.array(out, type=pa.int64())})
+        def _bucket(t: pa.Table) -> pa.Table:
+            wh = t["whash"].to_numpy(zero_copy_only=False)
+            b = (wh.view(np.uint64) >> np.uint64(32)) % np.uint64(n_buckets)
+            return t.append_column("bucket", pa.array(b.astype(np.int32)))
 
-        losers = (
-            window_rows.map_batches(_losers, batch_format="pyarrow")
-            .to_pandas()["packed"]
-            .to_numpy()
+        def _bucket_losers(group: pa.Table) -> pa.Table:
+            wh = group["whash"].to_numpy(zero_copy_only=False)
+            pk = group["packed"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((pk, wh))
+            wh_s, pk_s = wh[order], pk[order]
+            first = np.r_[True, wh_s[1:] != wh_s[:-1]]
+            return pa.table({"packed": pa.array(pk_s[~first], type=pa.int64())})
+
+        losers_ds = (
+            window_rows.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_bucket_losers, batch_format="pyarrow")
+        )
+        if not as_dataset:
+            losers = losers_ds.to_pandas()["packed"].to_numpy()
+
+    if not as_dataset:
+        keys = losers // POS_MOD
+        starts = losers % POS_MOD
+        return _merge_spans(keys, starts, w).rename(
+            columns={"key": key_col}
+        ).sort_values([key_col, "span_start"]).reset_index(drop=True)
+
+    # distributed merge: shuffle loser occurrences by KEY bucket (all
+    # of one document's spans land in one bucket) and run the same
+    # vectorized key-aware island merge per bucket
+    if losers_ds is None:
+        losers_ds = ray.data.from_arrow(
+            pa.table({"packed": pa.array(losers, type=pa.int64())})
+        )
+    n_key_buckets = 256
+
+    def _key_bucket(t: pa.Table) -> pa.Table:
+        pk = t["packed"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kb", pa.array(((pk // POS_MOD) % n_key_buckets).astype(np.int32))
         )
 
-    keys = losers // POS_MOD
-    starts = losers % POS_MOD
-    return _merge_spans(keys, starts, w).rename(
-        columns={"key": key_col}
-    ).sort_values([key_col, "span_start"]).reset_index(drop=True)
+    def _merge_bucket(group: pa.Table) -> pa.Table:
+        pk = group["packed"].to_numpy(zero_copy_only=False)
+        out = _merge_spans(pk // POS_MOD, pk % POS_MOD, w)
+        return pa.table(
+            {
+                key_col: pa.array(out["key"].to_numpy()),
+                "span_start": pa.array(out["span_start"].to_numpy()),
+                "span_end": pa.array(out["span_end"].to_numpy()),
+            }
+        )
+
+    return (
+        losers_ds.map_batches(_key_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(_merge_bucket, batch_format="pyarrow")
+    )
 
 
 def apply_span_dedup(

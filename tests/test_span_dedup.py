@@ -124,3 +124,25 @@ def test_window_hashes_no_false_splits():
     assert h[1] == h[3]
     assert h[0] != h[1]
     assert S.window_hashes(["x"], 2).size == 0
+
+
+def test_span_dedup_as_dataset_identical(ray_session, monkeypatch):
+    texts = _template_corpus(seed=13)
+    want = S.span_dedup(_ds(texts), "text", "doc_id", w=8)
+    # dataset output, both the small (driver-losers) and distributed
+    # loser paths
+    got_small = (
+        S.span_dedup(_ds(texts), "text", "doc_id", w=8, as_dataset=True)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(S, "SMALL_INPUT_WINDOW_ROWS", 0)
+    got_big = (
+        S.span_dedup(_ds(texts), "text", "doc_id", w=8, as_dataset=True)
+        .to_pandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    assert got_small.equals(want)
+    assert got_big.equals(want)
