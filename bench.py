@@ -179,11 +179,16 @@ def run_scaling() -> dict:
     pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
 
     def _one(ncpu: int) -> dict:
+        # reps=2 per leg (best-of, in-process): scaling efficiency is a
+        # STEADY-STATE throughput ratio, and a single cold run folds
+        # worker-spawn + first-touch page-fault noise (±20% windows on
+        # this host) into whichever leg it hits, which round-3 measured
+        # as 0.52-0.98 per-pair spread on identical code
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
-            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "1"),
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -1209,6 +1209,28 @@ def q46_span_dedup(sf_dir: str) -> pd.DataFrame:
     return spans.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
+def q47_fixed_sample(sf_dir: str) -> pd.DataFrame:
+    """Exactly 25 docs per language — the 25 smallest hash tickets
+    (deterministic reservoir-free fixed-size sample), selected by the
+    same distributed order-statistics machinery as q44."""
+    from ..stages.curation import fixed_size_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    kept = fixed_size_sample(ds, "lang", "doc_id", 25)
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q48_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact corpus-wide top-50 whitespace tokens (count DESC, token
+    ASC) via per-batch partial counts + native Sum."""
+    from ..stages.curation import top_tokens
+
+    ds = _t(sf_dir, "documents", ["text"])
+    out = top_tokens(ds, "text", 50).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1260,6 +1282,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q44_quality_filter": q44_quality_filter,
     "q45_pack_sequences": q45_pack_sequences,
     "q46_span_dedup": q46_span_dedup,
+    "q47_fixed_sample": q47_fixed_sample,
+    "q48_top_tokens": q48_top_tokens,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1698,6 +1722,26 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, min(s) AS span_start, max(e) AS span_end
         FROM islands GROUP BY doc_id, isl
         ORDER BY doc_id, span_start
+    """,
+    "q47_fixed_sample": """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 25
+        ORDER BY doc_id
+    """,
+    "q48_top_tokens": r"""
+        SELECT token, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        )
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 50
     """,
 }
 

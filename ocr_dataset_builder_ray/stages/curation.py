@@ -1,6 +1,6 @@
 """Corpus-curation operators for training-data pipelines.
 
-Three operators a 100-TB curation run needs between extraction and
+Operators a 100-TB curation run needs between extraction and
 training-set export (reference scope: the builder stops at extraction +
 filtering — these extend the engine the same way the dedup family does;
 semantic anchors are the reference's pass/fail record gating,
@@ -27,10 +27,17 @@ corpus-level policies):
   skinny (group, key, size) columns enter the per-group fold, never the
   payload.
 
+Plus two selection utilities built on the same machinery:
+``fixed_size_sample`` (exactly k per group — the k smallest hash
+tickets, a reservoir sample without the reservoir) and ``top_tokens``
+(exact corpus-wide top-k token frequencies via per-batch partial
+counts + native Sum).
+
 Scale notes: stratified_sample is a pure map. quality_percentile_filter
 moves only (group, bucket) count rows through its aggregates — driver
 state is n_groups x n_buckets integers. pack_sequences' map_groups
-carries ~16 bytes/row; a 10^9-doc shard folds in seconds.
+carries ~16 bytes/row; a 10^9-doc shard folds in seconds. top_tokens
+shuffles per-batch vocabularies, not tokens.
 """
 
 from __future__ import annotations
@@ -98,13 +105,15 @@ def group_topk_cutoffs(
     group_col: str,
     score_col: str,
     key_col: str,
-    keep_frac: float,
+    keep_frac: float | None,
     n_buckets: int = 4096,
+    fixed_k: int | None = None,
 ) -> dict:
     """Per-group cutoff pair ``(score_t, key_t)`` such that exactly
-    ``ceil(keep_frac * n_g)`` rows per group satisfy
+    ``k_g`` rows per group satisfy
     ``score > score_t OR (score == score_t AND key <= key_t)``
-    under the total order (score DESC, key ASC).
+    under the total order (score DESC, key ASC), where ``k_g`` is
+    ``ceil(keep_frac * n_g)`` or ``min(fixed_k, n_g)``.
 
     Exact selection without a corpus sort:
     1. native per-group Count/Min/Max of the score (driver gets
@@ -125,7 +134,10 @@ def group_topk_cutoffs(
         .aggregate(Count(), Min(score_col), Max(score_col))
         .take_all()
     }
-    k = {g: int(math.ceil(keep_frac * n)) for g, (n, _, _) in stats.items()}
+    if fixed_k is not None:
+        k = {g: min(int(fixed_k), int(n)) for g, (n, _, _) in stats.items()}
+    else:
+        k = {g: int(math.ceil(keep_frac * n)) for g, (n, _, _) in stats.items()}
 
     spans = {
         g: (float(lo), float(hi) - float(lo) or 1.0) for g, (_, lo, hi) in stats.items()
@@ -190,22 +202,16 @@ def group_topk_cutoffs(
     return cutoffs
 
 
-def quality_percentile_filter(
+def cutoff_filter(
     ds: ray.data.Dataset,
     group_col: str,
     score_col: str,
     key_col: str,
-    keep_frac: float,
-    n_buckets: int = 4096,
+    cutoffs: dict,
 ) -> ray.data.Dataset:
-    """Keep exactly the top ``ceil(keep_frac * n_g)`` rows of each group
-    under (score DESC, key ASC) — equivalent to SQL's
-    ``row_number() OVER (PARTITION BY g ORDER BY score DESC, key)
-    <= ceil(frac * n_g)`` — via broadcast per-group cutoffs
-    (``group_topk_cutoffs``); the payload never shuffles."""
-    cutoffs = group_topk_cutoffs(
-        ds, group_col, score_col, key_col, keep_frac, n_buckets
-    )
+    """Broadcast-cutoff filter: keep rows with ``score > s_t OR
+    (score == s_t AND key <= k_t)`` for their group's cutoff pair;
+    groups absent from ``cutoffs`` are dropped entirely."""
 
     def _filter(batch: pa.Table) -> pa.Table:
         sv = batch[score_col].to_numpy(zero_copy_only=False)
@@ -229,6 +235,100 @@ def quality_percentile_filter(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def quality_percentile_filter(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    key_col: str,
+    keep_frac: float,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Keep exactly the top ``ceil(keep_frac * n_g)`` rows of each group
+    under (score DESC, key ASC) — equivalent to SQL's
+    ``row_number() OVER (PARTITION BY g ORDER BY score DESC, key)
+    <= ceil(frac * n_g)`` — via broadcast per-group cutoffs
+    (``group_topk_cutoffs``); the payload never shuffles."""
+    cutoffs = group_topk_cutoffs(
+        ds, group_col, score_col, key_col, keep_frac, n_buckets
+    )
+    return cutoff_filter(ds, group_col, score_col, key_col, cutoffs)
+
+
+def fixed_size_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    k: int,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Deterministic fixed-size sample: exactly ``min(k, n_g)`` rows
+    per group — the k SMALLEST multiplicative-hash tickets (ties by key
+    ascending), i.e. SQL's ``row_number() OVER (PARTITION BY g ORDER BY
+    ticket, key) <= k``. A seeded reservoir sample without the
+    reservoir: the ticket order is a fixed random permutation of any
+    key set, selection is the same exact order-statistics machinery as
+    ``quality_percentile_filter`` (negated ticket as the score), and
+    the result is independent of partitioning, parallelism, and row
+    order."""
+
+    def _add_ticket(batch: pa.Table) -> pa.Table:
+        tick = sample_ticket(batch[key_col].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__neg_ticket", pa.array(-(tick.astype(np.int64)))
+        )
+
+    with_ticket = ds.map_batches(_add_ticket, batch_format="pyarrow")
+    cutoffs = group_topk_cutoffs(
+        with_ticket,
+        group_col,
+        "__neg_ticket",
+        key_col,
+        None,
+        n_buckets,
+        fixed_k=k,
+    )
+    return cutoff_filter(
+        with_ticket, group_col, "__neg_ticket", key_col, cutoffs
+    ).drop_columns(["__neg_ticket"])
+
+
+def top_tokens(
+    ds: ray.data.Dataset,
+    text_col: str,
+    k: int = 50,
+) -> ray.data.Dataset:
+    """Exact corpus-wide top-k most frequent whitespace tokens
+    (count DESC, token ASC). The shuffle moves per-BATCH partial counts
+    (one row per distinct token per batch — bounded by the batch's
+    vocabulary, not its token count), the per-token Sum groups over
+    vocabulary cardinality, and only k rows leave the final sort."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for text in batch[text_col].to_pylist():
+            toks.extend((text or "").split())
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        vc = pd.Series(toks).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def pack_sequences(

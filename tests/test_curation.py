@@ -183,3 +183,60 @@ def test_pack_sequences_oversized_rows_get_own_sequence(ray_session):
         .sort_values("doc_id")
         .reset_index(drop=True)[got.columns.tolist()]
     )
+
+
+def test_fixed_size_sample_matches_ticket_order(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import fixed_size_sample
+
+    df = _frame(n=700, seed=21)
+    got = (
+        fixed_size_sample(ray.data.from_pandas(df), "lang", "doc_id", 40)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = []
+    for _, sub in df.groupby("lang"):
+        tick = sample_ticket(sub["doc_id"].to_numpy())
+        want.append(sub.assign(_t=tick).sort_values(["_t", "doc_id"]).head(40))
+    want = (
+        pd.concat(want)
+        .drop(columns="_t")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # k larger than the group: whole group survives
+    tiny = df.head(10)
+    got_all = (
+        fixed_size_sample(ray.data.from_pandas(tiny), "lang", "doc_id", 99)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got_all.equals(tiny.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_top_tokens_exact(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import top_tokens
+
+    rng = np.random.default_rng(4)
+    vocab = [f"t{i}" for i in range(40)]
+    weights = np.linspace(5, 1, 40)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, 30, p=weights)) for _ in range(200)
+    ] + ["", "   "]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": texts}))
+    got = top_tokens(ds, "text", 10).to_pandas().reset_index(drop=True)
+    exact = (
+        pd.Series(" ".join(texts).split())
+        .value_counts()
+        .rename_axis("token")
+        .reset_index(name="n")
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["token"].tolist() == exact["token"].tolist()
+    assert got["n"].astype(int).tolist() == exact["n"].tolist()
