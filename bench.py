@@ -511,6 +511,122 @@ def run_skew_bench() -> dict:
     return out
 
 
+def run_curation_bench() -> dict:
+    """Curation family at volume (the driver testdata's documents table
+    is 500 rows): 100k docs, full CPU count. Every operator here is
+    either a pure map (sample), histogram-selection (quantile/fixed-k),
+    a skinny per-group fold (pack), a vocabulary-bounded shuffle
+    (top_tokens), or the bucketed window plan (span dedup — also in
+    --dedup; repeated here with as_dataset=True end-to-end apply)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "100000"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from ocr_dataset_builder_ray.sources.documents import (
+        default_docs_corpus_dir,
+        generate_documents_corpus,
+    )
+    from ocr_dataset_builder_ray.stages.curation import (
+        fixed_size_sample,
+        pack_sequences,
+        quality_percentile_filter,
+        stratified_sample,
+        top_tokens,
+    )
+    from ocr_dataset_builder_ray.stages.span_dedup import (
+        apply_span_dedup,
+        span_dedup,
+    )
+
+    corpus = generate_documents_corpus(default_docs_corpus_dir(n_docs), n_docs)
+
+    def _read():
+        ds = ray.data.read_parquet(corpus, columns=["doc_id", "lang", "text"])
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "n_chars", _pc.cast(_pc.utf8_length(t["text"]), "int64")
+            ),
+            batch_format="pyarrow",
+        )
+
+    _read().count()  # warm, untimed
+
+    results = {}
+
+    def _time(name, fn):
+        t0 = time.monotonic()
+        n = fn()
+        sec = time.monotonic() - t0
+        results[name] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "out_rows": n,
+        }
+
+    _time(
+        "stratified_sample",
+        lambda: stratified_sample(
+            _read(), "lang", "doc_id", {"en": 0.5, "de": 0.25}, 0.1
+        ).count(),
+    )
+    _time(
+        "quality_percentile_filter",
+        lambda: quality_percentile_filter(
+            _read(), "lang", "n_chars", "doc_id", 0.25
+        ).count(),
+    )
+    _time(
+        "fixed_size_sample",
+        lambda: fixed_size_sample(_read(), "lang", "doc_id", 1000).count(),
+    )
+    _time(
+        "pack_sequences",
+        lambda: pack_sequences(
+            _read(), "lang", "doc_id", "n_chars", 8192
+        ).count(),
+    )
+    _time("top_tokens", lambda: top_tokens(_read(), "text", 50).count())
+
+    def _span_roundtrip():
+        ds = _read()
+        spans = span_dedup(ds, "text", "doc_id", w=8, as_dataset=True)
+        spans_df = spans.to_pandas()
+        cleaned = apply_span_dedup(ds, spans_df, "text", "doc_id").count()
+        results["span_dedup_apply"] = {
+            "spans": int(len(spans_df)),
+            "cleaned_rows": cleaned,
+        }
+        return cleaned
+
+    _time("span_dedup_roundtrip", _span_roundtrip)
+
+    out = {
+        "metric": "curation family over 100k-doc synthetic corpus",
+        "value": max(r["sec"] for r in results.values() if "sec" in r),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "num_cpus": ncpu,
+        "ops": results,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -518,5 +634,7 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_bench()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew_bench()))
+    elif "--curation" in sys.argv:
+        print(json.dumps(run_curation_bench()))
     else:
         print(json.dumps(run_bench()))

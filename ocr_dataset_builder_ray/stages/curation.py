@@ -298,36 +298,81 @@ def top_tokens(
     ds: ray.data.Dataset,
     text_col: str,
     k: int = 50,
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Exact corpus-wide top-k most frequent whitespace tokens
-    (count DESC, token ASC). The shuffle moves per-BATCH partial counts
-    (one row per distinct token per batch — bounded by the batch's
-    vocabulary, not its token count), the per-token Sum groups over
-    vocabulary cardinality, and only k rows leave the final sort."""
-    from ray.data.aggregate import Sum
+    (count DESC, token ASC).
+
+    Three stages, none token-shaped past the first map:
+    1. per-batch partial counts (all-Arrow: utf8_split_whitespace +
+       value_counts — one row per distinct token per batch, bounded by
+       the batch's vocabulary, not its token count);
+    2. ONE exchange by coarse token-hash bucket + a vectorized pandas
+       sum/top-k per bucket. A per-token native aggregate makes one
+       group per vocabulary entry and its grouping machinery dominated
+       the run (80 s of an 86 s total at 100k docs / 253k vocab);
+       ~n_buckets groups cost nothing. Equal tokens share a bucket, so
+       each bucket's top-k is exact and globally sufficient;
+    3. a driver merge of n_buckets * k candidate rows.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64_array
 
     def _partial(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for text in batch[text_col].to_pylist():
-            toks.extend((text or "").split())
-        if not toks:
-            return pa.table(
-                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        vc = pd.Series(toks).value_counts()
+        # utf8_split_whitespace matches Python str.split() except for
+        # the empty strings it emits at leading/trailing whitespace,
+        # which the filter drops
+        toks = pc.list_flatten(pc.utf8_split_whitespace(batch[text_col]))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        tokens = vc.field("values")
+        bucket = stable_hash64_array(tokens.to_pylist()) % np.uint64(n_buckets)
         return pa.table(
             {
-                "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
-                "n": pa.array(vc.to_numpy(), pa.int64()),
+                "token": tokens,
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int32)),
             }
         )
 
-    return (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "token"], descending=[True, False])
-        .limit(k)
+    def _bucket_topk(group: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "token": group["token"].to_pylist(),
+                "n": group["n"].to_numpy(zero_copy_only=False),
+            }
+        )
+        summed = df.groupby("token", sort=False, as_index=False)["n"].sum()
+        summed = summed.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.table(
+            {
+                "token": pa.array(summed["token"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(summed["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cand = (
+        # batch_size=None: whole blocks. The partial-count row volume
+        # (and the per-batch vocab hashing) scales with the NUMBER of
+        # batches x vocabulary, so bigger batches shrink the exchange
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(_bucket_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = cand.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(top["token"].to_numpy(dtype=object), pa.string()),
+                "n": pa.array(top["n"].to_numpy(), pa.int64()),
+            }
+        )
     )
 
 
