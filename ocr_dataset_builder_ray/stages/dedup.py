@@ -559,6 +559,67 @@ def lsh_candidate_pairs(
     return _distinct_pairs(small_pairs.union(big_pairs))
 
 
+def lsh_candidate_pairs_bucketed(
+    band_rows: ray.data.Dataset,
+    id_col: str,
+    hash_col: str,
+    target_rows_per_bucket: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Band rows → distinct candidate pairs via ONE coarse-bucket
+    exchange + a vectorized per-bucket kernel.
+
+    Replaces the ``drop_singleton_buckets`` + ``lsh_candidate_pairs``
+    composition for hash-banded LSH (64-bit band hashes): both of those
+    run a native aggregate whose group count is O(corpus x bands), and
+    Ray's grouping machinery — not the arithmetic — dominates at that
+    cardinality (the span-dedup/top-tokens lesson, measured three times
+    now). Here the only exchange groups by ``mix(id, hash) %
+    n_buckets`` (~``target_rows_per_bucket`` rows per group, skew-free:
+    equal buckets share a coarse bucket and are counted once in the row
+    total), and each coarse bucket runs the same lexsort kernel as the
+    driver fast path (``_driver_candidate_pairs``) — singleton LSH
+    buckets cost one sort comparison, nothing reaches the driver, and
+    the pair set is identical (cross-band pair duplicates are removed
+    by the same ``_distinct_pairs``).
+
+    Simhash keeps the aggregate plan: its 16-bit band values bound the
+    group count at 4 x 65536 regardless of corpus size.
+    """
+    n_rows = band_rows.count()
+    n_buckets = max(32, int(n_rows // target_rows_per_bucket) + 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        mix = _bucket_mix(
+            _concat(t[id_col]).to_numpy(zero_copy_only=False),
+            _concat(t[hash_col]).to_numpy(zero_copy_only=False),
+        )
+        b = (mix >> np.uint64(32)) % np.uint64(n_buckets)
+        return t.append_column("__cb", pa.array(b.astype(np.int32)))
+
+    def _bucket_pairs(group: pa.Table) -> pa.Table:
+        pdf = pd.DataFrame(
+            {
+                id_col: _concat(group[id_col]).to_numpy(zero_copy_only=False),
+                hash_col: _concat(group[hash_col]).to_numpy(zero_copy_only=False),
+                "key": _concat(group["key"]).to_numpy(zero_copy_only=False),
+            }
+        )
+        pairs = _driver_candidate_pairs(pdf, id_col, hash_col)
+        key_type = group.schema.field("key").type
+        return pa.table(
+            {
+                "a": pa.array(pairs["a"].to_numpy(), type=key_type),
+                "b": pa.array(pairs["b"].to_numpy(), type=key_type),
+            }
+        )
+
+    return _distinct_pairs(
+        band_rows.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+
+
 def _verify_candidates(
     candidates: ray.data.Dataset,
     ds: ray.data.Dataset,
@@ -816,11 +877,7 @@ def minhash_lsh_dedup(
         )
     else:
         skinny = band_rows.select_columns(["key", "band_id", "band_hash"])
-        candidates = lsh_candidate_pairs(
-            drop_singleton_buckets(skinny, "band_id", "band_hash"),
-            "band_id",
-            "band_hash",
-        )
+        candidates = lsh_candidate_pairs_bucketed(skinny, "band_id", "band_hash")
 
         def _unpack_sigs(t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_valid(t["sig"]))
@@ -1155,10 +1212,8 @@ def ngram_jaccard_dedup(
             band_rows.to_pandas(), "band_id", "band_hash"
         )
     else:
-        candidates = lsh_candidate_pairs(
-            drop_singleton_buckets(band_rows, "band_id", "band_hash"),
-            "band_id",
-            "band_hash",
+        candidates = lsh_candidate_pairs_bucketed(
+            band_rows, "band_id", "band_hash"
         )
 
     def _sig(text: str) -> np.ndarray:
