@@ -469,22 +469,59 @@ def exact_dedup(
     by its own twin's loser row.
     """
 
+    # ONE coarse-bucket exchange + a vectorized per-bucket reduce (the
+    # bucket-reduce pattern, see lsh_candidate_pairs_bucketed): a
+    # per-content-hash map_groups makes one group per DISTINCT TEXT —
+    # corpus-scaled — and the grouping machinery dominates at that
+    # cardinality. Buckets key on the hash itself, so equal texts share
+    # a bucket and the per-bucket loser computation is globally exact.
     def _skinny(t: pa.Table) -> pa.Table:
-        hashes = [md5_hex(v if v is not None else "") for v in t[text_col].to_pylist()]
+        import hashlib
+
+        hashes, heads = [], []
+        for v in t[text_col].to_pylist():
+            d = hashlib.md5(
+                (v if v is not None else "").encode("utf-8", "surrogatepass")
+            ).digest()
+            hashes.append(d.hex())  # == md5_hex: the oracle's md5()
+            heads.append(int.from_bytes(d[:8], "big") >> 1)  # int64-safe
         return pa.table(
-            {"content_hash": pa.array(hashes, type=pa.string()), "key": t[key_col]}
+            {
+                "content_hash": pa.array(hashes, type=pa.string()),
+                "h64": pa.array(heads, type=pa.int64()),
+                "key": t[key_col],
+            }
         )
 
-    def _losers(group: pa.Table) -> pa.Table:
-        keys = pc.unique(group["key"])
-        if len(keys) < 2:
-            return group.select(["key"]).slice(0, 0)
-        return pa.table({"key": keys.sort().slice(1)})
+    skinny = ds.map_batches(_skinny, batch_format="pyarrow").materialize()
+    n_rows = skinny.count()
+    n_buckets = max(32, int(n_rows // 2_000_000) + 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = (
+            _concat(t["h64"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(n_buckets)
+        )
+        return t.append_column("__cb", pa.array(b.astype(np.int32)))
+
+    def _bucket_losers(group: pa.Table) -> pa.Table:
+        ch = _concat(group["content_hash"]).to_numpy(zero_copy_only=False)
+        keys = _concat(group["key"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, ch))
+        ch_s, k_s = ch[order], keys[order]
+        # distinct (hash, key) rows, then all but the first key per hash
+        # == the old per-group pc.unique().sort().slice(1) semantics
+        first_hk = np.r_[True, (ch_s[1:] != ch_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        hk_h, hk_k = ch_s[first_hk], k_s[first_hk]
+        first_h = np.r_[True, hk_h[1:] != hk_h[:-1]]
+        return pa.table(
+            {"key": pa.array(hk_k[~first_h], type=group.schema.field("key").type)}
+        )
 
     losers = (
-        ds.map_batches(_skinny, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(_losers, batch_format="pyarrow")
+        skinny.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_bucket_losers, batch_format="pyarrow")
     )
     ldf = losers.to_pandas()
     drop = pa.array(ldf["key"]) if "key" in ldf.columns else pa.array([])
