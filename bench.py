@@ -602,6 +602,69 @@ def run_curation_bench() -> dict:
     )
     _time("top_tokens", lambda: top_tokens(_read(), "text", 50).count())
 
+    from ocr_dataset_builder_ray.stages.filters import (
+        benchmark_window_hashes,
+        decontaminate,
+        repetition_filter,
+    )
+
+    _time(
+        "repetition_filter",
+        lambda: repetition_filter(
+            _read(), max_dup_word_frac=0.9, max_top_bigram_frac=0.2
+        ).count(),
+    )
+
+    def _decontaminate():
+        # benchmark = 1% of the corpus (eval-set-sized), w=8 windows
+        bench = _read().map_batches(
+            lambda t: t.filter(
+                _pc.equal(_pc.bit_wise_and(t["doc_id"], 127), 0)
+            ),
+            batch_format="pyarrow",
+        )
+        hashes = benchmark_window_hashes(bench, w=8)
+        results["decontaminate_bench_windows"] = {"windows": int(hashes.size)}
+        return decontaminate(_read(), hashes, w=8).count()
+
+    _time("decontaminate", _decontaminate)
+
+    def _tfidf():
+        from ocr_dataset_builder_ray.stages.filters import tfidf_top_terms
+
+        return tfidf_top_terms(_read(), k=1).count()
+
+    _time("tfidf_top_terms", _tfidf)
+
+    def _kmeans():
+        import numpy as _np
+
+        from ocr_dataset_builder_ray.sources.documents import (
+            default_vecs_corpus_dir,
+            generate_embeddings_corpus,
+        )
+        from ocr_dataset_builder_ray.stages.similarity import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        n_vecs = n_docs
+        vcorpus = generate_embeddings_corpus(
+            default_vecs_corpus_dir(n_vecs), n_vecs
+        )
+        vread = ray.data.read_parquet(
+            vcorpus, columns=["vec_id", "embedding"]
+        )
+        cents = kmeans_fit(vread, 64, n_iters=2)
+        assign = kmeans_assign(vread, cents)
+        counts = assign.groupby("cluster").count().to_pandas()
+        results["kmeans_clusters_nonempty"] = {
+            "clusters": int(len(counts)),
+        }
+        return int(counts["count()"].sum())
+
+    _time("kmeans_fit2_assign", _kmeans)
+
     def _span_roundtrip():
         ds = _read()
         spans = span_dedup(ds, "text", "doc_id", w=8, as_dataset=True)

@@ -1231,6 +1231,71 @@ def q48_top_tokens(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q49_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition gate: keep documents with duplicate-word
+    fraction <= 0.55 AND top-bigram fraction <= 0.05 (pure vectorized
+    map — no shuffle). Returns the kept docs with both signals."""
+    from ..stages.filters import repetition_filter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    kept = repetition_filter(
+        ds, max_dup_word_frac=0.55, max_top_bigram_frac=0.05
+    )
+    return kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q50_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Test-set decontamination report: the 'benchmark' is every doc
+    with doc_id % 25 == 0; a corpus doc is contaminated if it shares
+    any 4-token window with the benchmark. Benchmark window hashes
+    collect once (driver-sized by contract) and broadcast; the corpus
+    side is a pure map. n_hits counts matching window positions."""
+    from ..stages.filters import benchmark_window_hashes, contamination_report
+
+    def _mod25(batch, want: bool):
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array((ids % 25 == 0) == want))
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    bench = ds.map_batches(lambda b: _mod25(b, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda b: _mod25(b, False), batch_format="pyarrow")
+    hashes = benchmark_window_hashes(bench, w=4)
+    rep = contamination_report(corpus, hashes, w=4)
+    out = rep.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["n_hits"] = out["n_hits"].astype("int64")
+    return out
+
+
+def q51_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid assignment with the 8 vectors vec_id < 8 as
+    fixed centroids (broadcast once; chunked vectorized distance per
+    batch; ties break to the lowest cluster id)."""
+    from ..stages.similarity import _as_matrix, kmeans_assign
+
+    cdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cdf = cdf[cdf["vec_id"] < 8].sort_values("vec_id")
+    cents = _as_matrix(cdf["embedding"])
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = kmeans_assign(ds, cents).to_pandas()
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q52_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top TF-IDF term per document: a vocabulary-bounded document-
+    frequency exchange (hash-bucket partials, like q48) broadcast once,
+    then a pure per-batch lexsort rank. Ranking is by
+    round(tf * ln(n/df), 9) DESC, token ASC on both sides; only the
+    integer tf/df and the token string leave the batch."""
+    from ..stages.filters import tfidf_top_terms
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=1).to_pandas()
+    out["tf"] = out["tf"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1284,6 +1349,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q46_span_dedup": q46_span_dedup,
     "q47_fixed_sample": q47_fixed_sample,
     "q48_top_tokens": q48_top_tokens,
+    "q49_repetition_filter": q49_repetition_filter,
+    "q50_decontaminate": q50_decontaminate,
+    "q51_kmeans_assign": q51_kmeans_assign,
+    "q52_tfidf_top_terms": q52_tfidf_top_terms,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1742,6 +1811,101 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 50
+    """,
+    # Repetition signals are plain double arithmetic computed by the
+    # same IEEE operations on both sides: dup = 1 - distinct/total,
+    # topbi = max_count/total_bigrams (one division each).
+    "q49_repetition_filter": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), stats AS (
+            SELECT doc_id,
+                   1 - (len(list_distinct(t))::DOUBLE / len(t)) AS dup_word_frac
+            FROM toks
+        ), bi AS (
+            SELECT doc_id,
+                   unnest([t[i + 1] || ' ' || t[i + 2] for i in range(len(t) - 1)]) AS bg
+            FROM toks WHERE len(t) >= 2
+        ), bistats AS (
+            SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac
+            FROM (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2)
+            GROUP BY doc_id
+        )
+        SELECT s.doc_id, s.dup_word_frac, b.top_bigram_frac
+        FROM stats s JOIN bistats b USING (doc_id)
+        WHERE s.dup_word_frac <= 0.55 AND b.top_bigram_frac <= 0.05
+        ORDER BY doc_id
+    """,
+    # The engine matches 4-token windows by 64-bit rolling hash; the
+    # oracle joins the literal window STRINGS, so the gate also
+    # certifies the no-collision assumption at its scale (q46 pattern).
+    "q50_decontaminate": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), wins AS (
+            SELECT doc_id, array_to_string(t[pos + 1 : pos + 4], ' ') AS win
+            FROM (
+                SELECT doc_id, t, unnest(range(len(t) - 3)) AS pos
+                FROM toks WHERE len(t) >= 4
+            )
+        ), bench AS (
+            SELECT DISTINCT win FROM wins WHERE doc_id % 25 = 0
+        )
+        SELECT w.doc_id, count(*)::BIGINT AS n_hits
+        FROM wins w JOIN bench b USING (win)
+        WHERE w.doc_id % 25 <> 0
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id
+    """,
+    # Distances on both sides are double-precision Euclidean rounded to
+    # 9 decimals before ranking (q22 precedent), ties to lowest cid;
+    # only integer columns cross the hash.
+    "q51_kmeans_assign": """
+        WITH c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < 8
+        ), d AS (
+            SELECT e.vec_id, c.cid,
+                   round(list_distance(e.embedding::DOUBLE[], c.cv), 9) AS dist
+            FROM embeddings e CROSS JOIN c
+        ), r AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid
+                   ) AS rn
+            FROM d
+        )
+        SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
+        ORDER BY vec_id
+    """,
+    # Both sides rank by round(tf * ln(n/df), 9) DESC then token ASC;
+    # the rounded score keeps a last-ulp libm ln() difference from
+    # flipping an ordering, and the score itself is not an output.
+    "q52_tfidf_top_terms": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), tf AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+        ), n AS (
+            SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM toks
+        ), s AS (
+            SELECT t.doc_id, t.tok, t.tf, d.df,
+                   round(t.tf * ln(n.n / d.df), 9) AS score
+            FROM tf t JOIN df d USING (tok) CROSS JOIN n
+        ), r AS (
+            SELECT doc_id, tok, tf, df,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, tok ASC
+                   ) AS rn
+            FROM s
+        )
+        SELECT doc_id, tok AS token, tf, df FROM r WHERE rn = 1
+        ORDER BY doc_id
     """,
 }
 

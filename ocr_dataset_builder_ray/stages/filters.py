@@ -1,0 +1,444 @@
+"""Document-level repetition and contamination filters for webtext
+curation.
+
+Two operator families a training-data pipeline runs between extraction
+and export (semantic anchor: the reference's per-record pass/fail
+gating, e.g. tesseract/processing.py's skip logic, generalized to
+published corpus-quality policies):
+
+* ``repetition_signals`` / ``repetition_filter`` — Gopher-style
+  (Rae et al. 2021, public paper) per-document repetition statistics:
+  duplicate-word fraction (1 - distinct/total tokens) and top-bigram
+  fraction (occurrences of the most frequent bigram / total bigrams).
+  Fully vectorized per Arrow batch: whitespace split -> 64-bit token
+  hashes -> lexsort run-length kernels. A pure map — no shuffle, no
+  state; at 100 TB the cost is read bandwidth.
+* ``benchmark_window_hashes`` / ``decontaminate`` — test-set
+  decontamination: flag or drop corpus documents sharing any w-token
+  window with a benchmark/eval set (the n-gram-overlap rule used for
+  public LM training sets, e.g. the GPT-3 appendix-C dedup and The
+  Pile's eval decontamination). The benchmark side is DRIVER-SIZED by
+  contract (eval sets are MBs, not TBs): its distinct window hashes
+  collect once and broadcast via ``ray.put``; the corpus side is a
+  pure map doing one ``np.isin`` per batch against the sorted hash
+  set. Window equality is by the same 64-bit rolling hash as
+  stages/span_dedup.py — the q50 SQL oracle groups by the literal
+  window STRING, cross-checking the no-collision assumption at gate
+  scale.
+
+Per-document metrics need >= 2 tokens (a bigram) — documents that are
+empty/whitespace or single-token are dropped from the signal table,
+mirroring the SQL oracle's inner join of word stats with bigram stats.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64_array
+from .span_dedup import window_hashes
+
+# multiplier for combining adjacent token hashes into a bigram hash;
+# odd -> full period mod 2^64 (same constant family as span_dedup)
+_BIGRAM_B = np.uint64(1099511628211)
+
+
+def _doc_tokens(batch: pa.Table, text_col: str):
+    """Vectorized tokenization of a batch: returns ``(doc_idx, th)``
+    where ``doc_idx[i]`` is the row of token i (original order
+    preserved within each row) and ``th`` its uint64 hash. Empty
+    tokens from leading/trailing whitespace are dropped."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toklist = pc.utf8_split_whitespace(col)
+    if isinstance(toklist, pa.ChunkedArray):  # pragma: no cover - combine above
+        toklist = toklist.combine_chunks()
+    offsets = toklist.offsets.to_numpy()
+    flat = toklist.values
+    doc = np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # null texts produce null list entries -> diff(offsets) already 0
+    if not keep.all():
+        doc = doc[keep]
+        flat = flat.filter(pa.array(keep))
+    th = stable_hash64_array(flat.to_numpy(zero_copy_only=False))
+    return doc, th
+
+
+def _repetition_table(batch: pa.Table, text_col: str, key_col: str) -> pa.Table:
+    doc, th = _doc_tokens(batch, text_col)
+    n = batch.num_rows
+    totals = np.bincount(doc, minlength=n)
+
+    # distinct tokens per doc: sort (doc, hash), count group starts
+    order = np.lexsort((th, doc))
+    d_s, h_s = doc[order], th[order]
+    if d_s.size:
+        new = np.empty(d_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        distinct = np.bincount(d_s[new], minlength=n)
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
+
+    # bigrams: adjacent tokens within the same doc, original order
+    adj = doc[1:] == doc[:-1] if doc.size else np.empty(0, dtype=bool)
+    b_doc = doc[:-1][adj]
+    bmix = (th[:-1] * _BIGRAM_B + th[1:])[adj]
+    total_bi = np.bincount(b_doc, minlength=n)
+    max_run = np.zeros(n, dtype=np.int64)
+    if b_doc.size:
+        order2 = np.lexsort((bmix, b_doc))
+        bd_s, bm_s = b_doc[order2], bmix[order2]
+        starts = np.empty(bd_s.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = (bd_s[1:] != bd_s[:-1]) | (bm_s[1:] != bm_s[:-1])
+        start_idx = np.flatnonzero(starts)
+        run_len = np.diff(np.append(start_idx, bd_s.size))
+        run_doc = bd_s[start_idx]
+        udocs, first = np.unique(run_doc, return_index=True)
+        max_run[udocs] = np.maximum.reduceat(run_len, first)
+
+    keep = total_bi >= 1  # needs a bigram, implies non-empty text
+    totals_k = totals[keep].astype(np.float64)
+    dup = 1.0 - (distinct[keep].astype(np.float64) / totals_k)
+    topbi = max_run[keep].astype(np.float64) / total_bi[keep].astype(np.float64)
+    keys = batch[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.table(
+        {
+            key_col: keys.filter(pa.array(keep)),
+            "dup_word_frac": pa.array(dup, pa.float64()),
+            "top_bigram_frac": pa.array(topbi, pa.float64()),
+        }
+    )
+
+
+def repetition_signals(
+    ds: ray.data.Dataset, *, text_col: str = "text", key_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document repetition statistics ``(key, dup_word_frac,
+    top_bigram_frac)``. Documents with fewer than two tokens are
+    dropped (no bigram to measure)."""
+    return ds.map_batches(
+        lambda b: _repetition_table(b, text_col, key_col),
+        batch_format="pyarrow",
+    )
+
+
+def repetition_filter(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_dup_word_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.05,
+) -> ray.data.Dataset:
+    """Keep documents whose repetition signals fall at or under both
+    thresholds (Gopher-style repetitive-document removal)."""
+
+    def _sig_filter(batch: pa.Table) -> pa.Table:
+        t = _repetition_table(batch, text_col, key_col)
+        mask = pc.and_(
+            pc.less_equal(t["dup_word_frac"], max_dup_word_frac),
+            pc.less_equal(t["top_bigram_frac"], max_top_bigram_frac),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(_sig_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def _window_hash_rows(batch: pa.Table, text_col: str, w: int) -> pa.Table:
+    hashes: list[np.ndarray] = []
+    for text in batch[text_col].to_pylist():
+        wh = window_hashes((text or "").split(), w)
+        if wh.size:
+            hashes.append(wh)
+    flat = (
+        np.unique(np.concatenate(hashes)).view(np.int64)
+        if hashes
+        else np.empty(0, dtype=np.int64)
+    )
+    return pa.table({"whash": pa.array(flat, pa.int64())})
+
+
+def benchmark_window_hashes(
+    ds: ray.data.Dataset, *, text_col: str = "text", w: int = 4
+) -> np.ndarray:
+    """Distinct w-token window hashes of a benchmark/eval dataset,
+    sorted, as int64 (bijective reinterpret of the uint64 rolling
+    hash). DRIVER-SIZED by contract: eval sets are small; the collect
+    moves only 8 bytes per distinct window."""
+    rows = ds.map_batches(
+        lambda b: _window_hash_rows(b, text_col, w), batch_format="pyarrow"
+    ).take_all()
+    if not rows:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.fromiter((r["whash"] for r in rows), dtype=np.int64))
+
+
+def contamination_report(
+    ds: ray.data.Dataset,
+    bench_hashes: np.ndarray,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    w: int = 4,
+) -> ray.data.Dataset:
+    """Per-document contamination hit counts against a broadcast
+    benchmark window-hash set: ``(key, n_hits)`` for documents with at
+    least one w-token window present in the benchmark (n_hits counts
+    window POSITIONS, matching the SQL oracle's join cardinality)."""
+    bench_ref = ray.put(np.sort(np.asarray(bench_hashes, dtype=np.int64)))
+
+    def _hits(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        keys_out: list = []
+        hits_out: list[int] = []
+        keys = batch[key_col].to_pylist()
+        for key, text in zip(keys, batch[text_col].to_pylist()):
+            wh = window_hashes((text or "").split(), w).view(np.int64)
+            if not wh.size or not bench.size:
+                continue
+            pos = np.minimum(np.searchsorted(bench, wh), bench.size - 1)
+            n = int(np.count_nonzero(bench[pos] == wh))
+            if n:
+                keys_out.append(key)
+                hits_out.append(n)
+        key_type = batch.schema.field(key_col).type
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, key_type),
+                "n_hits": pa.array(hits_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_hits, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_hashes: np.ndarray,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    w: int = 4,
+) -> ray.data.Dataset:
+    """Drop documents sharing any w-token window with the benchmark
+    set; passthrough columns are preserved (pure map, no shuffle)."""
+    bench_ref = ray.put(np.sort(np.asarray(bench_hashes, dtype=np.int64)))
+
+    def _clean(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        if bench.size:
+            for i, text in enumerate(batch[text_col].to_pylist()):
+                wh = window_hashes((text or "").split(), w).view(np.int64)
+                if wh.size:
+                    pos = np.minimum(np.searchsorted(bench, wh), bench.size - 1)
+                    if np.any(bench[pos] == wh):
+                        keep[i] = False
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (vocabulary-bounded broadcast join)
+# ---------------------------------------------------------------------------
+
+# sentinel bucket carrying the per-batch document-count partials through
+# the same exchange as the token rows (never a valid token bucket)
+_NDOCS_BUCKET = -1
+
+
+def document_frequencies(
+    ds: ray.data.Dataset, *, text_col: str = "text", n_buckets: int = 64
+):
+    """Corpus document frequencies keyed by 64-bit token hash.
+
+    Returns ``(hashes, dfs, n_docs)`` — sorted int64 hash array, the
+    matching per-token document counts, and the number of documents
+    with at least one token. Same exchange shape as
+    curation.top_tokens: per-batch vocabulary partials (one row per
+    distinct token per batch, never per token occurrence), ONE coarse
+    hash-bucket exchange, a vectorized per-bucket sum. The collected
+    result is VOCABULARY-bounded, not corpus-bounded (Zipf: a web-scale
+    corpus has ~1e8 distinct tokens -> ~1.6 GB as two numpy arrays,
+    held once per node in plasma when broadcast via ``ray.put``).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        doc, th = _doc_tokens(batch, text_col)
+        if doc.size:
+            # distinct (doc, token) pairs -> per-batch df partials
+            pair = np.unique(
+                np.stack([doc.astype(np.uint64), th], axis=1), axis=0
+            )
+            uh, df = np.unique(pair[:, 1], return_counts=True)
+            n_docs_batch = int(np.unique(pair[:, 0]).size)
+        else:
+            uh = np.empty(0, dtype=np.uint64)
+            df = np.empty(0, dtype=np.int64)
+            n_docs_batch = 0
+        h64 = uh.view(np.int64)
+        bucket = (uh % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "thash": pa.array(np.append(h64, np.int64(0))),
+                "df": pa.array(
+                    np.append(df.astype(np.int64), np.int64(n_docs_batch))
+                ),
+                "bucket": pa.array(np.append(bucket, np.int32(_NDOCS_BUCKET))),
+            }
+        )
+
+    def _bucket_sum(group: pa.Table) -> pa.Table:
+        h = group["thash"].to_numpy(zero_copy_only=False)
+        d = group["df"].to_numpy(zero_copy_only=False)
+        b = group["bucket"][0].as_py()
+        if b == _NDOCS_BUCKET:
+            return pa.table(
+                {
+                    "thash": pa.array([np.int64(0)]),
+                    "df": pa.array([np.int64(d.sum())]),
+                    "bucket": pa.array([np.int32(_NDOCS_BUCKET)]),
+                }
+            )
+        order = np.argsort(h, kind="stable")
+        h_s, d_s = h[order], d[order]
+        starts = np.empty(h_s.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = h_s[1:] != h_s[:-1]
+        idx = np.flatnonzero(starts)
+        sums = np.add.reduceat(d_s, idx)
+        return pa.table(
+            {
+                "thash": pa.array(h_s[idx]),
+                "df": pa.array(sums.astype(np.int64)),
+                "bucket": pa.array(
+                    np.full(idx.size, b, dtype=np.int32)
+                ),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(_bucket_sum, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nd_mask = rows["bucket"] == _NDOCS_BUCKET
+    n_docs = int(rows.loc[nd_mask, "df"].sum())
+    tok = rows.loc[~nd_mask]
+    hashes = tok["thash"].to_numpy()
+    dfs = tok["df"].to_numpy()
+    order = np.argsort(hashes, kind="stable")
+    return hashes[order], dfs[order].astype(np.int64), n_docs
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 1,
+    decimals: int = 9,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k TF-IDF terms per document: ``(key, token, tf, df)``.
+
+    score = tf * ln(n_docs / df), ranked (score DESC, token ASC) —
+    the score itself never leaves the batch (only integer tf/df and the
+    token string do), and both engine and SQL oracle round it to
+    ``decimals`` before ranking so a last-ulp libm difference cannot
+    flip an ordering. Two streaming passes: the document-frequency
+    exchange above (vocabulary-bounded broadcast), then a pure map
+    doing a per-batch lexsort rank. No corpus-shaped shuffle.
+    """
+    hashes, dfs, n_docs = document_frequencies(
+        ds, text_col=text_col, n_buckets=n_buckets
+    )
+    df_ref = ray.put((hashes, dfs, np.float64(n_docs)))
+
+    def _topk(batch: pa.Table) -> pa.Table:
+        h_sorted, df_sorted, n = ray.get(df_ref)
+        doc, th = _doc_tokens(batch, text_col)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        key_np = keys.to_numpy(zero_copy_only=False)
+        key_type = batch.schema.field(key_col).type
+        empty = pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        if not doc.size:
+            return empty
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toklist = pc.utf8_split_whitespace(col)
+        if isinstance(toklist, pa.ChunkedArray):
+            toklist = toklist.combine_chunks()
+        flat = toklist.values
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tok_str = flat.to_numpy(zero_copy_only=False)
+        if not keep.all():
+            tok_str = tok_str[keep]
+        # tf per (doc, token) run
+        th_i = th.view(np.int64)
+        order = np.lexsort((th_i, doc))
+        d_s, h_s = doc[order], th_i[order]
+        starts = np.empty(d_s.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        idx = np.flatnonzero(starts)
+        tf = np.diff(np.append(idx, d_s.size)).astype(np.int64)
+        run_doc = d_s[idx]
+        run_hash = h_s[idx]  # int64, same order domain as h_sorted
+        run_tok = tok_str[order[idx]]
+        pos = np.minimum(
+            np.searchsorted(h_sorted, run_hash), max(h_sorted.size - 1, 0)
+        )
+        if h_sorted.size:
+            assert (h_sorted[pos] == run_hash).all(), "df table missing tokens"
+        run_df = df_sorted[pos]
+        score = np.round(tf.astype(np.float64) * np.log(n / run_df), decimals)
+        sel = np.lexsort((run_tok, -score, run_doc))
+        sd = run_doc[sel]
+        first = np.empty(sd.size, dtype=bool)
+        first[0] = True
+        first[1:] = sd[1:] != sd[:-1]
+        doc_start = np.maximum.accumulate(
+            np.where(first, np.arange(sd.size), 0)
+        )
+        rank = np.arange(sd.size) - doc_start
+        pick = sel[rank < k]
+        return pa.table(
+            {
+                key_col: pa.array(key_np[run_doc[pick]], key_type),
+                "token": pa.array(run_tok[pick].astype(object), pa.string()),
+                "tf": pa.array(tf[pick]),
+                "df": pa.array(run_df[pick].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_topk, batch_format="pyarrow")

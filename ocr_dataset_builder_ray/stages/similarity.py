@@ -17,6 +17,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
@@ -161,3 +162,148 @@ def knn_ivf(
 
     probed_ds = ds.map_batches(_filter_probed, batch_format="pandas", batch_size=4096)
     return knn_bruteforce(probed_ds, q, vec_col=vec_col, key_col=key_col, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd) over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    decimals: int | None = 9,
+    chunk_elems: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Nearest-centroid (Euclidean) assignment: ``(key, cluster)``.
+
+    Centroids broadcast once via ``ray.put``; each batch computes the
+    explicit (x - c)^2 distance tensor in row chunks sized so the
+    n x k x d temporary stays under ``chunk_elems`` floats regardless
+    of batch size / k / d. Ties (exact-duplicate vectors) break to the
+    lowest cluster id (np.argmin first-occurrence), matching the SQL
+    oracle's ORDER BY (dist, cid). ``decimals`` rounds the distance
+    before the argmin so last-ulp summation-order differences can't
+    flip an ordering against an oracle computing the same distance in
+    a different association order.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents_ref = ray.put(cents)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        mat = _as_matrix(batch[vec_col].to_pylist())
+        n = mat.shape[0]
+        step = max(1, chunk_elems // max(1, c.shape[0] * c.shape[1]))
+        out = np.empty(n, dtype=np.int64)
+        for i in range(0, n, step):
+            d2 = ((mat[i : i + step, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            dist = np.sqrt(d2)
+            if decimals is not None:
+                dist = np.round(dist, decimals)
+            out[i : i + step] = np.argmin(dist, axis=1)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({key_col: keys, "cluster": pa.array(out, pa.int64())})
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_iters: int = 5,
+    chunk_elems: int = 4_000_000,
+) -> np.ndarray:
+    """Distributed Lloyd iterations; returns the (k, d) centroids.
+
+    Init is deterministic: the k rows with the smallest multiplicative
+    hash ticket of ``key_col`` (stages/curation.py's ticket — a seeded
+    sample without an order-dependent reservoir). Each iteration is
+    one streaming pass: per-batch partial (cluster, count, sum) rows —
+    k rows per batch, never the vectors — reduced by a k-group
+    ``groupby``. Empty clusters keep their previous centroid.
+
+    Scale note: every iteration re-executes the input pipeline (Ray
+    datasets are lazy); fit on a sampled/materialized subset and use
+    ``kmeans_assign`` for the full-corpus pass.
+    """
+    from .curation import sample_ticket
+
+    def _init_partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
+        tick = sample_ticket(keys)
+        top = np.argsort(tick, kind="stable")[:k]
+        vecs = batch[vec_col].to_pylist()
+        mat = _as_matrix([vecs[i] for i in top])
+        return pa.table(
+            {
+                "ticket": pa.array(tick[top].astype(np.int64)),
+                "vec": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(_init_partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: r["ticket"])
+    cents = np.asarray([r["vec"] for r in cand[:k]], dtype=np.float64)
+    if cents.shape[0] < k:
+        raise ValueError(f"kmeans_fit: fewer than k={k} rows in input")
+    cents_ref = ray.put(cents)
+
+    for _ in range(n_iters):
+
+        def _partials(batch: pa.Table, _ref=cents_ref) -> pa.Table:
+            c = ray.get(_ref)
+            mat = _as_matrix(batch[vec_col].to_pylist())
+            n = mat.shape[0]
+            step = max(1, chunk_elems // max(1, c.shape[0] * c.shape[1]))
+            assign = np.empty(n, dtype=np.int64)
+            for i in range(0, n, step):
+                d2 = ((mat[i : i + step, None, :] - c[None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                assign[i : i + step] = np.argmin(d2, axis=1)
+            sums = np.zeros((c.shape[0], mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            present = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(present.astype(np.int64)),
+                    "n": pa.array(counts[present].astype(np.int64)),
+                    "vsum": pa.array(list(sums[present]), pa.list_(pa.float64())),
+                }
+            )
+
+        def _reduce(group: pa.Table) -> pa.Table:
+            vs = np.asarray(group["vsum"].to_pylist(), dtype=np.float64)
+            return pa.table(
+                {
+                    "cluster": group["cluster"][:1],
+                    "n": pa.array([int(np.sum(group["n"].to_numpy()))]),
+                    "vsum": pa.array([vs.sum(axis=0)], pa.list_(pa.float64())),
+                }
+            )
+
+        rows = (
+            ds.map_batches(_partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(_reduce, batch_format="pyarrow")
+            .take_all()
+        )
+        new_cents = cents.copy()
+        for r in rows:
+            cid = int(r["cluster"])
+            if r["n"]:
+                new_cents[cid] = np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+        cents = new_cents
+        cents_ref = ray.put(cents)
+
+    return cents

@@ -1,0 +1,239 @@
+"""Repetition / decontamination filters (stages/filters.py) and
+distributed k-means (stages/similarity.py) vs brute-force references."""
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ocr_dataset_builder_ray.stages.filters import (
+    benchmark_window_hashes,
+    contamination_report,
+    decontaminate,
+    repetition_filter,
+    repetition_signals,
+)
+from ocr_dataset_builder_ray.stages.similarity import (
+    _as_matrix,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+def _corpus(n=300, seed=5):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(2, 60))
+        words = list(rng.choice(vocab, k))
+        if i % 7 == 0:  # heavy repetition
+            words = words[:3] * max(1, k // 3)
+        texts.append(" ".join(words))
+    # edge cases
+    texts[0] = ""
+    texts[1] = "   "
+    texts[2] = "solo"
+    texts[3] = "a b"
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def _ref_signals(df):
+    rows = []
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        if len(toks) < 2:
+            continue
+        dup = 1.0 - len(set(toks)) / len(toks)
+        bis = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        top = max(pd.Series(bis).value_counts()) / len(bis)
+        rows.append((r["doc_id"], dup, top))
+    return pd.DataFrame(rows, columns=["doc_id", "dup_word_frac", "top_bigram_frac"])
+
+
+def test_repetition_signals_match_reference(ray_session):
+    df = _corpus()
+    ds = ray.data.from_pandas(df)
+    got = (
+        repetition_signals(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _ref_signals(df).sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.array_equal(got["dup_word_frac"].values, want["dup_word_frac"].values)
+    assert np.array_equal(
+        got["top_bigram_frac"].values, want["top_bigram_frac"].values
+    )
+
+
+def test_repetition_filter_thresholds(ray_session):
+    df = _corpus()
+    ds = ray.data.from_pandas(df)
+    kept = repetition_filter(
+        ds, max_dup_word_frac=0.5, max_top_bigram_frac=0.2
+    ).to_pandas()
+    ref = _ref_signals(df)
+    want = ref[(ref.dup_word_frac <= 0.5) & (ref.top_bigram_frac <= 0.2)]
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+    assert 0 < len(kept) < len(ref)  # thresholds actually split this corpus
+
+
+def _ref_windows(text, w):
+    toks = text.split()
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def test_contamination_matches_string_reference(ray_session):
+    df = _corpus(n=200, seed=9)
+    bench_df = df[df.doc_id % 10 == 0]
+    eval_df = df[df.doc_id % 10 != 0]
+    w = 3
+    bench_wins = set()
+    for t in bench_df["text"]:
+        bench_wins |= _ref_windows(t, w)
+    want = {}
+    for _, r in eval_df.iterrows():
+        toks = r["text"].split()
+        hits = sum(
+            1
+            for i in range(len(toks) - w + 1)
+            if " ".join(toks[i : i + w]) in bench_wins
+        )
+        if hits:
+            want[r["doc_id"]] = hits
+    assert want, "reference contamination is non-degenerate"
+
+    bh = benchmark_window_hashes(ray.data.from_pandas(bench_df), w=w)
+    rep = (
+        contamination_report(ray.data.from_pandas(eval_df), bh, w=w)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = dict(zip(rep["doc_id"], rep["n_hits"]))
+    assert got == want
+
+    clean = decontaminate(ray.data.from_pandas(eval_df), bh, w=w).to_pandas()
+    assert sorted(clean["doc_id"]) == sorted(
+        set(eval_df["doc_id"]) - set(want)
+    )
+    assert list(clean.columns) == ["doc_id", "text"]  # passthrough preserved
+
+
+def test_contamination_empty_benchmark(ray_session):
+    df = _corpus(n=50)
+    bh = np.empty(0, dtype=np.int64)
+    rep = contamination_report(ray.data.from_pandas(df), bh).to_pandas()
+    assert len(rep) == 0
+    clean = decontaminate(ray.data.from_pandas(df), bh).to_pandas()
+    assert len(clean) == len(df)
+
+
+def _vectors(n=400, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, d))),
+        }
+    )
+
+
+def test_kmeans_assign_matches_reference_and_ties(ray_session):
+    df = _vectors()
+    X = _as_matrix(df["embedding"])
+    C = X[:5].copy()
+    # plant an exact duplicate centroid: ties must go to the LOWEST id
+    C[4] = C[1]
+    got = (
+        kmeans_assign(ray.data.from_pandas(df), C)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = np.argmin(np.round(np.sqrt(d2), 9), axis=1)
+    assert np.array_equal(got["cluster"].values, want)
+    assert not (got["cluster"] == 4).any()  # duplicate centroid never wins
+
+
+def test_kmeans_assign_chunked_equals_unchunked(ray_session):
+    df = _vectors(n=123)
+    C = _as_matrix(df["embedding"])[:7]
+    a = (
+        kmeans_assign(ray.data.from_pandas(df), C, chunk_elems=64)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    b = (
+        kmeans_assign(ray.data.from_pandas(df), C)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert a["cluster"].tolist() == b["cluster"].tolist()
+
+
+def test_kmeans_fit_matches_numpy_lloyd(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import sample_ticket
+
+    df = _vectors(n=500, d=8, seed=12)
+    k, iters = 6, 4
+    cents = kmeans_fit(ray.data.from_pandas(df), k, n_iters=iters)
+    X = _as_matrix(df["embedding"])
+    ids = df["vec_id"].to_numpy().astype(np.int64)
+    c = X[np.argsort(sample_ticket(ids), kind="stable")[:k]].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = X[a == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+    assert np.allclose(cents, c, atol=1e-10)
+    # fit centroids drive a sane assignment (every cluster non-empty here)
+    assign = (
+        kmeans_assign(ray.data.from_pandas(df), cents).to_pandas()["cluster"]
+    )
+    assert set(assign) == set(range(k))
+
+
+def test_tfidf_top_terms_matches_reference(ray_session):
+    import math
+
+    from ocr_dataset_builder_ray.stages.filters import tfidf_top_terms
+
+    df = _corpus(n=150, seed=21)
+    got = (
+        tfidf_top_terms(ray.data.from_pandas(df), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    # brute-force reference
+    docs = {r.doc_id: r.text.split() for r in df.itertuples() if r.text.split()}
+    n = len(docs)
+    dfreq = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    rows = []
+    for did, toks in docs.items():
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        ranked = sorted(
+            tf.items(),
+            key=lambda kv: (-round(kv[1] * math.log(n / dfreq[kv[0]]), 9), kv[0]),
+        )[:2]
+        for t, f in ranked:
+            rows.append((did, t, f, dfreq[t]))
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "token", "tf", "df"])
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
