@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "q30_top_event_per_type",
     "q19_minhash_dedup",
     "q42_model_call_costs",
+    "q49_repetition_filter",
+    "q52_tfidf_top_terms",
 ]
 
 # pages-corpus size per sf tag (sized so fixed costs — session spin-up,

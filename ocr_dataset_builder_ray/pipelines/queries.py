@@ -1296,6 +1296,20 @@ def q52_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q53_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group discrete quantiles of l_extendedprice without a
+    corpus sort: native histogram aggregates + boundary-bucket-only
+    collect (same order-statistics machinery as q44). The returned
+    values are exact data elements, so they compare bit-exactly."""
+    from ..stages.curation import group_quantiles
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = group_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.75, 0.99]
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1353,6 +1367,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q50_decontaminate": q50_decontaminate,
     "q51_kmeans_assign": q51_kmeans_assign,
     "q52_tfidf_top_terms": q52_tfidf_top_terms,
+    "q53_price_quantiles": q53_price_quantiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1906,6 +1921,18 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, tok AS token, tf, df FROM r WHERE rn = 1
         ORDER BY doc_id
+    """,
+    # quantile_disc = the value at 1-indexed position ceil(q*n) of the
+    # ascending order — an exact data element, bit-equal on both sides.
+    "q53_price_quantiles": """
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.25) AS "q0.25",
+               quantile_disc(l_extendedprice, 0.5)  AS "q0.5",
+               quantile_disc(l_extendedprice, 0.75) AS "q0.75",
+               quantile_disc(l_extendedprice, 0.99) AS "q0.99"
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
 }
 

@@ -422,3 +422,108 @@ def pack_sequences(
         .groupby(group_col)
         .map_groups(_pack, batch_format="pandas")
     )
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 4096,
+) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles (SQL ``quantile_disc`` /
+    ``percentile_disc`` semantics: the value at 1-indexed position
+    ``ceil(q * n)`` of the ascending order, position 1 for q = 0) —
+    without sorting the corpus.
+
+    Same order-statistics plan as ``group_topk_cutoffs``: native
+    Count/Min/Max, a native (group, bucket) histogram over a linear
+    score bucketing, then a collect of ONLY the boundary buckets that
+    contain a requested position (expected n_g / n_buckets rows each;
+    an all-ties group collapses to one bucket and is collected whole —
+    tie-bounded, as documented there). One histogram exchange serves
+    every requested quantile. Returns a DataFrame with one row per
+    group and one ``q{...}`` column per requested quantile; the values
+    are exact elements of the data (no interpolation), so they compare
+    bit-exactly against a SQL oracle.
+    """
+    stats = {
+        r[group_col]: (r["count()"], r[f"min({value_col})"], r[f"max({value_col})"])
+        for r in ds.groupby(group_col)
+        .aggregate(Count(), Min(value_col), Max(value_col))
+        .take_all()
+    }
+    spans = {
+        g: (float(lo), float(hi) - float(lo) or 1.0)
+        for g, (_, lo, hi) in stats.items()
+    }
+    # 1-indexed target positions per group per quantile
+    targets = {
+        g: [max(1, int(math.ceil(q * n))) for q in qs]
+        for g, (n, _, _) in stats.items()
+    }
+
+    def _bucket_of(group_vals, vals) -> np.ndarray:
+        lo = np.array([spans[g][0] for g in group_vals])
+        width = np.array([spans[g][1] for g in group_vals])
+        b = np.floor((vals - lo) / width * n_buckets).astype(np.int64)
+        return np.clip(b, 0, n_buckets - 1)
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        gv = batch[group_col].to_pylist()
+        sv = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("__bucket", pa.array(_bucket_of(gv, sv)))
+
+    hist_rows = (
+        ds.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby([group_col, "__bucket"])
+        .aggregate(Count())
+        .take_all()
+    )
+    hist: dict = {}
+    for r in hist_rows:
+        hist.setdefault(r[group_col], {})[r["__bucket"]] = r["count()"]
+
+    # ascending walk: for each target position, the bucket holding it
+    # and the count strictly below that bucket
+    boundary: dict = {}  # (g, qi) -> (bucket, below)
+    bset: set = set()
+    for g, counts in hist.items():
+        run = 0
+        remaining = sorted(counts)
+        ti = sorted(range(len(qs)), key=lambda i: targets[g][i])
+        pos_iter = iter(ti)
+        cur = next(pos_iter, None)
+        for b in remaining:
+            c = counts[b]
+            while cur is not None and targets[g][cur] <= run + c:
+                boundary[(g, cur)] = (b, run)
+                bset.add((g, b))
+                cur = next(pos_iter, None)
+            run += c
+            if cur is None:
+                break
+
+    def _boundary_rows(batch: pa.Table) -> pa.Table:
+        gv = batch[group_col].to_pylist()
+        sv = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bv = _bucket_of(gv, sv)
+        keep = np.array(
+            [(g, b) in bset for g, b in zip(gv, bv)], dtype=bool
+        )
+        return batch.filter(pa.array(keep)).select([group_col, value_col])
+
+    bdf = ds.map_batches(_boundary_rows, batch_format="pyarrow").to_pandas()
+
+    out_rows = []
+    for g in sorted(stats):
+        row = {group_col: g}
+        sub = bdf[bdf[group_col] == g]
+        vals = np.sort(sub[value_col].to_numpy())
+        buckets = _bucket_of([g] * len(vals), vals.astype(np.float64))
+        for qi, q in enumerate(qs):
+            b, below = boundary[(g, qi)]
+            in_b = vals[buckets == b]
+            row[f"q{q}"] = in_b[targets[g][qi] - below - 1]
+        out_rows.append(row)
+    return pd.DataFrame(out_rows)

@@ -240,3 +240,28 @@ def test_top_tokens_exact(ray_session):
     )
     assert got["token"].tolist() == exact["token"].tolist()
     assert got["n"].astype(int).tolist() == exact["n"].tolist()
+
+
+def test_group_quantiles_matches_numpy_order_stats(ray_session):
+    import math as _math
+
+    from ocr_dataset_builder_ray.stages.curation import group_quantiles
+
+    df = _frame(n=1200, seed=7)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = group_quantiles(
+        ray.data.from_pandas(df), "lang", "score", qs, n_buckets=32
+    ).sort_values("lang")
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df.lang == row["lang"], "score"].to_numpy())
+        for q in qs:
+            pos = max(1, int(_math.ceil(q * len(vals))))
+            assert row[f"q{q}"] == vals[pos - 1], (row["lang"], q)
+
+
+def test_group_quantiles_all_ties(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import group_quantiles
+
+    df = _frame(n=300, seed=8, tie_heavy=True)  # every score identical
+    got = group_quantiles(ray.data.from_pandas(df), "lang", "score", [0.5])
+    assert (got["q0.5"] == 42).all()
