@@ -1310,6 +1310,22 @@ def q53_price_quantiles(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+MIX_PROPORTIONS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q54_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Deterministic dataset mixing to target language proportions
+    (40/20/20/10/10), no upsampling: the binding language is kept
+    whole, every other keeps its floor(p*n_target) smallest hash
+    tickets. One skinny Count pass + broadcast cutoffs; the payload
+    never shuffles."""
+    from ..stages.curation import mix_to_proportions
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    out = mix_to_proportions(ds, "lang", "doc_id", MIX_PROPORTIONS)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1368,6 +1384,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q51_kmeans_assign": q51_kmeans_assign,
     "q52_tfidf_top_terms": q52_tfidf_top_terms,
     "q53_price_quantiles": q53_price_quantiles,
+    "q54_source_mix": q54_source_mix,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1933,6 +1950,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    # n_target = min over groups of floor(n_g / p_g) (binding group
+    # kept whole, no upsampling); each group keeps its floor(p*n_target)
+    # smallest tickets — the q43/q47 ticket formula, SQL-exact integers.
+    "q54_source_mix": """
+        WITH c AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ), p AS (
+            SELECT * FROM (VALUES
+                ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                ('fr', 0.1), ('zh', 0.1)
+            ) t(lang, p)
+        ), tgt AS (
+            SELECT min(CAST(floor(c.n / p.p::DOUBLE) AS BIGINT)) AS nt
+            FROM c JOIN p USING (lang)
+        ), k AS (
+            SELECT p.lang, CAST(floor(p.p::DOUBLE * tgt.nt) AS BIGINT) AS k
+            FROM p CROSS JOIN tgt
+        ), t AS (
+            SELECT doc_id, lang,
+                   (doc_id * 2654435761) % 4294967296 AS ticket
+            FROM documents
+        )
+        SELECT doc_id, lang FROM (
+            SELECT t.doc_id, t.lang, k.k,
+                   row_number() OVER (
+                       PARTITION BY t.lang ORDER BY t.ticket, t.doc_id
+                   ) AS rn
+            FROM t JOIN k USING (lang)
+        ) q WHERE rn <= k
+        ORDER BY doc_id
     """,
 }
 

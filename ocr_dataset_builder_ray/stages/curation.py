@@ -107,7 +107,7 @@ def group_topk_cutoffs(
     key_col: str,
     keep_frac: float | None,
     n_buckets: int = 4096,
-    fixed_k: int | None = None,
+    fixed_k: int | dict | None = None,
 ) -> dict:
     """Per-group cutoff pair ``(score_t, key_t)`` such that exactly
     ``k_g`` rows per group satisfy
@@ -134,7 +134,13 @@ def group_topk_cutoffs(
         .aggregate(Count(), Min(score_col), Max(score_col))
         .take_all()
     }
-    if fixed_k is not None:
+    if isinstance(fixed_k, dict):
+        # per-group quota (groups absent from the dict are dropped)
+        k = {
+            g: min(int(fixed_k.get(g, 0)), int(n))
+            for g, (n, _, _) in stats.items()
+        }
+    elif fixed_k is not None:
         k = {g: min(int(fixed_k), int(n)) for g, (n, _, _) in stats.items()}
     else:
         k = {g: int(math.ceil(keep_frac * n)) for g, (n, _, _) in stats.items()}
@@ -260,7 +266,7 @@ def fixed_size_sample(
     ds: ray.data.Dataset,
     group_col: str,
     key_col: str,
-    k: int,
+    k: int | dict,
     n_buckets: int = 4096,
 ) -> ray.data.Dataset:
     """Deterministic fixed-size sample: exactly ``min(k, n_g)`` rows
@@ -527,3 +533,36 @@ def group_quantiles(
             row[f"q{q}"] = in_b[targets[g][qi] - below - 1]
         out_rows.append(row)
     return pd.DataFrame(out_rows)
+
+
+def mix_to_proportions(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    proportions: dict,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Deterministic dataset mixing: down-sample groups so the output
+    matches the target ``proportions`` (a DoReMi/Pile-style source-mix
+    recipe) exactly, with NO upsampling — the binding group (smallest
+    n_g / p_g) is kept whole, every other group keeps its
+    ``floor(p_g * n_target)`` smallest hash tickets (the same
+    reservoir-free selection as ``fixed_size_sample``, so the mix is
+    independent of partitioning and row order). Groups absent from
+    ``proportions`` (or with p <= 0) are dropped.
+
+    Scale shape: one skinny Count aggregate to size the mix, then the
+    order-statistics cutoff machinery — the payload never shuffles.
+    """
+    counts = {
+        r[group_col]: int(r["count()"])
+        for r in ds.groupby(group_col).aggregate(Count()).take_all()
+    }
+    present = {
+        g: float(p) for g, p in proportions.items() if g in counts and p > 0
+    }
+    if not present:
+        return ds.filter(lambda _: False)
+    n_target = min(int(math.floor(counts[g] / p)) for g, p in present.items())
+    ks = {g: int(math.floor(p * n_target)) for g, p in present.items()}
+    return fixed_size_sample(ds, group_col, key_col, ks, n_buckets)

@@ -265,3 +265,37 @@ def test_group_quantiles_all_ties(ray_session):
     df = _frame(n=300, seed=8, tie_heavy=True)  # every score identical
     got = group_quantiles(ray.data.from_pandas(df), "lang", "score", [0.5])
     assert (got["q0.5"] == 42).all()
+
+
+def test_mix_to_proportions_exact_and_order_independent(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import mix_to_proportions
+
+    df = _frame(n=1000, seed=13)
+    props = {"en": 0.5, "de": 0.3, "zh": 0.2}  # 'fr' dropped entirely
+    got = (
+        mix_to_proportions(ray.data.from_pandas(df), "lang", "doc_id", props)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    counts = {g: int((df.lang == g).sum()) for g in props}
+    n_target = min(int(math.floor(counts[g] / p)) for g, p in props.items())
+    ks = {g: int(math.floor(p * n_target)) for g, p in props.items()}
+    by_lang = got.groupby("lang").size().to_dict()
+    assert by_lang == {g: k for g, k in ks.items() if k > 0}
+    assert "fr" not in set(got["lang"])
+    # binding group is kept (nearly) whole; proportions are exact
+    total = sum(ks.values())
+    for g, p in props.items():
+        assert abs(by_lang[g] / total - p / sum(props.values())) < 0.01
+    # identical result from a shuffled, re-partitioned input
+    df2 = df.sample(frac=1.0, random_state=99).reset_index(drop=True)
+    got2 = (
+        mix_to_proportions(
+            ray.data.from_pandas(df2).repartition(7), "lang", "doc_id", props
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == got2["doc_id"].tolist()
