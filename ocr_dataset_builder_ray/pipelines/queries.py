@@ -1296,10 +1296,11 @@ def q52_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def q53_price_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact per-group discrete quantiles of l_extendedprice without a
-    corpus sort: native histogram aggregates + boundary-bucket-only
-    collect (same order-statistics machinery as q44). The returned
+def q53_quantiles_nosort(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group discrete quantiles of l_extendedprice WITHOUT a
+    corpus sort or whole-group collect (contrast q28, whose map_groups
+    holds a full group per actor): native histogram aggregates +
+    boundary-bucket-only collect, the 100-TB-shaped path. The returned
     values are exact data elements, so they compare bit-exactly."""
     from ..stages.curation import group_quantiles
 
@@ -1324,6 +1325,36 @@ def q54_source_mix(sf_dir: str) -> pd.DataFrame:
     ds = _t(sf_dir, "documents", ["doc_id", "lang"])
     out = mix_to_proportions(ds, "lang", "doc_id", MIX_PROPORTIONS)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q55_curation_pipeline(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation chain (repetition gate -> decontamination ->
+    exact dedup -> source mix) over the documents table, benchmark =
+    doc_id % 25 == 0, verified against ONE composed SQL oracle. Every
+    stage is a pure map, duplicate-bounded exchange, or broadcast
+    cutoff — the payload never crosses an all-to-all."""
+    from ..pipelines.curation import curation_pipeline
+
+    def _mod25(batch, want: bool):
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array((ids % 25 == 0) == want))
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    bench = ds.map_batches(lambda b: _mod25(b, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda b: _mod25(b, False), batch_format="pyarrow")
+    out = curation_pipeline(
+        corpus,
+        bench,
+        max_dup_word_frac=0.55,
+        max_top_bigram_frac=0.08,
+        window=4,
+        proportions=MIX_PROPORTIONS,
+    )
+    return (
+        out.to_pandas()[["doc_id", "lang"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1383,8 +1414,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q50_decontaminate": q50_decontaminate,
     "q51_kmeans_assign": q51_kmeans_assign,
     "q52_tfidf_top_terms": q52_tfidf_top_terms,
-    "q53_price_quantiles": q53_price_quantiles,
+    "q53_quantiles_nosort": q53_quantiles_nosort,
     "q54_source_mix": q54_source_mix,
+    "q55_curation_pipeline": q55_curation_pipeline,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1941,7 +1973,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # quantile_disc = the value at 1-indexed position ceil(q*n) of the
     # ascending order — an exact data element, bit-equal on both sides.
-    "q53_price_quantiles": """
+    "q53_quantiles_nosort": """
         SELECT l_returnflag,
                quantile_disc(l_extendedprice, 0.25) AS "q0.25",
                quantile_disc(l_extendedprice, 0.5)  AS "q0.5",
@@ -1979,6 +2011,84 @@ ORACLE_SQL: dict[str, str] = {
                        PARTITION BY t.lang ORDER BY t.ticket, t.doc_id
                    ) AS rn
             FROM t JOIN k USING (lang)
+        ) q WHERE rn <= k
+        ORDER BY doc_id
+    """,
+    # One composed oracle for the whole curation chain: gate ->
+    # decontaminate (literal window strings) -> md5 min-key dedup ->
+    # ticket-quota mix. Stage cardinalities at sf0.01:
+    # 480 -> 217 -> 210 -> 210 -> 140.
+    "q55_curation_pipeline": r"""
+        WITH corpus AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE doc_id % 25 <> 0 AND trim(coalesce(text, '')) <> ''
+        ), toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM corpus
+        ), stats AS (
+            SELECT doc_id,
+                   1 - (len(list_distinct(t))::DOUBLE / len(t)) AS dupf
+            FROM toks
+        ), bi AS (
+            SELECT doc_id,
+                   unnest([t[i + 1] || ' ' || t[i + 2] for i in range(len(t) - 1)]) AS bg
+            FROM toks WHERE len(t) >= 2
+        ), bistats AS (
+            SELECT doc_id, max(c)::DOUBLE / sum(c) AS topbi
+            FROM (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2)
+            GROUP BY doc_id
+        ), gate AS (
+            SELECT s.doc_id FROM stats s JOIN bistats b USING (doc_id)
+            WHERE s.dupf <= 0.55 AND b.topbi <= 0.08
+        ), btoks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents
+            WHERE doc_id % 25 = 0 AND trim(coalesce(text, '')) <> ''
+        ), bwins AS (
+            SELECT DISTINCT array_to_string(t[pos + 1 : pos + 4], ' ') AS win
+            FROM (SELECT t, unnest(range(len(t) - 3)) AS pos
+                  FROM btoks WHERE len(t) >= 4)
+        ), gwins AS (
+            SELECT w.doc_id, array_to_string(w.t[w.pos + 1 : w.pos + 4], ' ') AS win
+            FROM (SELECT doc_id, t, unnest(range(len(t) - 3)) AS pos
+                  FROM toks WHERE len(t) >= 4) w
+            JOIN gate g USING (doc_id)
+        ), contaminated AS (
+            SELECT DISTINCT doc_id FROM gwins JOIN bwins USING (win)
+        ), clean AS (
+            SELECT c.doc_id, c.lang, c.text FROM corpus c JOIN gate USING (doc_id)
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ), dedup AS (
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM clean) WHERE rn = 1
+        ), c2 AS (
+            SELECT lang, count(*) AS n FROM dedup GROUP BY lang
+        ), p AS (
+            SELECT * FROM (VALUES
+                ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                ('fr', 0.1), ('zh', 0.1)
+            ) t(lang, p)
+        ), tgt AS (
+            SELECT min(CAST(floor(c2.n / p.p::DOUBLE) AS BIGINT)) AS nt
+            FROM c2 JOIN p USING (lang)
+        ), k AS (
+            SELECT p.lang, CAST(floor(p.p::DOUBLE * tgt.nt) AS BIGINT) AS k
+            FROM p CROSS JOIN tgt
+        ), tick AS (
+            SELECT doc_id, lang,
+                   (doc_id * 2654435761) % 4294967296 AS ticket
+            FROM dedup
+        )
+        SELECT doc_id, lang FROM (
+            SELECT tick.doc_id, tick.lang, k.k,
+                   row_number() OVER (
+                       PARTITION BY tick.lang ORDER BY tick.ticket, tick.doc_id
+                   ) AS rn
+            FROM tick JOIN k USING (lang)
         ) q WHERE rn <= k
         ORDER BY doc_id
     """,

@@ -141,9 +141,15 @@ def repetition_filter(
     key_col: str = "doc_id",
     max_dup_word_frac: float = 0.55,
     max_top_bigram_frac: float = 0.05,
+    passthrough: bool = False,
 ) -> ray.data.Dataset:
     """Keep documents whose repetition signals fall at or under both
-    thresholds (Gopher-style repetitive-document removal)."""
+    thresholds (Gopher-style repetitive-document removal).
+
+    ``passthrough=False`` returns the signal table (key + both
+    fractions); ``passthrough=True`` filters the input batches in
+    place, preserving every original column for pipeline composition.
+    Either way documents with < 2 tokens are dropped."""
 
     def _sig_filter(batch: pa.Table) -> pa.Table:
         t = _repetition_table(batch, text_col, key_col)
@@ -151,7 +157,13 @@ def repetition_filter(
             pc.less_equal(t["dup_word_frac"], max_dup_word_frac),
             pc.less_equal(t["top_bigram_frac"], max_top_bigram_frac),
         )
-        return t.filter(mask)
+        if not passthrough:
+            return t.filter(mask)
+        kept = set(t.filter(mask)[key_col].to_pylist())
+        keep_rows = pa.array(
+            [k in kept for k in batch[key_col].to_pylist()]
+        )
+        return batch.filter(keep_rows)
 
     return ds.map_batches(_sig_filter, batch_format="pyarrow")
 

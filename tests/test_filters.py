@@ -237,3 +237,29 @@ def test_tfidf_top_terms_matches_reference(ray_session):
     assert got["token"].tolist() == want["token"].tolist()
     assert got["tf"].tolist() == want["tf"].tolist()
     assert got["df"].tolist() == want["df"].tolist()
+
+
+def test_curation_pipeline_partition_independent(ray_session):
+    from ocr_dataset_builder_ray.pipelines.curation import curation_pipeline
+
+    df = _corpus(n=240, seed=31)
+    bench_df = df[df.doc_id % 12 == 0]
+    corp_df = df[df.doc_id % 12 != 0].copy()
+    corp_df["lang"] = np.where(corp_df.doc_id % 3 == 0, "en", "de")
+    props = {"en": 0.6, "de": 0.4}
+    runs = []
+    for parts in (1, 5):
+        out = curation_pipeline(
+            ray.data.from_pandas(corp_df).repartition(parts),
+            ray.data.from_pandas(bench_df),
+            max_dup_word_frac=0.9,
+            max_top_bigram_frac=0.5,
+            window=3,
+            proportions=props,
+        ).to_pandas()
+        runs.append(out.sort_values("doc_id").reset_index(drop=True))
+    assert runs[0]["doc_id"].tolist() == runs[1]["doc_id"].tolist()
+    assert len(runs[0]) > 0
+    # mix proportions hold exactly
+    by = runs[0].groupby("lang").size()
+    assert abs(by["en"] / len(runs[0]) - 0.6) < 0.02
