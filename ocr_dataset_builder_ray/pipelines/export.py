@@ -66,3 +66,76 @@ def export_dataset(
         projected.write_parquet(out_dir)
     else:
         raise ValueError(f"unknown export format {fmt!r}")
+
+
+def export_training_shards(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    n_shards: int,
+    *,
+    key_col: str = "url",
+    mode: str | None = None,
+) -> dict:
+    """Deterministic sharded training export: every row lands in shard
+    ``stable_hash64(key) % n_shards``, written as
+    ``shard=NNNNN/*.parquet`` plus an atomic ``_shards_manifest.json``
+    with per-shard row counts.
+
+    Shard membership is a pure function of the KEY — independent of
+    partitioning, parallelism, and row order — so a re-run (or a
+    different cluster size) reproduces byte-identical shard membership,
+    and a training job can consume/checkpoint per shard (the same
+    resumability contract as run_partitioned_extraction's
+    ``part={pid}`` layout, state/manifest.py). Row counts come from the
+    written parquet footers (a driver-side metadata scan, no second
+    data pass).
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import stable_hash64_array
+
+    if mode is not None:
+        ds = EXPORT_MODES[mode](ds)
+
+    def _add_shard(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        if keys.dtype.kind in ("i", "u"):
+            h = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+                1 << 32
+            )
+        else:
+            h = stable_hash64_array([str(k) for k in keys])
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column("shard", pa.array(shard))
+
+    ds.map_batches(_add_shard, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["shard"]
+    )
+
+    counts: dict[str, int] = {}
+    for root, _dirs, files in os.walk(out_dir):
+        base = os.path.basename(root)
+        if not base.startswith("shard="):
+            continue
+        sid = base.split("=", 1)[1]
+        counts[sid] = counts.get(sid, 0) + sum(
+            pq.read_metadata(os.path.join(root, f)).num_rows
+            for f in files
+            if f.endswith(".parquet")
+        )
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "total_rows": int(sum(counts.values())),
+        "shards": dict(sorted(counts.items())),
+    }
+    tmp = os.path.join(out_dir, "_shards_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "_shards_manifest.json"))
+    return manifest

@@ -263,3 +263,40 @@ def test_curation_pipeline_partition_independent(ray_session):
     # mix proportions hold exactly
     by = runs[0].groupby("lang").size()
     assert abs(by["en"] / len(runs[0]) - 0.6) < 0.02
+
+
+def test_export_training_shards_deterministic(ray_session, tmp_path):
+    import json
+
+    from ocr_dataset_builder_ray.pipelines.export import export_training_shards
+
+    df = _corpus(n=400, seed=17)
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    m1 = export_training_shards(
+        ray.data.from_pandas(df), out1, 8, key_col="doc_id"
+    )
+    m2 = export_training_shards(
+        ray.data.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(5),
+        out2,
+        8,
+        key_col="doc_id",
+    )
+    assert m1["total_rows"] == m2["total_rows"] == len(df)
+    assert m1["shards"] == m2["shards"]  # membership independent of layout
+    assert len(m1["shards"]) == 8
+    # shard membership is reproducible per key
+    a = (
+        ray.data.read_parquet(out1)
+        .to_pandas()[["doc_id", "shard"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ray.data.read_parquet(out2)
+        .to_pandas()[["doc_id", "shard"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["shard"].astype(int).tolist() == b["shard"].astype(int).tolist()
+    disk = json.load(open(f"{out1}/_shards_manifest.json"))
+    assert disk == m1
