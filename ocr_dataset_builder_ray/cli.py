@@ -15,6 +15,9 @@ Subcommands:
               cleaning_pairs)
     metrics   print lineage + aggregate metrics for a completed run
     gen       generate the deterministic synthetic pages corpus
+    curate    corpus-curation chain over a documents table (repetition
+              gate -> decontamination -> exact dedup -> source mix),
+              optionally written as deterministic training shards
 
 This module is the ONLY library-side owner of ``ray.init`` (guarded);
 ``__ray_entry__.py`` and the pipeline functions never initialize Ray.
@@ -113,6 +116,56 @@ def _cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from .pipelines.curation import curation_pipeline
+    from .pipelines.export import export_training_shards
+
+    ds = ray.data.read_parquet(args.input)
+    if args.bench:
+        corpus, bench = ds, ray.data.read_parquet(args.bench)
+    else:
+        # no benchmark table given: split one off by key modulo (the
+        # q55 convention) so decontamination always runs
+        import pyarrow as pa
+
+        key, modulo = args.key, args.bench_modulo
+
+        def _mod(batch, want):
+            ids = batch[key].to_numpy()
+            return batch.filter(pa.array((ids % modulo == 0) == want))
+
+        bench = ds.map_batches(lambda b: _mod(b, True), batch_format="pyarrow")
+        corpus = ds.map_batches(lambda b: _mod(b, False), batch_format="pyarrow")
+
+    props = json.loads(args.proportions) if args.proportions else None
+    out = curation_pipeline(
+        corpus,
+        bench,
+        text_col=args.text,
+        key_col=args.key,
+        group_col=args.group,
+        max_dup_word_frac=args.max_dup_word_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        window=args.window,
+        proportions=props,
+    )
+    if args.shards:
+        manifest = export_training_shards(
+            out, args.output, args.shards, key_col=args.key
+        )
+        print(json.dumps({"curated_rows": manifest["total_rows"],
+                          "shards": manifest["n_shards"]}))
+    else:
+        out.write_parquet(args.output)
+        print(json.dumps(
+            {"curated_rows": ray.data.read_parquet(args.output).count()}
+        ))
+    return 0
+
+
 def _cmd_gen(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .sources.pages import generate_pages_corpus
@@ -185,6 +238,24 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("metrics", help="lineage + aggregate metrics")
     m.add_argument("--input", required=True)
     m.set_defaults(fn=_cmd_metrics)
+
+    c = sub.add_parser("curate", help="corpus-curation chain over a documents table")
+    c.add_argument("--input", required=True, help="documents parquet dir/file")
+    c.add_argument("--output", required=True)
+    c.add_argument("--bench", default=None, help="benchmark/eval parquet for decontamination")
+    c.add_argument("--bench-modulo", type=int, default=25,
+                   help="no --bench: use keys with key %% MOD == 0 as the benchmark")
+    c.add_argument("--key", default="doc_id")
+    c.add_argument("--text", default="text")
+    c.add_argument("--group", default="lang")
+    c.add_argument("--max-dup-word-frac", type=float, default=0.55)
+    c.add_argument("--max-top-bigram-frac", type=float, default=0.08)
+    c.add_argument("--window", type=int, default=4)
+    c.add_argument("--proportions", default=None,
+                   help='JSON dict of group -> target proportion, e.g. \'{"en":0.5,"de":0.5}\'')
+    c.add_argument("--shards", type=int, default=None,
+                   help="write deterministic training shards instead of flat parquet")
+    c.set_defaults(fn=_cmd_curate)
 
     g = sub.add_parser("gen", help="generate synthetic pages corpus")
     g.add_argument("--output", required=True)
