@@ -454,3 +454,51 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Feature-hash embeddings (text -> vector bridge)
+# ---------------------------------------------------------------------------
+
+
+def hash_embed(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Deterministic feature-hash document embeddings (the hashing
+    trick, Weinberger et al. 2009 — public): each token adds ±1 to the
+    bucket ``hash(token) % dim`` (sign from an independent hash bit);
+    the vector is L2-normalized. Model-free and vocabulary-free, so it
+    bridges the text tables into the vector operator family
+    (``embedding_dedup``, ``knn_*``, ``kmeans_*``) with zero broadcast
+    state. Pure map: one ``np.add.at`` scatter per batch. Documents
+    with no tokens are dropped (no direction to normalize)."""
+
+    def _embed(batch: pa.Table) -> pa.Table:
+        doc, th = _doc_tokens(batch, text_col)
+        n = batch.num_rows
+        mat = np.zeros((n, dim), dtype=np.float64)
+        if doc.size:
+            bucket = (th % np.uint64(dim)).astype(np.int64)
+            sign = 1.0 - 2.0 * ((th >> np.uint64(32)) & np.uint64(1)).astype(
+                np.float64
+            )
+            np.add.at(mat, (doc, bucket), sign)
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        mat = mat[keep] / norms[keep, None]
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table(
+            {
+                key_col: keys.filter(pa.array(keep)),
+                vec_col: pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(_embed, batch_format="pyarrow")

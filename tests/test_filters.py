@@ -300,3 +300,44 @@ def test_export_training_shards_deterministic(ray_session, tmp_path):
     assert a["shard"].astype(int).tolist() == b["shard"].astype(int).tolist()
     disk = json.load(open(f"{out1}/_shards_manifest.json"))
     assert disk == m1
+
+
+def test_hash_embed_deterministic_and_neardup_cosine(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import hash_embed
+
+    df = _corpus(n=120, seed=41)
+    a = (
+        hash_embed(ray.data.from_pandas(df), dim=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        hash_embed(ray.data.from_pandas(df).repartition(6), dim=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    for va, vb in zip(a["embedding"], b["embedding"]):
+        assert np.array_equal(np.asarray(va), np.asarray(vb))
+    # empty/whitespace docs dropped, all vectors unit norm
+    assert 0 not in set(a["doc_id"]) and 1 not in set(a["doc_id"])
+    norms = np.array([np.linalg.norm(v) for v in a["embedding"]])
+    assert np.allclose(norms, 1.0)
+    # a near-duplicate text lands closer to its source than a random doc
+    base = df.loc[10, "text"]
+    df2 = pd.concat(
+        [
+            df,
+            pd.DataFrame(
+                {"doc_id": [9000], "text": [base + " extraword"]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    e = hash_embed(ray.data.from_pandas(df2), dim=32).to_pandas()
+    vecs = {r.doc_id: np.asarray(r.embedding) for r in e.itertuples()}
+    near = float(vecs[9000] @ vecs[10])
+    far = float(vecs[9000] @ vecs[50])
+    assert near > 0.9 and near > far
