@@ -240,18 +240,21 @@ def kmeans_fit(
     def _init_partial(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
         tick = sample_ticket(keys)
-        top = np.argsort(tick, kind="stable")[:k]
+        # key as the tie-break so a rare 32-bit ticket collision can't
+        # make the init depend on block arrival order
+        top = np.lexsort((keys, tick))[:k]
         vecs = batch[vec_col].to_pylist()
         mat = _as_matrix([vecs[i] for i in top])
         return pa.table(
             {
                 "ticket": pa.array(tick[top].astype(np.int64)),
+                "key": pa.array(keys[top]),
                 "vec": pa.array(list(mat), pa.list_(pa.float64())),
             }
         )
 
     cand = ds.map_batches(_init_partial, batch_format="pyarrow").take_all()
-    cand.sort(key=lambda r: r["ticket"])
+    cand.sort(key=lambda r: (r["ticket"], r["key"]))
     cents = np.asarray([r["vec"] for r in cand[:k]], dtype=np.float64)
     if cents.shape[0] < k:
         raise ValueError(f"kmeans_fit: fewer than k={k} rows in input")
