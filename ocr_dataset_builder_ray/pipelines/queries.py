@@ -1357,6 +1357,67 @@ def q55_curation_pipeline(sf_dir: str) -> pd.DataFrame:
     )
 
 
+BM25_TERMS = ["merge", "spark", "vector"]
+
+
+def q56_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 top-10 for a fixed bag of query terms: one
+    driver-tiny corpus-stats pass (per-block partials, no shuffle),
+    then a pure scoring map with per-batch partial top-k under the
+    exact global ordering (rounded score DESC, key ASC)."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, BM25_TERMS, k=10).sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def q57_chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Overlapping 32-token windows every 24 tokens per document — the
+    context-window chunking step before embedding/packing. Pure flat
+    map; string assembly is the kernel."""
+    from ..stages.curation import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, window=32, stride=24).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def q58_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean unigram log-probability (corpus-as-model LM
+    quality proxy): vocabulary-bounded token-count exchange broadcast
+    once, then a pure searchsorted scoring map."""
+    from ..stages.filters import unigram_logprob
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_logprob(ds).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q59_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup survivors: nearest-centroid clustering (the 8 fixed
+    vec_id < 8 centroids, q51's assignment contract), within-cluster
+    cosine pairs >= 0.35, min-key representative per connected
+    component. The oracle recomputes assignment + exact pairwise
+    cosine + recursive-CTE components in SQL."""
+    from ..stages.dedup import semantic_dedup
+    from ..stages.similarity import _as_matrix
+
+    cdf = _small_pdf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cdf = cdf[cdf["vec_id"] < 8].sort_values("vec_id")
+    cents = _as_matrix(cdf["embedding"])
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, cents, threshold=0.35)
+    return (
+        out.select_columns(["vec_id"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1417,6 +1478,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q53_quantiles_nosort": q53_quantiles_nosort,
     "q54_source_mix": q54_source_mix,
     "q55_curation_pipeline": q55_curation_pipeline,
+    "q56_bm25_topk": q56_bm25_topk,
+    "q57_chunk_documents": q57_chunk_documents,
+    "q58_unigram_logprob": q58_unigram_logprob,
+    "q59_semantic_dedup": q59_semantic_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2091,6 +2156,119 @@ ORACLE_SQL: dict[str, str] = {
             FROM tick JOIN k USING (lang)
         ) q WHERE rn <= k
         ORDER BY doc_id
+    """,
+    # Okapi BM25 (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)))
+    # over literal token strings; both sides round the score to 9
+    # decimals BEFORE the top-k cut and break ties by doc_id, so the
+    # selection order is identical even for score-tied documents.
+    "q56_bm25_topk": r"""
+        WITH terms AS (
+            SELECT unnest(['merge', 'spark', 'vector']) AS tok
+        ), toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), dl AS (
+            SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1
+        ), stats AS (
+            SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+            SELECT t.doc_id, t.tok, count(*)::DOUBLE AS tf
+            FROM toks t JOIN terms USING (tok) GROUP BY 1, 2
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM toks JOIN terms USING (tok) GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id,
+                   sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                   ) AS score,
+                   count(*)::BIGINT AS matched_terms
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id, round(s.score, 9) AS score,
+               dl.dl::BIGINT AS dl, s.matched_terms
+        FROM scored s JOIN dl USING (doc_id)
+        ORDER BY round(s.score, 9) DESC, s.doc_id LIMIT 10
+    """,
+    # chunk count = 1 + ceil(max(n - 32, 0) / 24); DuckDB list slices
+    # are 1-based with an inclusive, clamped upper bound.
+    "q57_chunk_documents": r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), ch AS (
+            SELECT doc_id, t,
+                   unnest(range(1 + CAST(
+                       ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT
+                   ))) AS chunk_id
+            FROM toks
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+                   AS chunk_text,
+               least(32, len(t) - chunk_id * 24)::BIGINT AS n_tokens
+        FROM ch ORDER BY doc_id, chunk_id
+    """,
+    # corpus-as-model unigram logprob: avg over a doc's tokens of
+    # ln(corpus_count(tok) / corpus_tokens), rounded to 9 decimals on
+    # both sides (sum-order float jitter is ~1e-14 on ~60-token docs).
+    "q58_unigram_logprob": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), cnt AS (
+            SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT count(*)::DOUBLE AS n FROM toks
+        )
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               round(avg(ln(c.c / tot.n)), 9) AS logprob
+        FROM toks t JOIN cnt c USING (tok) CROSS JOIN tot
+        GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    # SemDeDup: q51's rounded-distance nearest-centroid assignment,
+    # exact pairwise cosine WITHIN clusters at threshold 0.35
+    # (non-degenerate: ~90 pairs at sf0.01), recursive-CTE min-label
+    # components, min-key survivor per component.
+    "q59_semantic_dedup": """
+        WITH RECURSIVE c AS (
+            SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id < 8
+        ), d AS (
+            SELECT e.vec_id, c.cid,
+                   round(list_distance(e.embedding::DOUBLE[], c.cv), 9) AS dist
+            FROM embeddings e CROSS JOIN c
+        ), assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY dist, cid
+                       ) AS rn
+                FROM d) WHERE rn = 1
+        ), pairs AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a
+            JOIN assign aa ON aa.vec_id = a.vec_id
+            JOIN assign ab ON TRUE
+            JOIN embeddings b ON b.vec_id = ab.vec_id
+            WHERE a.vec_id < b.vec_id AND aa.cid = ab.cid
+              AND list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ), reach AS (
+            SELECT vec_id AS node, vec_id AS label FROM embeddings
+            UNION
+            SELECT e.dst, r.label FROM reach r
+            JOIN edges e ON e.src = r.node WHERE r.label < e.dst
+        )
+        SELECT node AS vec_id FROM reach
+        GROUP BY node HAVING node = min(label) ORDER BY vec_id
     """,
 }
 

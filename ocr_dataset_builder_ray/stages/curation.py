@@ -566,3 +566,61 @@ def mix_to_proportions(
     n_target = min(int(math.floor(counts[g] / p)) for g, p in present.items())
     ks = {g: int(math.floor(p * n_target)) for g, p in present.items()}
     return fixed_size_sample(ds, group_col, key_col, ks, n_buckets)
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> ray.data.Dataset:
+    """Overlapping fixed-token-window chunking for training/embedding.
+
+    Splits each document into token windows of ``window`` tokens
+    starting every ``stride`` tokens (``stride <= window`` so the whole
+    document is covered; the tail window is short). Emits
+    ``(key, chunk_id, chunk_text, n_tokens)`` — the standard
+    context-window chunking step before embedding or sequence packing.
+
+    Chunk count for an n-token document is
+    ``1 + ceil(max(n - window, 0) / stride)``; empty/whitespace-only
+    documents emit nothing. A pure per-batch flat map — no shuffle, no
+    state; output size is ~``window/stride`` x input. The per-row loop
+    is the string-assembly kernel itself (the work IS the join), same
+    contract as the extraction parser kernels.
+    """
+    if stride <= 0 or stride > window:
+        raise ValueError("chunk_documents requires 0 < stride <= window")
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_k: list[int] = []
+        out_i: list[int] = []
+        out_t: list[str] = []
+        out_n: list[int] = []
+        for key, txt in zip(keys, texts):
+            toks = (txt or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 + max(0, -(-(n - window) // stride))
+            for i in range(n_chunks):
+                s = i * stride
+                piece = toks[s : s + window]
+                out_k.append(key)
+                out_i.append(i)
+                out_t.append(" ".join(piece))
+                out_n.append(len(piece))
+        return pa.table(
+            {
+                key_col: pa.array(out_k, pa.int64()),
+                "chunk_id": pa.array(out_i, pa.int64()),
+                "chunk_text": pa.array(out_t, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_chunk, batch_format="pyarrow")

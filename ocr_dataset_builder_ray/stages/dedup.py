@@ -1444,3 +1444,105 @@ def embedding_dedup(
     )
     drop = resolve_drop_keys(pairs_ds, components=components)
     return drop_keys_filter(ds, key_col, drop)
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.8,
+    components: str = "auto",
+    seed: int = 42,
+    decimals: int | None = 9,
+    chunk_elems: int = 4_000_000,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public paper): assign each embedding to its nearest centroid
+    (Euclidean, same rounding/tie contract as
+    ``stages.similarity.kmeans_assign``), extract cosine-similar pairs
+    WITHIN each cluster, and keep the min-key representative of every
+    connected component.
+
+    Differs from ``embedding_dedup`` only in the bucketing function:
+    clusters are semantic (k-means centroids, typically trained with
+    ``stages.similarity.kmeans_fit``) rather than random hyperplanes,
+    so near-duplicates that straddle a hyperplane cut are instead
+    co-located by meaning — the published SemDeDup recall argument.
+    Pairs split across clusters are missed by design (the paper's
+    within-cluster contract).
+
+    Scale shape: centroids broadcast once; each vector crosses the
+    cluster shuffle exactly once; in-cluster pair extraction uses the
+    same memory-bounded kernels as ``embedding_dedup``
+    (``_tiled_cosine_pairs`` up to ``_BUCKET_PAIR_CAP`` rows,
+    ``_cosine_pairs_recursive`` beyond); drop-set resolution and the
+    broadcast filter are duplicate-bounded. Cluster count should track
+    corpus size (the paper uses ~sqrt(n) clusters) so the expected
+    cluster stays small; oversized clusters are handled by the
+    recursive split, not by driver memory.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    cents_ref = ray.put(cents)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key_col: df[key_col],
+                    "bucket": pd.Series([], dtype=np.int64),
+                    "vec": pd.Series([], dtype=object),
+                }
+            )
+        c = ray.get(cents_ref)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        n = mat.shape[0]
+        step = max(1, chunk_elems // max(1, c.shape[0] * c.shape[1]))
+        bucket = np.empty(n, dtype=np.int64)
+        for i in range(0, n, step):
+            d2 = ((mat[i : i + step, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            dist = np.sqrt(d2)
+            if decimals is not None:
+                dist = np.round(dist, decimals)
+            bucket[i : i + step] = np.argmin(dist, axis=1)
+        out = df[[key_col]].copy()
+        out["bucket"] = bucket
+        out["vec"] = [v.tobytes() for v in mat]
+        return out
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = group[key_col].iloc[:0]
+        if len(group) < 2:
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
+        rows = group.sort_values(key_col).drop_duplicates(key_col)
+        if len(rows) < 2:
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in rows["vec"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nm = mat / norms
+        ks = rows[key_col].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        if len(ks) <= _BUCKET_PAIR_CAP:
+            _tiled_cosine_pairs(ks, nm, threshold, out_a, out_b)
+        else:
+            _cosine_pairs_recursive(ks, nm, threshold, seed, 0, out_a, out_b)
+        if not out_a:
+            return pd.DataFrame({"a": empty, "b": empty.copy()})
+        pairs = pd.DataFrame(
+            {
+                "a": pd.Series(np.concatenate(out_a), dtype=empty.dtype),
+                "b": pd.Series(np.concatenate(out_b), dtype=empty.dtype),
+            }
+        )
+        return pairs.drop_duplicates(ignore_index=True)
+
+    pairs_ds = (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    drop = resolve_drop_keys(pairs_ds, components=components)
+    return drop_keys_filter(ds, key_col, drop)

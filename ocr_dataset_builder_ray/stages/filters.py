@@ -362,6 +362,124 @@ def document_frequencies(
     return hashes[order], dfs[order].astype(np.int64), n_docs
 
 
+def token_counts(
+    ds: ray.data.Dataset, *, text_col: str = "text", n_buckets: int = 64
+):
+    """Corpus term frequencies keyed by 64-bit token hash.
+
+    Returns ``(hashes, counts, total_tokens)`` — sorted int64 hash
+    array, matching total occurrence counts, and the corpus token
+    count. Same vocabulary-bounded exchange as
+    ``document_frequencies`` (per-batch distinct-token partials, ONE
+    coarse hash-bucket exchange, vectorized per-bucket sum); the
+    collected result scales with the VOCABULARY, not the corpus.
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, th = _doc_tokens(batch, text_col)
+        if th.size:
+            uh, cnt = np.unique(th, return_counts=True)
+        else:
+            uh = np.empty(0, dtype=np.uint64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "thash": pa.array(uh.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array((uh % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def _bucket_sum(group: pa.Table) -> pa.Table:
+        h = group["thash"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        b = group["bucket"][0].as_py()
+        order = np.argsort(h, kind="stable")
+        h_s, c_s = h[order], c[order]
+        starts = np.empty(h_s.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = h_s[1:] != h_s[:-1]
+        idx = np.flatnonzero(starts)
+        sums = np.add.reduceat(c_s, idx)
+        return pa.table(
+            {
+                "thash": pa.array(h_s[idx]),
+                "cnt": pa.array(sums.astype(np.int64)),
+                "bucket": pa.array(np.full(idx.size, b, dtype=np.int32)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(_bucket_sum, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(rows) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            0,
+        )
+    hashes = rows["thash"].to_numpy()
+    counts = rows["cnt"].to_numpy().astype(np.int64)
+    order = np.argsort(hashes, kind="stable")
+    return hashes[order], counts[order], int(counts.sum())
+
+
+def unigram_logprob(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    decimals: int = 9,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document mean unigram log-probability — the KenLM-free LM
+    quality proxy (CCNet-style perplexity filtering, Wenzek et al.
+    2020, public paper, with the corpus itself as the unigram model).
+
+    ``logprob = avg over tokens of ln(count(tok) / total_tokens)`` —
+    low (very negative) scores mean rare-token-heavy documents
+    (boilerplate/garbled), high scores mean common-token text. Emits
+    ``(key, n_tokens, logprob)`` rounded to ``decimals``; empty
+    documents are dropped (no tokens to average).
+
+    Two streaming passes: the vocabulary-bounded ``token_counts``
+    exchange, then a pure scoring map against the broadcast
+    (hash -> logprob) arrays via ``np.searchsorted``. No corpus-shaped
+    shuffle; the broadcast is vocabulary-sized (Zipf-bounded).
+    """
+    hashes, counts, total = token_counts(
+        ds, text_col=text_col, n_buckets=n_buckets
+    )
+    logp = np.log(counts.astype(np.float64) / max(1, total))
+    bcast = ray.put((hashes, logp))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        h, lp = ray.get(bcast)
+        doc, th = _doc_tokens(batch, text_col)
+        n_rows = batch.num_rows
+        ntok = np.zeros(n_rows, dtype=np.int64)
+        sums = np.zeros(n_rows, dtype=np.float64)
+        if th.size:
+            np.add.at(ntok, doc, 1)
+            pos = np.searchsorted(h, th.view(np.int64))
+            np.add.at(sums, doc, lp[pos])
+        keep = ntok > 0
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)[keep]
+        avg = np.round(sums[keep] / ntok[keep], decimals)
+        return pa.table(
+            {
+                key_col: pa.array(keys),
+                "n_tokens": pa.array(ntok[keep]),
+                "logprob": pa.array(avg),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def tfidf_top_terms(
     ds: ray.data.Dataset,
     *,

@@ -1,0 +1,168 @@
+"""BM25 ranked retrieval over a text column.
+
+Semantic anchor: the reference ships its extracted corpus to
+downstream consumers (training/export, ocr_dataset_builder's JSONL
+exports); a corpus engine at 100 TB also needs the standard lexical
+retrieval primitive over that corpus — Okapi BM25 (Robertson &
+Spärck Jones / TREC BM25, public literature) — for eval-set mining,
+targeted inspection and quality probes.
+
+Scale shape (no corpus-shaped shuffle anywhere):
+
+* pass 1 — per-batch corpus statistics partials: ONE row per batch
+  carrying (n_docs, sum_dl, df per query term). Collected size is
+  O(n_blocks x n_terms) — driver-tiny at any corpus size.
+* pass 2 — a pure scoring map: per-batch vectorized tf via the same
+  token-hash kernels as stages/filters.py, BM25 score against the
+  broadcast (df, N, avgdl), partial top-k per batch (the
+  stages/similarity.knn_bruteforce merge pattern), tiny driver merge.
+
+Token equality is by the 64-bit stable hash (stages/span_dedup.py
+family); the SQL oracle (q56) computes tf/df over literal token
+strings, so gate-scale equality also certifies no-collision on the
+query terms.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.hashing import stable_hash64_array
+from .filters import _doc_tokens
+
+
+def _term_hashes(terms: list[str]) -> np.ndarray:
+    return stable_hash64_array(list(terms))
+
+
+def _per_doc_tf_dl(batch: pa.Table, text_col: str, th_terms: np.ndarray):
+    """Vectorized per-doc (dl, tf-matrix) for the query terms.
+
+    Returns ``(n_rows, dl, tf)`` where ``dl[i]`` is the token count of
+    row i and ``tf[i, j]`` the count of query term j in row i.
+    """
+    n_rows = batch.num_rows
+    doc, th = _doc_tokens(batch, text_col)
+    dl = np.zeros(n_rows, dtype=np.int64)
+    if doc.size:
+        np.add.at(dl, doc, 1)
+    tf = np.zeros((n_rows, th_terms.size), dtype=np.int64)
+    if doc.size:
+        for j, t in enumerate(th_terms):
+            hit = th == t
+            if hit.any():
+                np.add.at(tf[:, j], doc[hit], 1)
+    return n_rows, dl, tf
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 9,
+) -> pd.DataFrame:
+    """Top-k documents by Okapi BM25 for a bag of query terms.
+
+    Returns ``(key, score, dl, matched_terms)`` with score rounded to
+    ``decimals`` and deterministic tie-breaking (score DESC, key ASC).
+    idf uses the non-negative form ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    Documents matching no query term never leave their batch.
+    """
+    terms = sorted(set(query_terms))
+    th_terms = _term_hashes(terms)
+    m = th_terms.size
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        _, dl, tf = _per_doc_tf_dl(batch, text_col, th_terms)
+        nonempty = dl > 0
+        return pa.table(
+            {
+                "n_docs": pa.array([int(nonempty.sum())]),
+                "sum_dl": pa.array([int(dl.sum())]),
+                "df": pa.array(
+                    [(tf > 0).sum(axis=0).astype(np.int64).tolist()],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(
+        _stats_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()  # one row per block
+    n_docs = sum(p["n_docs"] for p in parts)
+    sum_dl = sum(p["sum_dl"] for p in parts)
+    df = np.zeros(m, dtype=np.int64)
+    for p in parts:
+        df += np.asarray(p["df"], dtype=np.int64)
+    if n_docs == 0:
+        return pd.DataFrame(
+            columns=[key_col, "score", "dl", "matched_terms"]
+        ).astype({key_col: np.int64, "score": float, "dl": np.int64,
+                  "matched_terms": np.int64})
+    avgdl = sum_dl / n_docs
+    idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
+    bcast = ray.put((idf, avgdl))
+
+    def _score_partial(batch: pa.Table) -> pa.Table:
+        idf_v, avgdl_v = ray.get(bcast)
+        _, dl, tf = _per_doc_tf_dl(batch, text_col, th_terms)
+        matched = (tf > 0).sum(axis=1).astype(np.int64)
+        hit = matched > 0
+        if not hit.any():
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "dl": pa.array([], pa.int64()),
+                    "matched_terms": pa.array([], pa.int64()),
+                }
+            )
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)[hit]
+        tf_h = tf[hit].astype(np.float64)
+        dl_h = dl[hit].astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl_h / avgdl_v)
+        score = (idf_v * (tf_h * (k1 + 1.0)) / (tf_h + norm[:, None])).sum(axis=1)
+        # round BEFORE the per-batch cut and break ties by key: the
+        # partial selection must use the exact global ordering
+        # (rounded score DESC, key ASC), else a rounding-tied doc with
+        # a smaller key can be cut in a crowded batch
+        score = np.round(score, decimals)
+        top = min(k, score.size)
+        idx = np.lexsort((keys, -score))[:top]
+        return pa.table(
+            {
+                key_col: pa.array(keys[idx]),
+                "score": pa.array(score[idx]),
+                "dl": pa.array(dl[hit][idx].astype(np.int64)),
+                "matched_terms": pa.array(matched[hit][idx]),
+            }
+        )
+
+    rows = ds.map_batches(
+        _score_partial, batch_format="pyarrow", batch_size=4096
+    ).take_all()  # ≤ k per block
+    best = heapq.nsmallest(
+        k, rows, key=lambda r: (-r["score"], r[key_col])
+    )
+    out = pd.DataFrame(
+        {
+            key_col: [r[key_col] for r in best],
+            "score": [float(r["score"]) for r in best],
+            "dl": [r["dl"] for r in best],
+            "matched_terms": [r["matched_terms"] for r in best],
+        }
+    )
+    return out.astype(
+        {key_col: np.int64, "score": float, "dl": np.int64, "matched_terms": np.int64}
+    )
