@@ -667,6 +667,51 @@ def run_curation_bench() -> dict:
 
     _time("kmeans_fit2_assign", _kmeans)
 
+    def _bm25():
+        from ocr_dataset_builder_ray.sources.documents import _vocab
+        from ocr_dataset_builder_ray.stages.retrieval import bm25_topk
+
+        out = bm25_topk(_read(), _vocab()[:3], k=10)
+        return int(len(out))
+
+    _time("bm25_topk", _bm25)
+
+    def _chunks():
+        from ocr_dataset_builder_ray.stages.curation import chunk_documents
+
+        return chunk_documents(_read(), window=64, stride=48).count()
+
+    _time("chunk_documents", _chunks)
+
+    def _logprob():
+        from ocr_dataset_builder_ray.stages.filters import unigram_logprob
+
+        return unigram_logprob(_read()).count()
+
+    _time("unigram_logprob", _logprob)
+
+    def _semantic():
+        import numpy as _np
+
+        from ocr_dataset_builder_ray.sources.documents import (
+            default_vecs_corpus_dir,
+            generate_embeddings_corpus,
+        )
+        from ocr_dataset_builder_ray.stages.dedup import semantic_dedup
+        from ocr_dataset_builder_ray.stages.similarity import kmeans_fit
+
+        n_vecs = n_docs
+        vcorpus = generate_embeddings_corpus(
+            default_vecs_corpus_dir(n_vecs), n_vecs
+        )
+        vread = ray.data.read_parquet(vcorpus, columns=["vec_id", "embedding"])
+        cents = kmeans_fit(vread, 64, n_iters=2)
+        return semantic_dedup(
+            vread, cents, threshold=0.95
+        ).count()
+
+    _time("semantic_dedup", _semantic)
+
     def _span_roundtrip():
         ds = _read()
         spans = span_dedup(ds, "text", "doc_id", w=8, as_dataset=True)

@@ -1418,6 +1418,23 @@ def q59_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q60_logprob_quality_gate(sf_dir: str) -> pd.DataFrame:
+    """Composition: per-language top-50% by unigram logprob — the
+    CCNet-shaped 'keep the most LM-natural half of every language'
+    gate. Chains the vocabulary-bounded logprob scorer into the
+    histogram-selection percentile filter; neither stage shuffles the
+    payload."""
+    from ..stages.curation import quality_percentile_filter
+    from ..stages.filters import unigram_logprob
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    scored = unigram_logprob(ds, extra_cols=("lang",))
+    kept = quality_percentile_filter(scored, "lang", "logprob", "doc_id", 0.5)
+    out = kept.to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1482,6 +1499,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q57_chunk_documents": q57_chunk_documents,
     "q58_unigram_logprob": q58_unigram_logprob,
     "q59_semantic_dedup": q59_semantic_dedup,
+    "q60_logprob_quality_gate": q60_logprob_quality_gate,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2269,6 +2287,33 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT node AS vec_id FROM reach
         GROUP BY node HAVING node = min(label) ORDER BY vec_id
+    """,
+    # q58's logprob CTE feeding q44's percentile-rank rule: per-lang
+    # top-ceil(0.5*n) under (round(logprob,9) DESC, doc_id ASC).
+    "q60_logprob_quality_gate": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), cnt AS (
+            SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT count(*)::DOUBLE AS n FROM toks
+        ), lp AS (
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln(c.c / tot.n)), 9) AS logprob
+            FROM toks t JOIN cnt c USING (tok) CROSS JOIN tot
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, lang, n_tokens, logprob FROM (
+            SELECT l.doc_id, d.lang, l.n_tokens, l.logprob,
+                   row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY l.logprob DESC, l.doc_id
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY d.lang) AS n
+            FROM lp l JOIN documents d USING (doc_id)
+        ) WHERE rn <= ceil(0.5 * n)
+        ORDER BY doc_id
     """,
 }
 

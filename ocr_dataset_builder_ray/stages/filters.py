@@ -434,6 +434,7 @@ def unigram_logprob(
     key_col: str = "doc_id",
     decimals: int = 9,
     n_buckets: int = 64,
+    extra_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Per-document mean unigram log-probability — the KenLM-free LM
     quality proxy (CCNet-style perplexity filtering, Wenzek et al.
@@ -469,13 +470,17 @@ def unigram_logprob(
         keep = ntok > 0
         keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)[keep]
         avg = np.round(sums[keep] / ntok[keep], decimals)
-        return pa.table(
-            {
-                key_col: pa.array(keys),
-                "n_tokens": pa.array(ntok[keep]),
-                "logprob": pa.array(avg),
-            }
-        )
+        mask = pa.array(keep)
+        cols = {
+            key_col: pa.array(keys),
+            "n_tokens": pa.array(ntok[keep]),
+            "logprob": pa.array(avg),
+        }
+        for c in extra_cols:
+            cols[c] = batch[c].combine_chunks().filter(mask) if isinstance(
+                batch[c], pa.ChunkedArray
+            ) else batch[c].filter(mask)
+        return pa.table(cols)
 
     return ds.map_batches(_score, batch_format="pyarrow")
 

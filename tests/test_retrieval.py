@@ -190,6 +190,20 @@ def test_unigram_logprob_matches_brute(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-8)
 
 
+def test_unigram_logprob_extra_cols(ray_session):
+    df = _corpus(60)
+    df["lang"] = [f"l{i % 3}" for i in range(len(df))]
+    out = (
+        unigram_logprob(ray.data.from_pandas(df).repartition(4), extra_cols=("lang",))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    nonempty = df[df["text"].str.split().str.len() > 0]
+    assert list(out["doc_id"]) == list(nonempty["doc_id"])
+    assert list(out["lang"]) == list(nonempty["lang"])
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup
 # ---------------------------------------------------------------------------
