@@ -82,3 +82,94 @@ def cost_stats(
         "max_cost": row["max_"] * unit_cost,
         "n": row["n"],
     }
+
+
+def profile_columns(
+    ds: ray.data.Dataset, columns: list[str], *, cents_scale: int = 100
+) -> pd.DataFrame:
+    """Spark-describe()-style numeric column profile in ONE streaming
+    pass: per column ``(col, n_rows, n_nulls, min_val, max_val,
+    sum_cents)``. Sums use the q01 fixed-point contract
+    (``floor(x * cents_scale + 0.5)`` as int64) so the distributed sum
+    is order-independent and byte-equal to a SQL oracle; min/max are
+    exact data elements.
+
+    Scale shape: each block reduces to ``len(columns)`` partial rows
+    (a pure map), then one tiny groupby over ``len(columns)`` groups —
+    nothing corpus-shaped moves or materializes.
+    """
+    import numpy as np
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in columns:
+            arr = batch[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            nn = arr.null_count
+            cols.append(c)
+            ns.append(n)
+            nulls.append(nn)
+            if n - nn > 0:
+                mins.append(pc.min(arr).as_py())
+                maxs.append(pc.max(arr).as_py())
+                cents = pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(arr, pa.scalar(float(cents_scale))),
+                            pa.scalar(0.5),
+                        )
+                    ),
+                    pa.int64(),
+                )
+                sums.append(pc.sum(cents).as_py())
+            else:
+                mins.append(None)
+                maxs.append(None)
+                sums.append(0)
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "n_nulls": pa.array(nulls, pa.int64()),
+                "min_val": pa.array(mins, pa.float64()),
+                "max_val": pa.array(maxs, pa.float64()),
+                "sum_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def _reduce(group: pa.Table) -> pa.Table:
+        mn = group["min_val"].to_numpy(zero_copy_only=False)
+        mx = group["max_val"].to_numpy(zero_copy_only=False)
+        has = ~pd.isna(mn)
+        return pa.table(
+            {
+                "col": pa.array([group["col"][0].as_py()], pa.string()),
+                "n_rows": pa.array(
+                    [int(pc.sum(group["n_rows"]).as_py())], pa.int64()
+                ),
+                "n_nulls": pa.array(
+                    [int(pc.sum(group["n_nulls"]).as_py())], pa.int64()
+                ),
+                "min_val": pa.array(
+                    [float(np.min(mn[has])) if has.any() else None],
+                    pa.float64(),
+                ),
+                "max_val": pa.array(
+                    [float(np.max(mx[has])) if has.any() else None],
+                    pa.float64(),
+                ),
+                "sum_cents": pa.array(
+                    [int(pc.sum(group["sum_cents"]).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("col")
+        .map_groups(_reduce, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("col").reset_index(drop=True)

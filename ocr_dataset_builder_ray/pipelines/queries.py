@@ -1435,6 +1435,18 @@ def q60_logprob_quality_gate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q61_profile_columns(sf_dir: str) -> pd.DataFrame:
+    """One-pass numeric column profile (describe()-style) of four
+    lineitem measures: per-block partials (len(columns) rows each) +
+    a tiny per-column reduce. Sums use the q01 fixed-point cents
+    contract; min/max are exact data elements."""
+    from ..pipelines.metrics import profile_columns
+
+    cols = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    ds = _t(sf_dir, "lineitem", cols)
+    return profile_columns(ds, cols)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1500,6 +1512,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q58_unigram_logprob": q58_unigram_logprob,
     "q59_semantic_dedup": q59_semantic_dedup,
     "q60_logprob_quality_gate": q60_logprob_quality_gate,
+    "q61_profile_columns": q61_profile_columns,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2314,6 +2327,36 @@ ORACLE_SQL: dict[str, str] = {
             FROM lp l JOIN documents d USING (doc_id)
         ) WHERE rn <= ceil(0.5 * n)
         ORDER BY doc_id
+    """,
+    # describe()-style profile; sums in exact fixed-point cents (q01
+    # contract) so the distributed sum is order-independent.
+    "q61_profile_columns": """
+        SELECT 'l_discount' AS col, count(*)::BIGINT AS n_rows,
+               (count(*) - count(l_discount))::BIGINT AS n_nulls,
+               min(l_discount)::DOUBLE AS min_val,
+               max(l_discount)::DOUBLE AS max_val,
+               CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*)::BIGINT,
+               (count(*) - count(l_extendedprice))::BIGINT,
+               min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*)::BIGINT,
+               (count(*) - count(l_quantity))::BIGINT,
+               min(l_quantity)::DOUBLE, max(l_quantity)::DOUBLE,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', count(*)::BIGINT,
+               (count(*) - count(l_tax))::BIGINT,
+               min(l_tax)::DOUBLE, max(l_tax)::DOUBLE,
+               CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM lineitem
+        ORDER BY col
     """,
 }
 

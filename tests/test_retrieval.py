@@ -271,3 +271,42 @@ def test_semantic_dedup_drops_planted_duplicates(ray_session):
     # its source's cluster and loses to the smaller key; no random
     # 16-d pair reaches 0.999 — survivors are exactly the originals
     assert surv == set(range(300))
+
+
+# ---------------------------------------------------------------------------
+# column profile
+# ---------------------------------------------------------------------------
+
+
+def test_profile_columns_matches_pandas(ray_session):
+    from ocr_dataset_builder_ray.pipelines.metrics import profile_columns
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "a": rng.normal(10, 3, 500),
+            "b": rng.uniform(0, 1, 500),
+        }
+    )
+    df.loc[df.index % 7 == 0, "b"] = np.nan
+    got = profile_columns(ray.data.from_pandas(df).repartition(9), ["a", "b"])
+    assert list(got["col"]) == ["a", "b"]
+    for i, c in enumerate(["a", "b"]):
+        s = df[c]
+        assert got["n_rows"][i] == 500
+        assert got["n_nulls"][i] == int(s.isna().sum())
+        assert got["min_val"][i] == s.min()
+        assert got["max_val"][i] == s.max()
+        want_cents = int(np.floor(s.dropna() * 100 + 0.5).sum())
+        assert got["sum_cents"][i] == want_cents
+
+
+def test_profile_columns_all_null_column(ray_session):
+    from ocr_dataset_builder_ray.pipelines.metrics import profile_columns
+
+    df = pd.DataFrame({"a": [np.nan, np.nan, np.nan]})
+    got = profile_columns(ray.data.from_pandas(df), ["a"])
+    assert got["n_rows"][0] == 3
+    assert got["n_nulls"][0] == 3
+    assert pd.isna(got["min_val"][0])
+    assert got["sum_cents"][0] == 0
