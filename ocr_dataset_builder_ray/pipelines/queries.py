@@ -1447,6 +1447,19 @@ def q61_profile_columns(sf_dir: str) -> pd.DataFrame:
     return profile_columns(ds, cols)
 
 
+def q62_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted index over the documents table: per distinct token its
+    document frequency and the comma-joined sorted posting list.
+    Distinct (token, doc) pairs per batch -> one skew-free token-hash
+    bucket exchange -> vectorized per-bucket run-length reduce."""
+    from ..stages.retrieval import build_postings
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = build_postings(ds).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1513,6 +1526,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q59_semantic_dedup": q59_semantic_dedup,
     "q60_logprob_quality_gate": q60_logprob_quality_gate,
     "q61_profile_columns": q61_profile_columns,
+    "q62_inverted_index": q62_inverted_index,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2357,6 +2371,18 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS BIGINT)
         FROM lineitem
         ORDER BY col
+    """,
+    # postings as a comma-joined sorted string so the artifact compares
+    # exactly across engines (no list-rendering ambiguity).
+    "q62_inverted_index": r"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        )
+        SELECT token, count(*)::BIGINT AS df,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        FROM toks GROUP BY token ORDER BY token
     """,
 }
 

@@ -30,6 +30,7 @@ import heapq
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -45,19 +46,25 @@ def _per_doc_tf_dl(batch: pa.Table, text_col: str, th_terms: np.ndarray):
     """Vectorized per-doc (dl, tf-matrix) for the query terms.
 
     Returns ``(n_rows, dl, tf)`` where ``dl[i]`` is the token count of
-    row i and ``tf[i, j]`` the count of query term j in row i.
+    row i and ``tf[i, j]`` the count of query term j in row i. One
+    searchsorted pass over the batch's tokens regardless of term
+    count (no per-term scan).
     """
     n_rows = batch.num_rows
     doc, th = _doc_tokens(batch, text_col)
+    m = th_terms.size
     dl = np.zeros(n_rows, dtype=np.int64)
+    tf = np.zeros((n_rows, m), dtype=np.int64)
     if doc.size:
         np.add.at(dl, doc, 1)
-    tf = np.zeros((n_rows, th_terms.size), dtype=np.int64)
-    if doc.size:
-        for j, t in enumerate(th_terms):
-            hit = th == t
-            if hit.any():
-                np.add.at(tf[:, j], doc[hit], 1)
+        order = np.argsort(th_terms, kind="stable")
+        sorted_terms = th_terms[order]
+        pos = np.searchsorted(sorted_terms, th)
+        pos_c = np.minimum(pos, m - 1)
+        hit = sorted_terms[pos_c] == th
+        if hit.any():
+            flat = doc[hit] * m + order[pos_c[hit]]
+            np.add.at(tf.reshape(-1), flat, 1)
     return n_rows, dl, tf
 
 
@@ -165,4 +172,98 @@ def bm25_topk(
     )
     return out.astype(
         {key_col: np.int64, "score": float, "dl": np.int64, "matched_terms": np.int64}
+    )
+
+
+def build_postings(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Inverted index: one row per distinct token —
+    ``(token, df, postings)`` with ``postings`` the comma-joined sorted
+    key list (a string, so the artifact is directly comparable and
+    parquet-friendly).
+
+    Scale shape: per-batch DISTINCT (token, key) pairs (never one row
+    per occurrence), ONE coarse token-hash bucket exchange (equal
+    tokens share a bucket, so per-bucket reduction is exact and the
+    bucket key cannot skew), then a vectorized lexsort run-length
+    reduce per bucket. Output is vocabulary-bounded rows; a stopword's
+    postings string is corpus-bounded — at web scale, shard hot tokens
+    by key range before materializing (the same contract as
+    ``document_frequencies``' vocabulary-bounded broadcast, documented
+    rather than hidden).
+    """
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toklist = pc.utf8_split_whitespace(col)
+        if isinstance(toklist, pa.ChunkedArray):  # pragma: no cover
+            toklist = toklist.combine_chunks()
+        offsets = toklist.offsets.to_numpy()
+        flat = toklist.values
+        doc = np.repeat(
+            np.asarray(batch[key_col].to_pylist(), dtype=np.int64),
+            np.diff(offsets),
+        )
+        toks = flat.to_numpy(zero_copy_only=False)
+        keep = toks != ""
+        doc, toks = doc[keep], toks[keep]
+        if doc.size:
+            df_pairs = pd.DataFrame({"token": toks, key_col: doc})
+            df_pairs = df_pairs.drop_duplicates()
+            th = stable_hash64_array(df_pairs["token"].to_numpy())
+            bucket = (th % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table(
+                {
+                    "token": pa.array(df_pairs["token"].to_numpy(), pa.string()),
+                    key_col: pa.array(df_pairs[key_col].to_numpy()),
+                    "bucket": pa.array(bucket),
+                }
+            )
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                key_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+
+    def _reduce(group: pa.Table) -> pa.Table:
+        toks = group["token"].to_numpy(zero_copy_only=False)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, toks))
+        toks_s, keys_s = toks[order], keys[order]
+        # batches can repeat a (token, key) pair — dedup after the sort
+        first = np.empty(toks_s.size, dtype=bool)
+        first[0] = True
+        first[1:] = (toks_s[1:] != toks_s[:-1]) | (keys_s[1:] != keys_s[:-1])
+        toks_s, keys_s = toks_s[first], keys_s[first]
+        starts = np.empty(toks_s.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = toks_s[1:] != toks_s[:-1]
+        idx = np.flatnonzero(starts)
+        ends = np.append(idx[1:], toks_s.size)
+        out_t, out_df, out_p = [], [], []
+        for s, e in zip(idx, ends):
+            out_t.append(toks_s[s])
+            out_df.append(int(e - s))
+            out_p.append(",".join(map(str, keys_s[s:e])))
+        return pa.table(
+            {
+                "token": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "postings": pa.array(out_p, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pyarrow")
     )

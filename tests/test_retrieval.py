@@ -310,3 +310,32 @@ def test_profile_columns_all_null_column(ray_session):
     assert got["n_nulls"][0] == 3
     assert pd.isna(got["min_val"][0])
     assert got["sum_cents"][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_build_postings_matches_brute(ray_session):
+    from ocr_dataset_builder_ray.stages.retrieval import build_postings
+
+    df = _corpus(150)
+    got = (
+        build_postings(ray.data.from_pandas(df).repartition(11))
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    ref = {}
+    for _, r in df.iterrows():
+        for t in set(r["text"].split()):
+            ref.setdefault(t, set()).add(r["doc_id"])
+    want = pd.DataFrame(
+        sorted(
+            (t, len(ks), ",".join(map(str, sorted(ks))))
+            for t, ks in ref.items()
+        ),
+        columns=["token", "df", "postings"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
