@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "q42_model_call_costs",
     "q49_repetition_filter",
     "q52_tfidf_top_terms",
+    "q56_bm25_topk",
+    "q58_unigram_logprob",
+    "q59_semantic_dedup",
+    "q61_profile_columns",
+    "q62_inverted_index",
 ]
 
 # pages-corpus size per sf tag (sized so fixed costs — session spin-up,
@@ -689,6 +694,20 @@ def run_curation_bench() -> dict:
         return unigram_logprob(_read()).count()
 
     _time("unigram_logprob", _logprob)
+
+    def _postings():
+        from ocr_dataset_builder_ray.stages.retrieval import build_postings
+
+        return build_postings(_read()).count()
+
+    _time("build_postings", _postings)
+
+    def _profile():
+        from ocr_dataset_builder_ray.pipelines.metrics import profile_columns
+
+        return int(len(profile_columns(_read(), ["n_chars"])))
+
+    _time("profile_columns", _profile)
 
     def _semantic():
         import numpy as _np
