@@ -18,6 +18,9 @@ Subcommands:
     curate    corpus-curation chain over a documents table (repetition
               gate -> decontamination -> exact dedup -> source mix),
               optionally written as deterministic training shards
+    search    BM25 top-k over a documents-style table (JSON rows)
+    index     build an inverted index (token -> sorted postings) parquet
+    profile   one-pass numeric column profile (JSON rows)
 
 This module is the ONLY library-side owner of ``ray.init`` (guarded);
 ``__ray_entry__.py`` and the pipeline functions never initialize Ray.
@@ -166,6 +169,46 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_search(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from .stages.retrieval import bm25_topk
+
+    ds = ray.data.read_parquet(args.input, columns=[args.key, args.text])
+    out = bm25_topk(
+        ds, args.terms, text_col=args.text, key_col=args.key, k=args.k
+    )
+    print(out.to_json(orient="records"))
+    return 0
+
+
+def _cmd_index(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from .stages.retrieval import build_postings
+
+    ds = ray.data.read_parquet(args.input, columns=[args.key, args.text])
+    postings = build_postings(ds, text_col=args.text, key_col=args.key)
+    postings.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(json.dumps({"index": args.output, "tokens": n}))
+    return 0
+
+
+def _cmd_profile(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import ray.data
+
+    from .pipelines.metrics import profile_columns
+
+    ds = ray.data.read_parquet(args.input, columns=args.columns)
+    out = profile_columns(ds, args.columns)
+    print(out.to_json(orient="records"))
+    return 0
+
+
 def _cmd_gen(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .sources.pages import generate_pages_corpus
@@ -256,6 +299,26 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shards", type=int, default=None,
                    help="write deterministic training shards instead of flat parquet")
     c.set_defaults(fn=_cmd_curate)
+
+    s = sub.add_parser("search", help="BM25 top-k over a documents table")
+    s.add_argument("--input", required=True)
+    s.add_argument("--terms", nargs="+", required=True)
+    s.add_argument("--text", default="text")
+    s.add_argument("--key", default="doc_id")
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(fn=_cmd_search)
+
+    i = sub.add_parser("index", help="build an inverted index (parquet)")
+    i.add_argument("--input", required=True)
+    i.add_argument("--output", required=True)
+    i.add_argument("--text", default="text")
+    i.add_argument("--key", default="doc_id")
+    i.set_defaults(fn=_cmd_index)
+
+    pr = sub.add_parser("profile", help="one-pass numeric column profile")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--columns", nargs="+", required=True)
+    pr.set_defaults(fn=_cmd_profile)
 
     g = sub.add_parser("gen", help="generate synthetic pages corpus")
     g.add_argument("--output", required=True)
