@@ -96,7 +96,10 @@ def profile_columns(
 
     Scale shape: each block reduces to ``len(columns)`` partial rows
     (a pure map), then one tiny groupby over ``len(columns)`` groups —
-    nothing corpus-shaped moves or materializes.
+    nothing corpus-shaped moves or materializes. Float NaN values
+    (stored as values, not nulls — e.g. numpy->parquet without
+    nan_as_null) count as nulls: min/max already skip them, and they
+    must not reach the int64 cents cast (ArrowInvalid).
     """
     import numpy as np
 
@@ -107,11 +110,17 @@ def profile_columns(
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             n = len(arr)
-            nn = arr.null_count
+            if pa.types.is_floating(arr.type):
+                arr = arr.filter(
+                    pc.invert(pc.is_nan(arr).fill_null(True))
+                )
+            else:
+                arr = arr.drop_null()
+            nn = n - len(arr)
             cols.append(c)
             ns.append(n)
             nulls.append(nn)
-            if n - nn > 0:
+            if len(arr) > 0:
                 mins.append(pc.min(arr).as_py())
                 maxs.append(pc.max(arr).as_py())
                 cents = pc.cast(

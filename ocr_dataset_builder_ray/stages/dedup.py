@@ -1349,6 +1349,43 @@ def _cosine_pairs_recursive(
     )
 
 
+def _cosine_bucket_pairs(
+    group: pd.DataFrame, key_col: str, threshold: float, seed: int
+) -> pd.DataFrame:
+    """Within-bucket cosine pair extraction shared by
+    ``embedding_dedup`` and ``semantic_dedup``: sort/dedup by key,
+    normalize, memory-bounded kernels (two-axis tiled matmul up to
+    ``_BUCKET_PAIR_CAP`` rows, exact-margin recursive hyperplane split
+    beyond). Expects packed float64 bytes in a ``vec`` column."""
+    empty = group[key_col].iloc[:0]
+    if len(group) < 2:
+        return pd.DataFrame({"a": empty, "b": empty.copy()})
+    rows = group.sort_values(key_col).drop_duplicates(key_col)
+    if len(rows) < 2:
+        return pd.DataFrame({"a": empty, "b": empty.copy()})
+    mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in rows["vec"]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = mat / norms
+    ks = rows[key_col].to_numpy()
+    out_a: list = []
+    out_b: list = []
+    if len(ks) <= _BUCKET_PAIR_CAP:
+        _tiled_cosine_pairs(ks, nm, threshold, out_a, out_b)
+    else:
+        _cosine_pairs_recursive(ks, nm, threshold, seed, 0, out_a, out_b)
+    if not out_a:
+        return pd.DataFrame({"a": empty, "b": empty.copy()})
+    pairs = pd.DataFrame(
+        {
+            "a": pd.Series(np.concatenate(out_a), dtype=empty.dtype),
+            "b": pd.Series(np.concatenate(out_b), dtype=empty.dtype),
+        }
+    )
+    # buckets built from overlapping probes can emit a pair twice
+    return pairs.drop_duplicates(ignore_index=True)
+
+
 def embedding_dedup(
     ds: ray.data.Dataset,
     vec_col: str,
@@ -1409,33 +1446,7 @@ def embedding_dedup(
         return out
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = group[key_col].iloc[:0]
-        if len(group) < 2:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        rows = group.sort_values(key_col).drop_duplicates(key_col)
-        if len(rows) < 2:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in rows["vec"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        nm = mat / norms
-        ks = rows[key_col].to_numpy()
-        out_a: list = []
-        out_b: list = []
-        if len(ks) <= _BUCKET_PAIR_CAP:
-            _tiled_cosine_pairs(ks, nm, threshold, out_a, out_b)
-        else:
-            _cosine_pairs_recursive(ks, nm, threshold, seed, 0, out_a, out_b)
-        if not out_a:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        pairs = pd.DataFrame(
-            {
-                "a": pd.Series(np.concatenate(out_a), dtype=empty.dtype),
-                "b": pd.Series(np.concatenate(out_b), dtype=empty.dtype),
-            }
-        )
-        # the overlap band emits straddling pairs from both sides
-        return pairs.drop_duplicates(ignore_index=True)
+        return _cosine_bucket_pairs(group, key_col, threshold, seed)
 
     pairs_ds = (
         ds.map_batches(_bucket, batch_format="pandas")
@@ -1483,6 +1494,8 @@ def semantic_dedup(
     cluster stays small; oversized clusters are handled by the
     recursive split, not by driver memory.
     """
+    from .similarity import assign_nearest
+
     cents = np.asarray(centroids, dtype=np.float64)
     cents_ref = ray.put(cents)
 
@@ -1497,47 +1510,16 @@ def semantic_dedup(
             )
         c = ray.get(cents_ref)
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-        n = mat.shape[0]
-        step = max(1, chunk_elems // max(1, c.shape[0] * c.shape[1]))
-        bucket = np.empty(n, dtype=np.int64)
-        for i in range(0, n, step):
-            d2 = ((mat[i : i + step, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            dist = np.sqrt(d2)
-            if decimals is not None:
-                dist = np.round(dist, decimals)
-            bucket[i : i + step] = np.argmin(dist, axis=1)
+        bucket = assign_nearest(
+            mat, c, decimals=decimals, chunk_elems=chunk_elems
+        )
         out = df[[key_col]].copy()
         out["bucket"] = bucket
         out["vec"] = [v.tobytes() for v in mat]
         return out
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = group[key_col].iloc[:0]
-        if len(group) < 2:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        rows = group.sort_values(key_col).drop_duplicates(key_col)
-        if len(rows) < 2:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in rows["vec"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        nm = mat / norms
-        ks = rows[key_col].to_numpy()
-        out_a: list = []
-        out_b: list = []
-        if len(ks) <= _BUCKET_PAIR_CAP:
-            _tiled_cosine_pairs(ks, nm, threshold, out_a, out_b)
-        else:
-            _cosine_pairs_recursive(ks, nm, threshold, seed, 0, out_a, out_b)
-        if not out_a:
-            return pd.DataFrame({"a": empty, "b": empty.copy()})
-        pairs = pd.DataFrame(
-            {
-                "a": pd.Series(np.concatenate(out_a), dtype=empty.dtype),
-                "b": pd.Series(np.concatenate(out_b), dtype=empty.dtype),
-            }
-        )
-        return pairs.drop_duplicates(ignore_index=True)
+        return _cosine_bucket_pairs(group, key_col, threshold, seed)
 
     pairs_ds = (
         ds.map_batches(_bucket, batch_format="pandas")

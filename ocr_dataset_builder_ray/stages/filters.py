@@ -277,6 +277,18 @@ def decontaminate(
 _NDOCS_BUCKET = -1
 
 
+def _reduceat_sum(h: np.ndarray, v: np.ndarray):
+    """Sort-and-segment sum: returns (unique keys, per-key sums) —
+    the per-bucket reduce shared by the vocabulary exchanges."""
+    order = np.argsort(h, kind="stable")
+    h_s, v_s = h[order], v[order]
+    starts = np.empty(h_s.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = h_s[1:] != h_s[:-1]
+    idx = np.flatnonzero(starts)
+    return h_s[idx], np.add.reduceat(v_s, idx)
+
+
 def document_frequencies(
     ds: ray.data.Dataset, *, text_col: str = "text", n_buckets: int = 64
 ):
@@ -330,19 +342,13 @@ def document_frequencies(
                     "bucket": pa.array([np.int32(_NDOCS_BUCKET)]),
                 }
             )
-        order = np.argsort(h, kind="stable")
-        h_s, d_s = h[order], d[order]
-        starts = np.empty(h_s.size, dtype=bool)
-        starts[0] = True
-        starts[1:] = h_s[1:] != h_s[:-1]
-        idx = np.flatnonzero(starts)
-        sums = np.add.reduceat(d_s, idx)
+        uh, sums = _reduceat_sum(h, d)
         return pa.table(
             {
-                "thash": pa.array(h_s[idx]),
+                "thash": pa.array(uh),
                 "df": pa.array(sums.astype(np.int64)),
                 "bucket": pa.array(
-                    np.full(idx.size, b, dtype=np.int32)
+                    np.full(uh.size, b, dtype=np.int32)
                 ),
             }
         )
@@ -394,18 +400,12 @@ def token_counts(
         h = group["thash"].to_numpy(zero_copy_only=False)
         c = group["cnt"].to_numpy(zero_copy_only=False)
         b = group["bucket"][0].as_py()
-        order = np.argsort(h, kind="stable")
-        h_s, c_s = h[order], c[order]
-        starts = np.empty(h_s.size, dtype=bool)
-        starts[0] = True
-        starts[1:] = h_s[1:] != h_s[:-1]
-        idx = np.flatnonzero(starts)
-        sums = np.add.reduceat(c_s, idx)
+        uh, sums = _reduceat_sum(h, c)
         return pa.table(
             {
-                "thash": pa.array(h_s[idx]),
+                "thash": pa.array(uh),
                 "cnt": pa.array(sums.astype(np.int64)),
-                "bucket": pa.array(np.full(idx.size, b, dtype=np.int32)),
+                "bucket": pa.array(np.full(uh.size, b, dtype=np.int32)),
             }
         )
 
@@ -466,6 +466,16 @@ def unigram_logprob(
         if th.size:
             np.add.at(ntok, doc, 1)
             pos = np.searchsorted(h, th.view(np.int64))
+            # both passes read the same dataset, so every token is in
+            # the vocab — but guard the lookup like tfidf_top_terms
+            # does rather than index out of bounds / mis-score on a
+            # diverging upstream
+            pos = np.minimum(pos, max(0, h.size - 1))
+            if h.size == 0 or not (h[pos] == th.view(np.int64)).all():
+                raise ValueError(
+                    "unigram_logprob: token absent from the vocabulary "
+                    "broadcast (input changed between passes?)"
+                )
             np.add.at(sums, doc, lp[pos])
         keep = ntok > 0
         keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)[keep]

@@ -87,6 +87,16 @@ def bm25_topk(
     Documents matching no query term never leave their batch.
     """
     terms = sorted(set(query_terms))
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=float),
+            "dl": pd.Series([], dtype=np.int64),
+            "matched_terms": pd.Series([], dtype=np.int64),
+        }
+    )
+    if not terms:
+        return empty
     th_terms = _term_hashes(terms)
     m = th_terms.size
 
@@ -113,10 +123,7 @@ def bm25_topk(
     for p in parts:
         df += np.asarray(p["df"], dtype=np.int64)
     if n_docs == 0:
-        return pd.DataFrame(
-            columns=[key_col, "score", "dl", "matched_terms"]
-        ).astype({key_col: np.int64, "score": float, "dl": np.int64,
-                  "matched_terms": np.int64})
+        return empty
     avgdl = sum_dl / n_docs
     idf = np.log1p((n_docs - df + 0.5) / (df + 0.5))
     bcast = ray.put((idf, avgdl))

@@ -169,6 +169,32 @@ def knn_ivf(
 # ---------------------------------------------------------------------------
 
 
+def assign_nearest(
+    mat: np.ndarray,
+    cents: np.ndarray,
+    *,
+    decimals: int | None = 9,
+    chunk_elems: int = 4_000_000,
+) -> np.ndarray:
+    """Chunked nearest-centroid (Euclidean) assignment kernel — THE
+    single assignment contract: explicit (x - c)^2 distance in row
+    chunks (the n x k x d temporary stays under ``chunk_elems``
+    floats), distance rounded to ``decimals`` before the argmin,
+    ties to the lowest centroid id (argmin first-occurrence). Shared
+    by ``kmeans_assign`` and ``stages.dedup.semantic_dedup`` so the
+    two can never drift apart from the q51/q59 SQL-oracle contract."""
+    n = mat.shape[0]
+    step = max(1, chunk_elems // max(1, cents.shape[0] * cents.shape[1]))
+    out = np.empty(n, dtype=np.int64)
+    for i in range(0, n, step):
+        d2 = ((mat[i : i + step, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        dist = np.sqrt(d2)
+        if decimals is not None:
+            dist = np.round(dist, decimals)
+        out[i : i + step] = np.argmin(dist, axis=1)
+    return out
+
+
 def kmeans_assign(
     ds: ray.data.Dataset,
     centroids: np.ndarray,
@@ -196,15 +222,9 @@ def kmeans_assign(
     def _assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
         mat = _as_matrix(batch[vec_col].to_pylist())
-        n = mat.shape[0]
-        step = max(1, chunk_elems // max(1, c.shape[0] * c.shape[1]))
-        out = np.empty(n, dtype=np.int64)
-        for i in range(0, n, step):
-            d2 = ((mat[i : i + step, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            dist = np.sqrt(d2)
-            if decimals is not None:
-                dist = np.round(dist, decimals)
-            out[i : i + step] = np.argmin(dist, axis=1)
+        out = assign_nearest(
+            mat, c, decimals=decimals, chunk_elems=chunk_elems
+        )
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()

@@ -339,3 +339,53 @@ def test_build_postings_matches_brute(ray_session):
         columns=["token", "df", "postings"],
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_profile_columns_nan_values_count_as_nulls(ray_session):
+    """NaN stored as a VALUE (not arrow null) must not crash the cents
+    cast and counts as a null in the profile."""
+    import pyarrow as pa
+
+    from ocr_dataset_builder_ray.pipelines.metrics import profile_columns
+
+    t = pa.table({"x": pa.array([1.0, float("nan"), 3.0], pa.float64())})
+    got = profile_columns(ray.data.from_arrow(t), ["x"])
+    assert got["n_rows"][0] == 3
+    assert got["n_nulls"][0] == 1
+    assert got["min_val"][0] == 1.0
+    assert got["max_val"][0] == 3.0
+    assert got["sum_cents"][0] == 400
+
+
+def test_bm25_empty_terms(ray_session):
+    out = bm25_topk(ray.data.from_pandas(_corpus(20)), [], k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "score", "dl", "matched_terms"]
+
+
+def test_cli_search_index_profile(ray_session, tmp_path, capsys):
+    """The three retrieval/profile CLI forms run in-process against a
+    small parquet table and print well-formed JSON."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_dataset_builder_ray.cli import main
+
+    df = _corpus(80)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(df), src)
+
+    assert main(["search", "--input", src, "--terms", "w0", "w3", "--k", "4"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < len(rows) <= 4 and {"doc_id", "score"} <= set(rows[0])
+
+    idx = str(tmp_path / "index")
+    assert main(["index", "--input", src, "--output", idx]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tokens"] == 50  # the corpus vocabulary
+
+    assert main(["profile", "--input", src, "--columns", "doc_id"]) == 0
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof[0]["n_rows"] == 80 and prof[0]["min_val"] == 0.0
