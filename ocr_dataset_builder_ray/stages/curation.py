@@ -127,7 +127,16 @@ def group_topk_cutoffs(
     Bucket assignment is a pure function of the score, so every row
     with the cutoff score lands in the boundary bucket — the cutoff
     pair is globally correct, not just within the bucket.
+
+    The three passes run over a materialized SKINNY projection
+    (group, score, key — ~tens of bytes/row, object-store-spillable):
+    a lazy Dataset re-executes its whole upstream per consumer, so
+    without this a computed score column (e.g. the q60 logprob chain)
+    would be recomputed three times.
     """
+    ds = ds.select_columns(
+        list(dict.fromkeys([group_col, score_col, key_col]))
+    ).materialize()
     stats = {
         r[group_col]: (r["count()"], r[f"min({score_col})"], r[f"max({score_col})"])
         for r in ds.groupby(group_col)
@@ -452,7 +461,14 @@ def group_quantiles(
     group and one ``q{...}`` column per requested quantile; the values
     are exact elements of the data (no interpolation), so they compare
     bit-exactly against a SQL oracle.
+
+    As in ``group_topk_cutoffs``, the passes run over a materialized
+    skinny (group, value) projection so a computed upstream executes
+    once, not once per pass.
     """
+    ds = ds.select_columns(
+        list(dict.fromkeys([group_col, value_col]))
+    ).materialize()
     stats = {
         r[group_col]: (r["count()"], r[f"min({value_col})"], r[f"max({value_col})"])
         for r in ds.groupby(group_col)
