@@ -271,6 +271,19 @@ def quality_percentile_filter(
     return cutoff_filter(ds, group_col, score_col, key_col, cutoffs)
 
 
+def _with_neg_ticket(ds: ray.data.Dataset, key_col: str) -> ray.data.Dataset:
+    """Append the negated multiplicative-hash ticket (a pure function
+    of the key, so recomputable on any pass) as ``__neg_ticket``."""
+
+    def _add_ticket(batch: pa.Table) -> pa.Table:
+        tick = sample_ticket(batch[key_col].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            "__neg_ticket", pa.array(-(tick.astype(np.int64)))
+        )
+
+    return ds.map_batches(_add_ticket, batch_format="pyarrow")
+
+
 def fixed_size_sample(
     ds: ray.data.Dataset,
     group_col: str,
@@ -288,13 +301,7 @@ def fixed_size_sample(
     the result is independent of partitioning, parallelism, and row
     order."""
 
-    def _add_ticket(batch: pa.Table) -> pa.Table:
-        tick = sample_ticket(batch[key_col].to_numpy(zero_copy_only=False))
-        return batch.append_column(
-            "__neg_ticket", pa.array(-(tick.astype(np.int64)))
-        )
-
-    with_ticket = ds.map_batches(_add_ticket, batch_format="pyarrow")
+    with_ticket = _with_neg_ticket(ds, key_col)
     cutoffs = group_topk_cutoffs(
         with_ticket,
         group_col,
@@ -570,9 +577,15 @@ def mix_to_proportions(
     Scale shape: one skinny Count aggregate to size the mix, then the
     order-statistics cutoff machinery — the payload never shuffles.
     """
+    # one materialized skinny (group, key, ticket) serves the count
+    # aggregate AND the cutoff machinery, so the (possibly expensive)
+    # upstream chain executes twice in total: skinny + final filter
+    skinny = _with_neg_ticket(
+        ds.select_columns(list(dict.fromkeys([group_col, key_col]))), key_col
+    ).materialize()
     counts = {
         r[group_col]: int(r["count()"])
-        for r in ds.groupby(group_col).aggregate(Count()).take_all()
+        for r in skinny.groupby(group_col).aggregate(Count()).take_all()
     }
     present = {
         g: float(p) for g, p in proportions.items() if g in counts and p > 0
@@ -581,7 +594,12 @@ def mix_to_proportions(
         return ds.filter(lambda _: False)
     n_target = min(int(math.floor(counts[g] / p)) for g, p in present.items())
     ks = {g: int(math.floor(p * n_target)) for g, p in present.items()}
-    return fixed_size_sample(ds, group_col, key_col, ks, n_buckets)
+    cutoffs = group_topk_cutoffs(
+        skinny, group_col, "__neg_ticket", key_col, None, n_buckets, fixed_k=ks
+    )
+    return cutoff_filter(
+        _with_neg_ticket(ds, key_col), group_col, "__neg_ticket", key_col, cutoffs
+    ).drop_columns(["__neg_ticket"])
 
 
 def chunk_documents(
