@@ -1460,6 +1460,34 @@ def q62_inverted_index(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q63_redact_pii(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over documents whose text is deterministically
+    augmented (on BOTH sides) with a doc_id-derived contact line —
+    the synthetic corpus contains no PII, so the augmentation makes
+    every row a real redaction case instead of a degenerate identity
+    oracle. Engine and oracle apply identical RE2 replacements."""
+    from ..stages.filters import redact_pii
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        aug = [
+            f"{t or ''} reach user{i}@example.com at 192.168.{i % 256}.7 "
+            f"or +14155550{i % 100}"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(aug, pa.string())}
+        )
+
+    out = redact_pii(
+        ds.map_batches(_augment, batch_format="pyarrow")
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1527,6 +1555,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q60_logprob_quality_gate": q60_logprob_quality_gate,
     "q61_profile_columns": q61_profile_columns,
     "q62_inverted_index": q62_inverted_index,
+    "q63_redact_pii": q63_redact_pii,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2383,6 +2412,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT token, count(*)::BIGINT AS df,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
         FROM toks GROUP BY token ORDER BY token
+    """,
+    # the same deterministic augmentation + the same three RE2
+    # replacements (email -> ip -> phone, global) as the engine.
+    "q63_redact_pii": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   coalesce(text, '') || ' reach user' || doc_id ||
+                   '@example.com at 192.168.' || (doc_id % 256) ||
+                   '.7 or +14155550' || (doc_id % 100) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\+[0-9]{7,15}', '<PHONE>', 'g') AS text
+        FROM aug ORDER BY doc_id
     """,
 }
 

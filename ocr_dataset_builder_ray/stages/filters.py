@@ -495,6 +495,43 @@ def unigram_logprob(
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+# RE2-compatible patterns (Arrow's replace_substring_regex and
+# DuckDB's regexp_replace are both RE2, so the q63 oracle replays the
+# exact same replacements). Order matters: an email is redacted before
+# its digit-bearing domain could half-match the IP pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    ds: ray.data.Dataset, *, text_col: str = "text", out_col: str | None = None
+) -> ray.data.Dataset:
+    """Regex PII redaction (the Dolma/FineWeb-style pre-training
+    scrub, public pipelines): masks emails, IPv4 addresses and
+    international phone numbers with typed sentinels. A pure
+    vectorized map — Arrow's RE2 kernel replaces all non-overlapping
+    matches per pattern, in the fixed ``PII_PATTERNS`` order; no
+    shuffle, no state, cost is read bandwidth at any scale."""
+    dst = out_col or text_col
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for _, pat, repl in PII_PATTERNS:
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+        if dst in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(dst), dst, col
+            )
+        return batch.append_column(dst, col)
+
+    return ds.map_batches(_redact, batch_format="pyarrow")
+
+
 def tfidf_top_terms(
     ds: ray.data.Dataset,
     *,

@@ -389,3 +389,33 @@ def test_cli_search_index_profile(ray_session, tmp_path, capsys):
     assert main(["profile", "--input", src, "--columns", "doc_id"]) == 0
     prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert prof[0]["n_rows"] == 80 and prof[0]["min_val"] == 0.0
+
+
+def test_redact_pii_patterns(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import redact_pii
+
+    texts = [
+        "mail a@b.co and c.d+x@e-f.org now",
+        "ips 10.0.0.1 and 255.1.2.3",
+        "call +4915123456789 ok",
+        "clean text stays",
+        None,
+        "mixed a@b.io 1.2.3.4 +1234567",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = (
+        redact_pii(ray.data.from_pandas(df), out_col="redacted")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["redacted"]) == [
+        "mail <EMAIL> and <EMAIL> now",
+        "ips <IP> and <IP>",
+        "call <PHONE> ok",
+        "clean text stays",
+        None,
+        "mixed <EMAIL> <IP> <PHONE>",
+    ]
+    # in-place mode rewrites the text column itself
+    out2 = redact_pii(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out2["text"][0] == "mail <EMAIL> and <EMAIL> now"
