@@ -574,8 +574,11 @@ def run_curation_bench() -> dict:
     _read().count()  # warm, untimed
 
     results = {}
+    only = os.environ.get("GRAFT_CURATION_OP")
 
     def _time(name, fn):
+        if only and name != only:
+            return
         t0 = time.monotonic()
         n = fn()
         sec = time.monotonic() - t0
@@ -756,6 +759,59 @@ def run_curation_bench() -> dict:
     return out
 
 
+_CURATION_OPS = [
+    "stratified_sample",
+    "quality_percentile_filter",
+    "fixed_size_sample",
+    "pack_sequences",
+    "top_tokens",
+    "repetition_filter",
+    "decontaminate",
+    "tfidf_top_terms",
+    "kmeans_fit2_assign",
+    "bm25_topk",
+    "chunk_documents",
+    "unigram_logprob",
+    "build_postings",
+    "profile_columns",
+    "semantic_dedup",
+    "span_dedup_roundtrip",
+]
+
+
+def run_curation_solo() -> dict:
+    """One fresh subprocess (and fresh Ray session) PER operator.
+
+    An in-session sweep measurably inflates late entries (top_tokens
+    42 s vs 12-16 s solo, build_postings 57 s vs 24 s solo on this
+    host — accumulated object-store state from the preceding ops), so
+    trustworthy per-op numbers need process isolation, exactly like
+    the --scaling legs. Wall cost is one ~10 s session spin-up per op,
+    outside the timed window."""
+    ops: dict = {}
+    n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "100000"))
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    for name in _CURATION_OPS:
+        env = dict(os.environ, GRAFT_CURATION_OP=name)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--curation-inner"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        ops.update(json.loads(out.strip().splitlines()[-1])["ops"])
+    return {
+        "metric": "curation family, one fresh session per op",
+        "value": max(r["sec"] for r in ops.values() if "sec" in r),
+        "unit": "sec",
+        "n_docs": n_docs,
+        "num_cpus": ncpu,
+        "ops": ops,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -763,7 +819,9 @@ if __name__ == "__main__":
         print(json.dumps(run_dedup_bench()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew_bench()))
-    elif "--curation" in sys.argv:
+    elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
+    elif "--curation" in sys.argv:
+        print(json.dumps(run_curation_solo()))
     else:
         print(json.dumps(run_bench()))
