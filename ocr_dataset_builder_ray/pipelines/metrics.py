@@ -182,3 +182,62 @@ def profile_columns(
         .to_pandas()
     )
     return out.sort_values("col").reset_index(drop=True)
+
+
+def group_histogram(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> pd.DataFrame:
+    """Fixed-bin histogram per group: ``(group, bin, n)`` for the
+    distribution dashboards/data-quality checks that complement
+    ``profile_columns``. ``bin = clip(floor((v - lo) / (hi - lo)
+    * n_bins), 0, n_bins - 1)`` — out-of-range values clamp into the
+    edge bins; nulls are dropped. The bin arithmetic is plain IEEE
+    double in a fixed association order, so a SQL oracle computes the
+    identical bin for every value.
+
+    Scale shape: per-batch (group, bin) partial counts (never a row
+    per value), one native Sum groupby over <= n_groups x n_bins
+    groups — bounded driver result, payload never shuffles.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    width = float(hi) - float(lo)
+    if width <= 0 or n_bins <= 0:
+        raise ValueError("group_histogram requires hi > lo and n_bins > 0")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        ok = ~pd.isna(vals)
+        vals, groups = vals[ok], groups[ok]
+        b = np.clip(
+            np.floor((vals - float(lo)) / width * n_bins).astype(np.int64),
+            0,
+            n_bins - 1,
+        )
+        ug, gidx = np.unique(groups, return_inverse=True)
+        pair = gidx * n_bins + b
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                group_col: pa.array([ug[p // n_bins] for p in up]),
+                "bin": pa.array((up % n_bins).astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values([group_col, "bin"]).reset_index(drop=True)

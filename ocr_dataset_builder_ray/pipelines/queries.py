@@ -1488,6 +1488,18 @@ def q63_redact_pii(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q64_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """20-bin fixed-range histogram of l_extendedprice per return
+    flag: per-batch (group, bin) partial counts + one bounded native
+    Sum groupby — the distribution complement of the q61 profile."""
+    from ..pipelines.metrics import group_histogram
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return group_histogram(
+        ds, "l_returnflag", "l_extendedprice", lo=900.0, hi=105000.0, n_bins=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1556,6 +1568,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q61_profile_columns": q61_profile_columns,
     "q62_inverted_index": q62_inverted_index,
     "q63_redact_pii": q63_redact_pii,
+    "q64_price_histogram": q64_price_histogram,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2433,6 +2446,18 @@ ORACLE_SQL: dict[str, str] = {
                        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
                    '\+[0-9]{7,15}', '<PHONE>', 'g') AS text
         FROM aug ORDER BY doc_id
+    """,
+    # identical IEEE association order ((v-lo)/(hi-lo))*n on both
+    # sides -> identical doubles -> identical floor/bin.
+    "q64_price_histogram": """
+        SELECT l_returnflag,
+               least(greatest(CAST(floor(
+                   (l_extendedprice - 900.0) / (105000.0 - 900.0) * 20
+               ) AS BIGINT), 0), 19) AS bin,
+               count(*)::BIGINT AS n
+        FROM lineitem
+        GROUP BY 1, 2
+        ORDER BY l_returnflag, bin
     """,
 }
 

@@ -419,3 +419,34 @@ def test_redact_pii_patterns(ray_session):
     # in-place mode rewrites the text column itself
     out2 = redact_pii(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
     assert out2["text"][0] == "mail <EMAIL> and <EMAIL> now"
+
+
+def test_group_histogram_matches_numpy(ray_session):
+    from ocr_dataset_builder_ray.pipelines.metrics import group_histogram
+
+    rng = np.random.default_rng(12)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i % 3}" for i in range(n)],
+            "v": rng.uniform(-10, 110, n),
+        }
+    )
+    df.loc[df.index % 17 == 0, "v"] = np.nan
+    got = group_histogram(
+        ray.data.from_pandas(df).repartition(7), "g", "v", lo=0.0, hi=100.0, n_bins=10
+    )
+    ref = {}
+    for _, r in df.iterrows():
+        if pd.isna(r["v"]):
+            continue
+        b = int(np.clip(np.floor((r["v"] - 0.0) / 100.0 * 10), 0, 9))
+        ref[(r["g"], b)] = ref.get((r["g"], b), 0) + 1
+    want = pd.DataFrame(
+        sorted((g, b, c) for (g, b), c in ref.items()),
+        columns=["g", "bin", "n"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # out-of-range values landed in the edge bins
+    assert got[got["bin"] == 0]["n"].sum() > 0
+    assert got[got["bin"] == 9]["n"].sum() > 0
