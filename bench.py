@@ -747,9 +747,10 @@ def run_curation_bench() -> dict:
 
     _time("span_dedup_roundtrip", _span_roundtrip)
 
+    timed = [r["sec"] for r in results.values() if "sec" in r]
     out = {
         "metric": "curation family over 100k-doc synthetic corpus",
-        "value": max(r["sec"] for r in results.values() if "sec" in r),
+        "value": max(timed) if timed else 0.0,
         "unit": "sec",
         "n_docs": n_docs,
         "num_cpus": ncpu,
@@ -793,15 +794,27 @@ def run_curation_solo() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     for name in _CURATION_OPS:
         env = dict(os.environ, GRAFT_CURATION_OP=name)
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--curation-inner"],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        ops.update(json.loads(out.strip().splitlines()[-1])["ops"])
+        )
+        if proc.returncode != 0:
+            # surface the inner traceback — a bare CalledProcessError
+            # hides the real failure in the captured stderr
+            raise RuntimeError(
+                f"curation op {name!r} failed (exit {proc.returncode}):\n"
+                + proc.stderr[-4000:]
+            )
+        got = json.loads(proc.stdout.strip().splitlines()[-1])["ops"]
+        if not any("sec" in v for v in got.values()):
+            raise RuntimeError(
+                f"curation op {name!r} matched no _time() call — "
+                "_CURATION_OPS is out of sync with run_curation_bench"
+            )
+        ops.update(got)
     return {
         "metric": "curation family, one fresh session per op",
         "value": max(r["sec"] for r in ops.values() if "sec" in r),

@@ -213,18 +213,31 @@ def group_histogram(
         raise ValueError("group_histogram requires hi > lo and n_bins > 0")
 
     def _partial(batch: pa.Table) -> pa.Table:
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
         vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        groups = np.asarray(gcol.to_pylist(), dtype=object)
         ok = ~pd.isna(vals)
         vals, groups = vals[ok], groups[ok]
-        b = np.clip(
-            np.floor((vals - float(lo)) / width * n_bins).astype(np.int64),
-            0,
-            n_bins - 1,
-        )
+        # clamp the SCALED value before floor so +-inf land in the
+        # edge bins (floor(inf).astype(int64) is undefined), matching
+        # the documented clamp contract; in-range bins are unchanged
+        scaled = np.clip((vals - float(lo)) / width * n_bins, 0, n_bins - 1)
+        b = np.floor(scaled).astype(np.int64)
         ug, gidx = np.unique(groups, return_inverse=True)
         pair = gidx * n_bins + b
         up, cnt = np.unique(pair, return_counts=True)
+        if up.size == 0:
+            # typed empty (slicing the real column) — a null-typed
+            # group column would diverge the block schema
+            return pa.table(
+                {
+                    group_col: gcol.slice(0, 0),
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 group_col: pa.array([ug[p // n_bins] for p in up]),

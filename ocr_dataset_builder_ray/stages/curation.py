@@ -134,9 +134,16 @@ def group_topk_cutoffs(
     without this a computed score column (e.g. the q60 logprob chain)
     would be recomputed three times.
     """
-    ds = ds.select_columns(
-        list(dict.fromkeys([group_col, score_col, key_col]))
-    ).materialize()
+    need = list(dict.fromkeys([group_col, score_col, key_col]))
+    from ray.data.dataset import MaterializedDataset
+
+    # a caller (mix_to_proportions) may hand us an already-materialized
+    # skinny projection — don't hold a second copy in the object store
+    if not (
+        isinstance(ds, MaterializedDataset)
+        and set(ds.schema().names) == set(need)
+    ):
+        ds = ds.select_columns(need).materialize()
     stats = {
         r[group_col]: (r["count()"], r[f"min({score_col})"], r[f"max({score_col})"])
         for r in ds.groupby(group_col)
@@ -473,9 +480,14 @@ def group_quantiles(
     skinny (group, value) projection so a computed upstream executes
     once, not once per pass.
     """
-    ds = ds.select_columns(
-        list(dict.fromkeys([group_col, value_col]))
-    ).materialize()
+    need = list(dict.fromkeys([group_col, value_col]))
+    from ray.data.dataset import MaterializedDataset
+
+    if not (
+        isinstance(ds, MaterializedDataset)
+        and set(ds.schema().names) == set(need)
+    ):
+        ds = ds.select_columns(need).materialize()
     stats = {
         r[group_col]: (r["count()"], r[f"min({value_col})"], r[f"max({value_col})"])
         for r in ds.groupby(group_col)

@@ -280,6 +280,8 @@ _NDOCS_BUCKET = -1
 def _reduceat_sum(h: np.ndarray, v: np.ndarray):
     """Sort-and-segment sum: returns (unique keys, per-key sums) —
     the per-bucket reduce shared by the vocabulary exchanges."""
+    if h.size == 0:
+        return h, v[:0]
     order = np.argsort(h, kind="stable")
     h_s, v_s = h[order], v[order]
     starts = np.empty(h_s.size, dtype=bool)

@@ -450,3 +450,21 @@ def test_group_histogram_matches_numpy(ray_session):
     # out-of-range values landed in the edge bins
     assert got[got["bin"] == 0]["n"].sum() > 0
     assert got[got["bin"] == 9]["n"].sum() > 0
+
+
+def test_group_histogram_inf_and_empty_blocks(ray_session):
+    from ocr_dataset_builder_ray.pipelines.metrics import group_histogram
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [float("inf"), float("-inf"), 50.0, np.nan, np.nan],
+        }
+    )
+    got = group_histogram(
+        ray.data.from_pandas(df).repartition(4), "g", "v", lo=0.0, hi=100.0, n_bins=10
+    )
+    rows = {(r["g"], r["bin"]): r["n"] for _, r in got.iterrows()}
+    # +inf clamps into the TOP bin, -inf into the bottom; the all-NaN
+    # group vanishes; blocks with no valid values keep a typed schema
+    assert rows == {("a", 0): 1, ("a", 5): 1, ("a", 9): 1}
