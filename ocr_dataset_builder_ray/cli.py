@@ -169,13 +169,41 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _read_clean(path: str, columns: list[str]):
+    """read_parquet with the pandas metadata stripped from the schema
+    (same seam as pipelines.queries._clean_schema — a metadata dict
+    makes Ray's block-schema dedup log 'Failed to hash the schemas'
+    in every read task)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        f = cands[0] if cands else None
+    schema = None
+    if f is not None:
+        try:
+            schema = pq.read_schema(f).remove_metadata()
+            schema = pa.schema([schema.field(c) for c in columns])
+        except Exception:
+            schema = None
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
+
+
 def _cmd_search(args: argparse.Namespace) -> int:
     _ensure_ray()
     import ray.data
 
     from .stages.retrieval import bm25_topk
 
-    ds = ray.data.read_parquet(args.input, columns=[args.key, args.text])
+    ds = _read_clean(args.input, [args.key, args.text])
     out = bm25_topk(
         ds, args.terms, text_col=args.text, key_col=args.key, k=args.k
     )
@@ -189,7 +217,7 @@ def _cmd_index(args: argparse.Namespace) -> int:
 
     from .stages.retrieval import build_postings
 
-    ds = ray.data.read_parquet(args.input, columns=[args.key, args.text])
+    ds = _read_clean(args.input, [args.key, args.text])
     postings = build_postings(ds, text_col=args.text, key_col=args.key)
     postings.write_parquet(args.output)
     n = ray.data.read_parquet(args.output).count()
@@ -203,7 +231,7 @@ def _cmd_profile(args: argparse.Namespace) -> int:
 
     from .pipelines.metrics import profile_columns
 
-    ds = ray.data.read_parquet(args.input, columns=args.columns)
+    ds = _read_clean(args.input, args.columns)
     out = profile_columns(ds, args.columns)
     print(out.to_json(orient="records"))
     return 0
