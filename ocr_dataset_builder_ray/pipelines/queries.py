@@ -1500,6 +1500,31 @@ def q64_price_histogram(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q65_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """The standard Bloom join pattern at exact semantics: orders of
+    BUILDING-segment customers via a broadcast Bloom PRE-filter (a few
+    bits/key — the shape used when the key set is too big to ship
+    exactly) followed by an exact verify of the pruned survivors.
+    False positives are removed by the verify, so the result — and the
+    SQL oracle — is an exact semi join; the Bloom stage only bounds
+    how many rows ever reach it."""
+    from ..functions.bloom import bloom_semi_join
+
+    cust = _small_pdf(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    pruned = bloom_semi_join(orders, keys, "o_custkey", fpr=0.01)
+    exact_ref = ray.put(pa.array(np.sort(keys)))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["o_custkey"], value_set=ray.get(exact_ref)))
+
+    out = pruned.map_batches(_verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1569,6 +1594,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q62_inverted_index": q62_inverted_index,
     "q63_redact_pii": q63_redact_pii,
     "q64_price_histogram": q64_price_histogram,
+    "q65_bloom_semijoin": q65_bloom_semijoin,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2458,6 +2484,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY 1, 2
         ORDER BY l_returnflag, bin
+    """,
+    # Bloom prefilter + exact verify == an exact semi join.
+    "q65_bloom_semijoin": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        ORDER BY o.o_orderkey
     """,
 }
 
