@@ -1417,22 +1417,34 @@ def embedding_dedup(
     extraction itself is exact); ``n_buckets=1`` is the fully exact
     form, still memory-bounded via the recursive split.
     """
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key_col]].copy()
+        out["vec"] = pd.Series(
+            [np.asarray(v, dtype=np.float64).tobytes() for v in df[vec_col]],
+            dtype=object,
+            index=out.index,
+        )
+        return out
+
+    skinny = ds.map_batches(_project, batch_format="pandas")
     if n_buckets == "auto":
-        n_total = ds.count()
+        # size the bucket count from the SKINNY projection, materialized
+        # once: a separate ds.count() ahead of the lazy bucket map would
+        # re-execute the full upstream twice (VERDICT r3 #7). The
+        # materialized state is (key, packed-vec) — the same bytes the
+        # exchange moves anyway, spillable in the object store.
+        skinny = skinny.materialize()
+        n_total = skinny.count()
         planes_n = max(0, int(np.ceil(np.log2(max(1.0, n_total / target_bucket_rows)))))
     else:
         planes_n = max(1, int(np.log2(n_buckets))) if n_buckets > 1 else 0
 
-    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    key_col: df[key_col],
-                    "bucket": pd.Series([], dtype=np.int64),
-                    "vec": pd.Series([], dtype=object),
-                }
-            )
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+            out = df.copy()
+            out["bucket"] = np.zeros(0, dtype=np.int64)
+            return out
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["vec"]])
         if planes_n:
             planes = np.random.RandomState(seed).standard_normal(
                 (mat.shape[1], planes_n)
@@ -1440,16 +1452,15 @@ def embedding_dedup(
             bucket = ((mat @ planes) >= 0) @ (1 << np.arange(planes_n))
         else:
             bucket = np.zeros(len(df), dtype=np.int64)
-        out = df[[key_col]].copy()
+        out = df.copy()
         out["bucket"] = bucket.astype(np.int64)
-        out["vec"] = [v.tobytes() for v in mat]
         return out
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         return _cosine_bucket_pairs(group, key_col, threshold, seed)
 
     pairs_ds = (
-        ds.map_batches(_bucket, batch_format="pandas")
+        skinny.map_batches(_bucketize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pandas")
     )

@@ -39,37 +39,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import stable_hash64_array
-from .span_dedup import window_hashes
+from .span_dedup import doc_tokens as _doc_tokens
+from .span_dedup import flat_window_hashes
 
 # multiplier for combining adjacent token hashes into a bigram hash;
 # odd -> full period mod 2^64 (same constant family as span_dedup)
 _BIGRAM_B = np.uint64(1099511628211)
-
-
-def _doc_tokens(batch: pa.Table, text_col: str):
-    """Vectorized tokenization of a batch: returns ``(doc_idx, th)``
-    where ``doc_idx[i]`` is the row of token i (original order
-    preserved within each row) and ``th`` its uint64 hash. Empty
-    tokens from leading/trailing whitespace are dropped."""
-    col = batch[text_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    toklist = pc.utf8_split_whitespace(col)
-    if isinstance(toklist, pa.ChunkedArray):  # pragma: no cover - combine above
-        toklist = toklist.combine_chunks()
-    offsets = toklist.offsets.to_numpy()
-    flat = toklist.values
-    doc = np.repeat(
-        np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
-    )
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    # null texts produce null list entries -> diff(offsets) already 0
-    if not keep.all():
-        doc = doc[keep]
-        flat = flat.filter(pa.array(keep))
-    th = stable_hash64_array(flat.to_numpy(zero_copy_only=False))
-    return doc, th
 
 
 def _repetition_table(batch: pa.Table, text_col: str, key_col: str) -> pa.Table:
@@ -159,11 +134,10 @@ def repetition_filter(
         )
         if not passthrough:
             return t.filter(mask)
-        kept = set(t.filter(mask)[key_col].to_pylist())
-        keep_rows = pa.array(
-            [k in kept for k in batch[key_col].to_pylist()]
-        )
-        return batch.filter(keep_rows)
+        kept = t.filter(mask)[key_col]
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        return batch.filter(pc.is_in(batch[key_col], value_set=kept))
 
     return ds.map_batches(_sig_filter, batch_format="pyarrow")
 
@@ -174,15 +148,10 @@ def repetition_filter(
 
 
 def _window_hash_rows(batch: pa.Table, text_col: str, w: int) -> pa.Table:
-    hashes: list[np.ndarray] = []
-    for text in batch[text_col].to_pylist():
-        wh = window_hashes((text or "").split(), w)
-        if wh.size:
-            hashes.append(wh)
+    doc, th = _doc_tokens(batch, text_col)
+    _, _, wh = flat_window_hashes(doc, th, w)
     flat = (
-        np.unique(np.concatenate(hashes)).view(np.int64)
-        if hashes
-        else np.empty(0, dtype=np.int64)
+        np.unique(wh).view(np.int64) if wh.size else np.empty(0, dtype=np.int64)
     )
     return pa.table({"whash": pa.array(flat, pa.int64())})
 
@@ -218,23 +187,22 @@ def contamination_report(
 
     def _hits(batch: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
-        keys_out: list = []
-        hits_out: list[int] = []
-        keys = batch[key_col].to_pylist()
-        for key, text in zip(keys, batch[text_col].to_pylist()):
-            wh = window_hashes((text or "").split(), w).view(np.int64)
-            if not wh.size or not bench.size:
-                continue
-            pos = np.minimum(np.searchsorted(bench, wh), bench.size - 1)
-            n = int(np.count_nonzero(bench[pos] == wh))
-            if n:
-                keys_out.append(key)
-                hits_out.append(n)
-        key_type = batch.schema.field(key_col).type
+        doc, th = _doc_tokens(batch, text_col)
+        wdoc, _, wh = flat_window_hashes(doc, th, w)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if wh.size and bench.size:
+            whi = wh.view(np.int64)
+            pos = np.minimum(np.searchsorted(bench, whi), bench.size - 1)
+            hit = bench[pos] == whi
+            np.add.at(hits, wdoc[hit], 1)
+        keep = pa.array(hits > 0)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         return pa.table(
             {
-                key_col: pa.array(keys_out, key_type),
-                "n_hits": pa.array(hits_out, pa.int64()),
+                key_col: keys.filter(keep),
+                "n_hits": pa.array(hits[hits > 0], pa.int64()),
             }
         )
 
@@ -257,12 +225,12 @@ def decontaminate(
         bench = ray.get(bench_ref)
         keep = np.ones(batch.num_rows, dtype=bool)
         if bench.size:
-            for i, text in enumerate(batch[text_col].to_pylist()):
-                wh = window_hashes((text or "").split(), w).view(np.int64)
-                if wh.size:
-                    pos = np.minimum(np.searchsorted(bench, wh), bench.size - 1)
-                    if np.any(bench[pos] == wh):
-                        keep[i] = False
+            doc, th = _doc_tokens(batch, text_col)
+            wdoc, _, wh = flat_window_hashes(doc, th, w)
+            if wh.size:
+                whi = wh.view(np.int64)
+                pos = np.minimum(np.searchsorted(bench, whi), bench.size - 1)
+                keep[wdoc[bench[pos] == whi]] = False
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_clean, batch_format="pyarrow")
