@@ -218,10 +218,12 @@ def _cmd_index(args: argparse.Namespace) -> int:
     from .stages.retrieval import build_postings
 
     ds = _read_clean(args.input, [args.key, args.text])
-    postings = build_postings(ds, text_col=args.text, key_col=args.key)
+    postings = build_postings(
+        ds, text_col=args.text, key_col=args.key, key_span=args.key_span
+    )
     postings.write_parquet(args.output)
     n = ray.data.read_parquet(args.output).count()
-    print(json.dumps({"index": args.output, "tokens": n}))
+    print(json.dumps({"index": args.output, "segments": n}))
     return 0
 
 
@@ -341,6 +343,13 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--output", required=True)
     i.add_argument("--text", default="text")
     i.add_argument("--key", default="doc_id")
+    i.add_argument(
+        "--key-span",
+        type=int,
+        default=65536,
+        dest="key_span",
+        help="keys per postings segment (bounds a hot token's row size)",
+    )
     i.set_defaults(fn=_cmd_index)
 
     pr = sub.add_parser("profile", help="one-pass numeric column profile")

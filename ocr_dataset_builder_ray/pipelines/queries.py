@@ -1448,16 +1448,21 @@ def q61_profile_columns(sf_dir: str) -> pd.DataFrame:
 
 
 def q62_inverted_index(sf_dir: str) -> pd.DataFrame:
-    """Inverted index over the documents table: per distinct token its
-    document frequency and the comma-joined sorted posting list.
-    Distinct (token, doc) pairs per batch -> one skew-free token-hash
-    bucket exchange -> vectorized per-bucket run-length reduce."""
+    """Segmented inverted index over the documents table: one row per
+    (token, key-range segment) with the segment's document frequency
+    and comma-joined sorted posting list. key_span=100 splits the
+    sf0.01 corpus (doc_id 0..499) into 5 segments so the gate
+    exercises real segmentation, not a single degenerate segment.
+    Distinct (token, doc) pairs per batch -> one skew-free
+    (token-hash x segment) bucket exchange -> vectorized per-bucket
+    run-length reduce; no output cell or reduce task is corpus-bounded
+    (a hot token's segments land in different bucket tasks)."""
     from ..stages.retrieval import build_postings
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = build_postings(ds).to_pandas()
-    out["df"] = out["df"].astype("int64")
-    return out.sort_values("token").reset_index(drop=True)
+    out = build_postings(ds, key_span=100).to_pandas()
+    out["df_seg"] = out["df_seg"].astype("int64")
+    return out.sort_values(["token", "seg_id"]).reset_index(drop=True)
 
 
 def q63_redact_pii(sf_dir: str) -> pd.DataFrame:
@@ -2441,16 +2446,19 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY col
     """,
     # postings as a comma-joined sorted string so the artifact compares
-    # exactly across engines (no list-rendering ambiguity).
+    # exactly across engines (no list-rendering ambiguity); segmented
+    # by key range (seg_id = doc_id // 100) matching the engine's
+    # bounded hot-token output contract.
     "q62_inverted_index": r"""
         WITH toks AS (
-            SELECT DISTINCT doc_id,
+            SELECT DISTINCT doc_id, doc_id // 100 AS seg_id,
                    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
             FROM documents WHERE trim(coalesce(text, '')) <> ''
         )
-        SELECT token, count(*)::BIGINT AS df,
+        SELECT token, seg_id::BIGINT AS seg_id,
+               count(*)::BIGINT AS df_seg,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
-        FROM toks GROUP BY token ORDER BY token
+        FROM toks GROUP BY token, seg_id ORDER BY token, seg_id
     """,
     # the same deterministic augmentation + the same three RE2
     # replacements (email -> ip -> phone, global) as the engine.

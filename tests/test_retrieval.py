@@ -318,27 +318,35 @@ def test_profile_columns_all_null_column(ray_session):
 
 
 def test_build_postings_matches_brute(ray_session):
+    """Segmented postings equal a brute-force per-(token, key-range)
+    index, at a span that splits the corpus into several segments AND
+    at a span covering everything (single segment per token)."""
     from ocr_dataset_builder_ray.stages.retrieval import build_postings
 
     df = _corpus(150)
-    got = (
-        build_postings(ray.data.from_pandas(df).repartition(11))
-        .to_pandas()
-        .sort_values("token")
-        .reset_index(drop=True)
-    )
-    ref = {}
-    for _, r in df.iterrows():
-        for t in set(r["text"].split()):
-            ref.setdefault(t, set()).add(r["doc_id"])
-    want = pd.DataFrame(
-        sorted(
-            (t, len(ks), ",".join(map(str, sorted(ks))))
-            for t, ks in ref.items()
-        ),
-        columns=["token", "df", "postings"],
-    )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    for key_span in (64, 65536):
+        got = (
+            build_postings(
+                ray.data.from_pandas(df).repartition(11), key_span=key_span
+            )
+            .to_pandas()
+            .sort_values(["token", "seg_id"])
+            .reset_index(drop=True)
+        )
+        ref = {}
+        for _, r in df.iterrows():
+            for t in set(r["text"].split()):
+                ref.setdefault((t, r["doc_id"] // key_span), set()).add(
+                    r["doc_id"]
+                )
+        want = pd.DataFrame(
+            sorted(
+                (t, s, len(ks), ",".join(map(str, sorted(ks))))
+                for (t, s), ks in ref.items()
+            ),
+            columns=["token", "seg_id", "df_seg", "postings"],
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_profile_columns_nan_values_count_as_nulls(ray_session):
@@ -384,7 +392,19 @@ def test_cli_search_index_profile(ray_session, tmp_path, capsys):
     idx = str(tmp_path / "index")
     assert main(["index", "--input", src, "--output", idx]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["tokens"] == 50  # the corpus vocabulary
+    # default key_span covers all 80 keys -> one segment per token
+    assert out["segments"] == 50  # the corpus vocabulary
+
+    idx2 = str(tmp_path / "index2")
+    assert (
+        main(
+            ["index", "--input", src, "--output", idx2, "--key-span", "40"]
+        )
+        == 0
+    )
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 80 keys / span 40 = 2 segments; tokens spanning both double up
+    assert 50 < out2["segments"] <= 100
 
     assert main(["profile", "--input", src, "--columns", "doc_id"]) == 0
     prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
