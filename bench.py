@@ -705,6 +705,79 @@ def run_curation_bench() -> dict:
 
     _time("build_postings", _postings)
 
+    def _hot_postings():
+        """VERDICT r3 #2 done criterion: ONE token present in ALL
+        n_docs documents. With segmented postings no output cell and
+        no reduce task sees the corpus-sized posting list — the hot
+        token spans n_docs/key_span segments whose rows land in
+        different exchange buckets."""
+        import numpy as _np
+        import pyarrow as _pa
+
+        from ocr_dataset_builder_ray.functions.hashing import (
+            stable_hash64_array,
+        )
+        from ocr_dataset_builder_ray.stages.retrieval import (
+            _SEG_MIX,
+            build_postings,
+        )
+
+        key_span, n_buckets = 8192, 64
+
+        def _inject(t: _pa.Table) -> _pa.Table:
+            hot = _pc.binary_join_element_wise(
+                "zzhot", t["text"], " "
+            )
+            return t.set_column(
+                t.schema.get_field_index("text"), "text", hot
+            )
+
+        out = build_postings(
+            _read().map_batches(_inject, batch_format="pyarrow"),
+            key_span=key_span,
+            n_buckets=n_buckets,
+        )
+        stats = out.map_batches(
+            lambda t: _pa.table(
+                {
+                    "max_df_seg": _pa.array(
+                        [_pc.max(t["df_seg"]).as_py() or 0], _pa.int64()
+                    ),
+                    "max_cell": _pa.array(
+                        [
+                            _pc.max(
+                                _pc.binary_length(t["postings"])
+                            ).as_py()
+                            or 0
+                        ],
+                        _pa.int64(),
+                    ),
+                    "rows": _pa.array([t.num_rows], _pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        n_segs = (n_docs + key_span - 1) // key_span
+        th = stable_hash64_array(_np.array(["zzhot"], dtype=object))[0]
+        segs = _np.arange(n_segs, dtype=_np.uint64)
+        spread = len(set(((th + segs * _SEG_MIX) % _np.uint64(n_buckets)).tolist()))
+        results["hot_token_postings_detail"] = {
+            "key_span": key_span,
+            "hot_token_segments": n_segs,
+            "hot_token_bucket_spread": spread,
+            "max_df_seg": int(stats["max_df_seg"].max()),
+            "max_postings_cell_bytes": int(stats["max_cell"].max()),
+            "unsegmented_cell_bytes_would_be": int(
+                len(",".join(map(str, range(n_docs))))
+            ),
+        }
+        assert (
+            results["hot_token_postings_detail"]["max_df_seg"] <= key_span
+        )
+        return int(stats["rows"].sum())
+
+    _time("hot_token_postings", _hot_postings)
+
     def _profile():
         from ocr_dataset_builder_ray.pipelines.metrics import profile_columns
 
@@ -774,6 +847,7 @@ _CURATION_OPS = [
     "chunk_documents",
     "unigram_logprob",
     "build_postings",
+    "hot_token_postings",
     "profile_columns",
     "semantic_dedup",
     "span_dedup_roundtrip",
