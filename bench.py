@@ -492,7 +492,7 @@ def run_skew_bench() -> dict:
 
     extraction_pipeline(files[: max(1, len(files) // 16)]).count()  # warm pool
 
-    def _run(size_split: bool) -> dict:
+    def _run(size_split) -> dict:
         t0 = time.monotonic()
         ds = extraction_pipeline(files_heavy, size_split=size_split)
         n = ds.count()
@@ -501,18 +501,27 @@ def run_skew_bench() -> dict:
         # ~seconds of parse behind it at the tail of the run
         return {"sec": round(time.monotonic() - t0, 2), "rows": n}
 
+    from ocr_dataset_builder_ray.pipelines.extraction import probe_oversized
+
     plain = _run(False)
-    split = _run(True)
+    # DEFAULT entry point: the footer probe must flip the split on by
+    # itself on this corpus (and leave it off on the uniform corpus —
+    # asserted so the headline bench provably runs the single-pool path)
+    split = _run("auto")
+    assert probe_oversized(files_heavy), "probe missed the heavy shard"
+    assert not probe_oversized(files), "probe false-positive on uniform corpus"
     out = {
-        "metric": "flagship on heavy-tailed corpus (size_split off vs on)",
+        "metric": "flagship on heavy-tailed corpus (size_split off vs auto)",
         "value": split["sec"],
         "unit": "sec",
         "num_cpus": ncpu,
         "pages": n_pages,
         "heavy_rows": n_heavy,
         "heavy_mb": heavy_mb,
+        "auto_probe_heavy": True,
+        "auto_probe_uniform": False,
         "no_split": plain,
-        "size_split": split,
+        "size_split_auto": split,
     }
     ray.shutdown()
     return out

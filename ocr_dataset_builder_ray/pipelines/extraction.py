@@ -67,6 +67,54 @@ def read_pages(paths: str | list[str], columns: list[str] | None = None):
     return ray.data.read_parquet(paths, columns=columns or PAGES_COLUMNS)
 
 
+def probe_oversized(
+    paths: str | list[str],
+    threshold: int = SIZE_SPLIT_THRESHOLD,
+    column: str = "html",
+) -> bool:
+    """Footer-only heavy-tail probe: does any input row group PROVE it
+    holds a payload blob larger than ``threshold``?
+
+    Reads only parquet footers (metadata, no data I/O). For each row
+    group, ``total_uncompressed_size / num_rows`` of the payload column
+    chunk is a lower bound on that group's LARGEST value (lengths are
+    non-negative, so max >= mean), so a hit is proof positive — no
+    false enables. Diluted tails (one giant blob averaged down by
+    thousands of small rows in the same row group) can go undetected;
+    those still land in byte-bounded blocks, so the miss costs tail
+    latency, not memory. Cost is O(files) driver-side footer reads —
+    per-partition callers probe only their own shard.
+    """
+    if isinstance(paths, str):
+        files = sorted(glob.glob(os.path.join(paths, "*.parquet")))
+        if not files and os.path.isfile(paths):
+            files = [paths]
+    else:
+        files = list(paths)
+    for f in files:
+        try:
+            md = pa.parquet.ParquetFile(f).metadata
+        except Exception:
+            continue
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == column
+            ),
+            None,
+        )
+        if idx is None:
+            continue
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            if g.num_rows and (
+                g.column(idx).total_uncompressed_size / g.num_rows > threshold
+            ):
+                return True
+    return False
+
+
 def extract_pages(
     ds: ray.data.Dataset,
     *,
@@ -353,12 +401,19 @@ def extraction_pipeline(
     dedup: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 512,
-    size_split: bool = False,
+    size_split: bool | str = "auto",
     dedup_mode: str = "prefilter",
     prefilter=None,
     plan_ranges: int | None = None,
 ) -> ray.data.Dataset:
     """End-to-end flagship Dataset (consume with write/iter/agg).
+
+    ``size_split="auto"`` (default): the footer-only ``probe_oversized``
+    scan decides — the oversized-blob route turns on exactly when some
+    row group proves it holds a blob over the threshold (real crawl html
+    is heavy-tailed; the skew bench measured -30% wall with the split on
+    such a corpus) and stays off on uniform corpora where the second
+    input pass would be pure cost. Explicit ``True``/``False`` override.
 
     ``prefilter``: optional ``pa.Table -> pa.Table`` gate applied right
     after the read (e.g. the seen-url index filter for cross-pass
@@ -377,6 +432,8 @@ def extraction_pipeline(
     any dedup exchange, and are assembled into the public
     ``spans: list<struct>`` view in one final vectorized map.
     """
+    if size_split == "auto":
+        size_split = probe_oversized(paths)
     ds = read_pages(paths)
     if prefilter is not None:
         ds = ds.map_batches(prefilter, batch_format="pyarrow")
@@ -419,6 +476,7 @@ def run_partitioned_extraction(
     partition_range: tuple[int, int] | None = None,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 512,
+    size_split: bool | str = "auto",
     on_partition_done=None,
 ) -> dict:
     """Extraction with per-partition manifests; resumable after a kill.
@@ -472,6 +530,7 @@ def run_partitioned_extraction(
             dedup=dedup,
             concurrency=concurrency,
             batch_size=batch_size,
+            size_split=size_split,
             plan_ranges=plan_ranges,
         )
         if on_partition_done is not None:
@@ -498,17 +557,21 @@ def _run_one_partition(
     dedup: bool,
     concurrency,
     batch_size,
+    size_split: bool | str = "auto",
     prefilter=None,
     plan_ranges=None,
 ) -> None:
     """Run the streaming pipeline over one partition's files and
-    atomically publish data + manifest row."""
+    atomically publish data + manifest row. ``size_split="auto"``
+    probes only THIS partition's footers, so the oversized route turns
+    on per partition — exactly where the heavy blobs are."""
     t0 = time.monotonic()
     ds = extraction_pipeline(
         files,
         dedup=dedup,
         concurrency=concurrency,
         batch_size=batch_size,
+        size_split=size_split,
         prefilter=prefilter,
         plan_ranges=plan_ranges,
     )

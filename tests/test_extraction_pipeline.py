@@ -97,3 +97,63 @@ def test_no_dedup_mode_keeps_all_captures(ray_session, pages_corpus):
     )
     n = ds.count()
     assert n == 200  # every input row emitted exactly once
+
+
+def test_probe_oversized_footer_detection(tmp_path, pages_corpus):
+    """The footer-only probe flips on exactly when a row group proves a
+    blob over the threshold exists (avg bytes/row > threshold => max >
+    threshold), with no data I/O and no false positive on the uniform
+    corpus."""
+    from ocr_dataset_builder_ray.pipelines.extraction import probe_oversized
+
+    assert probe_oversized(pages_corpus) is False
+
+    big = b"<html><body>" + b"x" * (400 * 1024) + b"</body></html>"
+    t = pa.table(
+        {
+            "url": ["https://heavy.example/a"],
+            "warc_ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "html": [big],
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    heavy = tmp_path / "heavy.parquet"
+    pq.write_table(t, str(heavy))
+    assert probe_oversized(str(heavy)) is True
+    files = pages_parquet_files(pages_corpus) + [str(heavy)]
+    assert probe_oversized(files) is True
+
+
+def test_auto_size_split_output_identical(ray_session, tmp_path, pages_corpus):
+    """size_split='auto' (the default) must produce byte-identical rows
+    whether the probe enables the split (heavy corpus) or not, and must
+    match the forced-off run."""
+    big_body = b"<p>heavy paragraph</p>" * (30 * 1024)
+    t = pa.table(
+        {
+            "url": ["https://heavy.example/giant/0"],
+            "warc_ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            "html": [b"<html><body>" + big_body + b"</body></html>"],
+            "text": [""],
+            "lang": ["en"],
+        }
+    )
+    heavy = tmp_path / "heavy.parquet"
+    pq.write_table(t, str(heavy))
+    files = pages_parquet_files(pages_corpus) + [str(heavy)]
+
+    from ocr_dataset_builder_ray.pipelines.extraction import probe_oversized
+
+    assert probe_oversized(files) is True  # auto takes the split path here
+
+    auto = {r["url"]: r for r in extraction_pipeline(files).take_all()}
+    off = {
+        r["url"]: r
+        for r in extraction_pipeline(files, size_split=False).take_all()
+    }
+    assert set(auto) == set(off)
+    for url in auto:
+        assert auto[url]["extracted_text"] == off[url]["extracted_text"]
+        assert auto[url]["content_hash"] == off[url]["content_hash"]
+    assert "https://heavy.example/giant/0" in auto
