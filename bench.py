@@ -59,6 +59,15 @@ def run_bench() -> dict:
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     with_queries = os.environ.get("GRAFT_BENCH_QUERIES", "1") != "0"
+    # Official-headline protocol (VERDICT r3 #4): the host shows ±2x
+    # multi-minute interference windows, so ONE process's flagship
+    # number inherits window luck (driver r3 measured 19.8 s on code
+    # whose solo best was 10.7 s). Default: three FRESH-process reps
+    # spread across ~3 minutes, best-of; checksums asserted identical.
+    # Inner reps and the --scaling legs run with GRAFT_HEADLINE_PROCS=1.
+    procs = int(os.environ.get("GRAFT_HEADLINE_PROCS", "3"))
+    if procs > 1:
+        return _run_bench_multiproc(procs, ncpu, sf_dir, with_queries)
     n_pages = int(
         os.environ.get("GRAFT_BENCH_PAGES", _PAGES_FOR_SF.get(_sf_tag(sf_dir), 20_000))
     )
@@ -165,6 +174,69 @@ def run_bench() -> dict:
     return result
 
 
+def _run_bench_multiproc(
+    procs: int, ncpu: int, sf_dir: str, with_queries: bool
+) -> dict:
+    """Best-of-N fresh-process flagship reps, then the query sweep once
+    in this process. Each rep is a whole fresh Ray session (spawn,
+    warm, best-of-GRAFT_BENCH_REPS in-process), so the official number
+    samples N host windows instead of one."""
+    reps = []
+    for _ in range(procs):
+        env = dict(
+            os.environ, GRAFT_HEADLINE_PROCS="1", GRAFT_BENCH_QUERIES="0"
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"headline rep failed (exit {proc.returncode}):\n"
+                + proc.stderr[-4000:]
+            )
+        reps.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    checksums = {r["output_checksum"] for r in reps}
+    assert len(checksums) == 1, f"non-deterministic output: {checksums}"
+    best = min(reps, key=lambda r: r["value"])
+
+    query_secs: dict[str, float] = {}
+    if with_queries:
+        import ray
+
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        from ocr_dataset_builder_ray.pipelines.queries import QUERIES
+
+        for name in BENCH_QUERIES:
+            tq = time.monotonic()
+            res = QUERIES[name](sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            query_secs[name] = round(time.monotonic() - tq, 3)
+        ray.shutdown()
+
+    best = dict(best)
+    best["queries"] = query_secs
+    best["headline_rep_secs"] = [r["value"] for r in reps]
+    best["headline_protocol"] = (
+        f"best of {procs} fresh-process reps, "
+        "each best-of-%s in-process" % os.environ.get("GRAFT_BENCH_REPS", "2")
+    )
+    return best
+
+
 def run_scaling() -> dict:
     # N -> 4N parallelism pair. Default 4 -> 16: on this single box the
     # 32-CPU point saturates memory bandwidth (28 parallel parser
@@ -195,6 +267,7 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="0",
+            GRAFT_HEADLINE_PROCS="1",
             GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "2"),
         )
         out = subprocess.run(
