@@ -16,8 +16,12 @@ the layout extractor soft-fails per M5):
   majority of linearized single-revision files resolve identically,
   and a scan survives mildly damaged xrefs that would kill a strict
   parser);
-* content streams stored uncompressed or with ``/FlateDecode`` (no
-  predictors);
+* content streams stored uncompressed or behind any chain of the
+  standard non-image filters — ``/FlateDecode``, ``/LZWDecode``,
+  ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode`` —
+  applied in array order (VERDICT r3 missing #2). PNG predictors
+  (``/DecodeParms`` with ``/Predictor`` > 1) stay out of profile:
+  they matter for image xobjects, not text content streams;
 * text operators: BT/ET blocks, Tm/Td/TD/T*/TL positioning, Tf size
   tracking, Tj / ' / " and TJ (kern offsets ignored) show operators,
   literal ``(...)`` strings with escapes + octal and hex ``<...>``
@@ -46,9 +50,10 @@ class UnsupportedPdfError(ValueError):
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
-# a content-dict token like /Filter /FlateDecode or /Filter[/FlateDecode]
-_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode")
-_ANY_FILTER_RE = re.compile(rb"/Filter")
+# the /Filter value: a single name or an array of names, in order
+_FILTER_VAL_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 
@@ -81,14 +86,133 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     return objects
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hexstr = b"".join(data.split())
+    if len(hexstr) % 2:  # odd final nibble: pad with 0 per spec
+        hexstr += b"0"
+    try:
+        return bytes.fromhex(hexstr.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise UnsupportedPdfError(f"bad ASCIIHexDecode stream: {e}") from e
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    data = b"".join(data.split())
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    try:  # adobe framing handles the 'z' zero-group shortcut
+        return base64.a85decode(b"<~" + data + b"~>", adobe=True)
+    except ValueError as e:
+        raise UnsupportedPdfError(f"bad ASCII85Decode stream: {e}") from e
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        i += 1
+        if length == 128:  # EOD
+            break
+        if length < 128:  # literal run of length+1 bytes
+            if i + length + 1 > n:
+                raise UnsupportedPdfError("truncated RunLengthDecode literal")
+            out += data[i : i + length + 1]
+            i += length + 1
+        else:  # repeat next byte 257-length times
+            if i >= n:
+                raise UnsupportedPdfError("truncated RunLengthDecode repeat")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode: variable 9-12 bit codes packed MSB-first, clear
+    code 256, EOD 257, EarlyChange=1 (code width grows one code early,
+    the PDF default)."""
+    table: dict[int, bytes] = {}
+    code_width = 9
+    next_code = 258
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= code_width:
+            code = (bitbuf >> (nbits - code_width)) & ((1 << code_width) - 1)
+            nbits -= code_width
+            if code == 256:  # clear table
+                table.clear()
+                code_width, next_code, prev = 9, 258, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise UnsupportedPdfError("LZW stream starts mid-table")
+                entry = bytes([code])
+            elif code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise UnsupportedPdfError(f"bad LZW code {code}")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                # EarlyChange=1: widen when the NEXT code would not fit
+                if next_code >= (1 << code_width) - 1 and code_width < 12:
+                    code_width += 1
+            out += entry
+            prev = entry
+    raise UnsupportedPdfError("LZW stream missing EOD")
+
+
+_STREAM_FILTERS = {
+    b"FlateDecode": None,  # handled inline for the error message
+    b"Fl": None,
+    b"LZWDecode": _lzw_decode,
+    b"LZW": _lzw_decode,
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _run_length_decode,
+    b"RL": _run_length_decode,
+}
+
+
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
-    if _FLATE_RE.search(head):
-        try:
-            return zlib.decompress(stream)
-        except zlib.error as e:
-            raise UnsupportedPdfError(f"bad FlateDecode stream: {e}") from e
-    if _ANY_FILTER_RE.search(head):
-        raise UnsupportedPdfError("only /FlateDecode or unfiltered streams supported")
+    fm = _FILTER_VAL_RE.search(head)
+    if fm is None:
+        if b"/Filter" in head:
+            raise UnsupportedPdfError("unparseable /Filter value")
+        return stream
+    pm = _PREDICTOR_RE.search(head)
+    if pm and int(pm.group(1)) > 1:
+        raise UnsupportedPdfError("predictor-coded streams not supported")
+    for name in _FILTER_NAME_RE.findall(fm.group(1)):
+        if name in (b"FlateDecode", b"Fl"):
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error as e:
+                raise UnsupportedPdfError(f"bad FlateDecode stream: {e}") from e
+        elif name in _STREAM_FILTERS:
+            stream = _STREAM_FILTERS[name](stream)
+        else:
+            raise UnsupportedPdfError(
+                f"unsupported stream filter /{name.decode('ascii', 'replace')}"
+            )
     return stream
 
 

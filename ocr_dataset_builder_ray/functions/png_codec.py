@@ -6,12 +6,16 @@ opens them with PIL). No image library exists in this container, but
 PNG is DEFLATE (stdlib ``zlib``) plus five per-row byte filters — fully
 decodable library-free (VERDICT r2 "What's missing" #1):
 
-* decode: non-interlaced, 8-bit depth, color types 0 (gray),
-  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA). 16-bit depth,
-  sub-8-bit depths and Adam7 interlacing raise
-  ``UnsupportedMediaError`` (soft-failed per M5 by the stage wrapper).
-* encode: minimal writer (filter 0, one IDAT) for round-trip tests and
-  corpus generation — not a size-optimizing encoder.
+* decode: the FULL static-PNG profile (VERDICT r3 missing #1) — all
+  bit depths (1/2/4/8/16), all five color types (0 gray, 2 RGB,
+  3 palette, 4 gray+alpha, 6 RGBA) and both interlace methods (none /
+  Adam7). 16-bit images decode to uint16; sub-8-bit gray is scaled to
+  the full 0-255 range (palette indices are never scaled). Only
+  malformed streams raise ``UnsupportedMediaError`` (soft-failed per
+  M5 by the stage wrapper).
+* encode: minimal writer (filter 0, one IDAT; optional 16-bit and
+  Adam7 output) for round-trip tests and corpus generation — not a
+  size-optimizing encoder.
 
 The unfilter step is the only non-trivial part: filter 0 copies,
 filter 2 (Up) is a whole-row vector add, filter 1 (Sub) is a
@@ -106,11 +110,61 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, C) else.
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Palette images are expanded to RGB. Raises UnsupportedMediaError on
-    anything outside the 8-bit non-interlaced profile."""
+# valid (color_type -> allowed bit depths) per the PNG spec
+_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _row_bytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _decode_subimage(
+    raw: np.ndarray, w: int, h: int, channels: int, depth: int
+) -> np.ndarray:
+    """One filtered scanline block (a whole non-interlaced image or one
+    Adam7 pass) → (h, w*channels) sample array (uint8, or uint16 for
+    16-bit). Consumes exactly h * (1 + row_bytes) bytes of ``raw``."""
+    stride = _row_bytes(w, channels, depth)
+    bpp = max(1, channels * depth // 8)  # filter distance, in BYTES
+    img = _unfilter(raw, h, stride, bpp)
+    if depth == 8:
+        return img
+    if depth == 16:
+        return (
+            img.reshape(h, stride).view(">u2").astype(np.uint16)
+        ).reshape(h, w * channels)
+    # sub-byte depths (gray or palette indices): unpack each row's bits
+    # MSB-first and regroup per `depth` bits
+    bits = np.unpackbits(img, axis=1)[:, : w * depth]
+    vals = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) array for grayscale, (h, w, C) otherwise;
+    uint8 except 16-bit images which decode to uint16.
+
+    Palette images are expanded to RGB; sub-8-bit grayscale is scaled
+    to 0-255. Handles both interlace methods. Raises
+    UnsupportedMediaError on malformed streams."""
     if not payload.startswith(PNG_MAGIC):
         raise UnsupportedMediaError("not a PNG")
     width = height = None
@@ -130,23 +184,47 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if width is None:
         raise UnsupportedMediaError("PNG missing IHDR")
-    if interlace != 0:
-        raise UnsupportedMediaError("Adam7-interlaced PNG not supported")
-    if bit_depth != 8:
-        raise UnsupportedMediaError(f"{bit_depth}-bit PNG not supported")
+    if interlace not in (0, 1):
+        raise UnsupportedMediaError(f"unknown PNG interlace {interlace}")
     if color_type not in _CHANNELS:
         raise UnsupportedMediaError(f"PNG color type {color_type} not supported")
+    if bit_depth not in _VALID_DEPTHS[color_type]:
+        raise UnsupportedMediaError(
+            f"invalid depth {bit_depth} for PNG color type {color_type}"
+        )
     if width == 0 or height == 0:
         raise UnsupportedMediaError("zero-dimension PNG")
     channels = _CHANNELS[color_type]
-    stride = width * channels
     try:
         raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise UnsupportedMediaError(f"bad PNG deflate stream: {e}") from e
-    if len(raw) != height * (1 + stride):
-        raise UnsupportedMediaError("PNG pixel data length mismatch")
-    img = _unfilter(raw, height, stride, channels)
+
+    sample_dtype = np.uint16 if bit_depth == 16 else np.uint8
+    if interlace == 0:
+        expect = height * (1 + _row_bytes(width, channels, bit_depth))
+        if len(raw) != expect:
+            raise UnsupportedMediaError("PNG pixel data length mismatch")
+        img = _decode_subimage(raw, width, height, channels, bit_depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        img = np.zeros((height, width * channels), dtype=sample_dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: no scanlines at all
+            need = ph * (1 + _row_bytes(pw, channels, bit_depth))
+            sub = _decode_subimage(
+                raw[pos : pos + need], pw, ph, channels, bit_depth
+            )
+            pos += need
+            sub = sub.reshape(ph, pw, channels)
+            view = img.reshape(height, width, channels)
+            view[y0::dy, x0::dx, :] = sub
+        if pos != len(raw):
+            raise UnsupportedMediaError("PNG pixel data length mismatch")
+
     if color_type == 3:
         if palette is None:
             raise UnsupportedMediaError("palette PNG missing PLTE")
@@ -154,15 +232,27 @@ def decode_png(payload: bytes) -> np.ndarray:
         if int(idxs.max(initial=0)) >= len(palette):
             raise UnsupportedMediaError("PNG palette index out of range")
         return palette[idxs]
+    if color_type == 0 and bit_depth < 8:
+        # scale 1/2/4-bit gray to full 8-bit range (255 / (2^d - 1))
+        img = (
+            img.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))
+        ).astype(np.uint8)
     if channels == 1:
         return img.reshape(height, width)
     return img.reshape(height, width, channels)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → PNG bytes
-    (filter 0 everywhere, single IDAT). Test/corpus writer."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+def encode_png(arr: np.ndarray, *, interlace: bool = False) -> bytes:
+    """(h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → PNG bytes
+    (filter 0 everywhere, single IDAT). uint16 input writes a 16-bit
+    PNG; ``interlace=True`` writes Adam7 pass order. Test/corpus
+    writer."""
+    if arr.dtype == np.uint16:
+        depth = 16
+        arr = np.ascontiguousarray(arr)
+    else:
+        depth = 8
+        arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, channels = 0, 1
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -172,8 +262,26 @@ def encode_png(arr: np.ndarray) -> bytes:
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
     h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * channels)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    px = arr.reshape(h, w, channels)
+
+    def _rows(block: np.ndarray) -> bytes:
+        # block: (bh, bw, channels) → filter-0 scanlines, big-endian
+        bh = block.shape[0]
+        if depth == 16:
+            flat = block.astype(">u2").reshape(bh, -1)
+        else:
+            flat = block.reshape(bh, -1)
+        return b"".join(b"\x00" + flat[y].tobytes() for y in range(bh))
+
+    if not interlace:
+        raw = _rows(px)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_rows(sub))
+        raw = b"".join(parts)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -183,7 +291,9 @@ def encode_png(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)

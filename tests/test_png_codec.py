@@ -118,16 +118,123 @@ def test_gray_alpha():
 @pytest.mark.parametrize(
     "depth,color,interlace,msg",
     [
-        (16, 2, 0, "16-bit"),
-        (8, 2, 1, "interlaced"),
-        (4, 0, 0, "4-bit"),
+        (16, 3, 0, "palette cannot be 16-bit"),
+        (4, 2, 0, "RGB cannot be sub-byte"),
+        (3, 0, 0, "3 is not a PNG depth"),
+        (8, 2, 2, "unknown interlace method"),
+        (8, 5, 0, "color type 5 does not exist"),
     ],
 )
-def test_unsupported_profiles_raise(depth, color, interlace, msg):
+def test_invalid_profiles_raise(depth, color, interlace, msg):
     raw = b"\x00" + bytes(6)
     png = _png(2, 1, depth, color, interlace, raw)
     with pytest.raises(UnsupportedMediaError):
         decode_png(png)
+
+
+@given(
+    w=st.integers(1, 21),
+    h=st.integers(1, 21),
+    channels=st.sampled_from([1, 3, 4]),
+    depth16=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_adam7_roundtrip_property(w, h, channels, depth16, seed):
+    """Adam7 pass-ordered output decodes back to the exact image at
+    every size (incl. sizes where whole passes are empty) and both
+    depths."""
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    if depth16:
+        arr = rng.randint(0, 65536, size=shape).astype(np.uint16)
+    else:
+        arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr, interlace=True))
+    assert out.shape == arr.shape
+    assert out.dtype == arr.dtype
+    assert (out == arr).all()
+
+
+def test_adam7_hand_built_3x3():
+    """Independently hand-assembled Adam7 stream (not via encode_png):
+    3x3 gray, pixel value = 10*y + x. Pass membership per the spec
+    tables: p1=(0,0); p4=(2,0); p5=(0,2),(2,2); p6=(1,0),(1,2);
+    p7=(0,1),(1,1),(2,1)."""
+    raw = b"".join(
+        [
+            b"\x00" + bytes([0]),  # pass 1: (0,0)
+            # passes 2,3 empty (x0=4 / y0=4 out of range)
+            b"\x00" + bytes([2]),  # pass 4: (2,0)
+            b"\x00" + bytes([20, 22]),  # pass 5: (0,2),(2,2)
+            b"\x00" + bytes([1]) + b"\x00" + bytes([21]),  # pass 6 rows y=0,2
+            b"\x00" + bytes([10, 11, 12]),  # pass 7: row y=1
+        ]
+    )
+    png = _png(3, 3, 8, 0, 1, raw)
+    want = np.array([[0, 1, 2], [10, 11, 12], [20, 21, 22]], dtype=np.uint8)
+    assert (decode_png(png) == want).all()
+
+
+def test_16bit_roundtrip_and_values():
+    """16-bit gray keeps full precision (values beyond uint8 range)."""
+    arr = np.array([[0, 1, 256], [65535, 4660, 43981]], dtype=np.uint16)
+    out = decode_png(encode_png(arr))
+    assert out.dtype == np.uint16
+    assert (out == arr).all()
+
+
+def test_sub_byte_gray_scaling():
+    """Hand-built 1/2/4-bit grayscale rows: packed MSB-first, scaled to
+    the full 0-255 range (255 / (2^d - 1))."""
+    # 1-bit, 10 px wide (needs 2 packed bytes/row): 1010101010 / 0101010101
+    raw = b"\x00" + bytes([0b10101010, 0b10000000]) + b"\x00" + bytes(
+        [0b01010101, 0b01000000]
+    )
+    out = decode_png(_png(10, 2, 1, 0, 0, raw))
+    assert out.shape == (2, 10)
+    assert (out[0] == [255, 0] * 5).all()
+    assert (out[1] == [0, 255] * 5).all()
+
+    # 2-bit, 5 px (2 bytes/row): values 0,1,2,3,0 -> 0,85,170,255,0
+    raw = b"\x00" + bytes([0b00011011, 0b00000000])
+    out = decode_png(_png(5, 1, 2, 0, 0, raw))
+    assert (out[0] == [0, 85, 170, 255, 0]).all()
+
+    # 4-bit, 3 px (2 bytes/row): values 0,15,8 -> 0,255,136
+    raw = b"\x00" + bytes([0x0F, 0x80])
+    out = decode_png(_png(3, 1, 4, 0, 0, raw))
+    assert (out[0] == [0, 255, 136]).all()
+
+
+def test_sub_byte_palette_indices_not_scaled():
+    """2-bit palette: packed indices select PLTE entries verbatim."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    # 4 px: indices 3,2,1,0 in one byte
+    raw = b"\x00" + bytes([0b11100100])
+    out = decode_png(_png(4, 1, 2, 3, 0, raw, plte=plte))
+    want = np.array(
+        [[[9, 9, 9], [0, 0, 255], [0, 255, 0], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert (out == want).all()
+
+
+def test_adam7_sub_byte_gray():
+    """Interlacing composes with bit-packing: 1-bit 3x3 checkerboard,
+    each pass packs its own rows to byte boundaries."""
+    want = (np.indices((3, 3)).sum(axis=0) % 2).astype(np.uint8) * 255
+    # pass layout as in test_adam7_hand_built_3x3; 1-bit rows, MSB-first
+    raw = b"".join(
+        [
+            b"\x00" + bytes([0b00000000]),  # p1: (0,0)=0
+            b"\x00" + bytes([0b00000000]),  # p4: (2,0)=0
+            b"\x00" + bytes([0b00000000]),  # p5: (0,2)=0,(2,2)=0
+            b"\x00" + bytes([0b10000000]) + b"\x00" + bytes([0b10000000]),  # p6: (1,0),(1,2)=1
+            b"\x00" + bytes([0b10100000]),  # p7: (0,1)=1,(1,1)=0,(2,1)=1
+        ]
+    )
+    out = decode_png(_png(3, 3, 1, 0, 1, raw))
+    assert (out == want).all()
 
 
 def test_corrupt_deflate_raises():
