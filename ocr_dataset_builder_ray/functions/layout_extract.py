@@ -52,10 +52,11 @@ MIN_COLUMN_OVERLAP = 0.5
 def decode_pdf_lines(payload: bytes) -> list[dict]:
     """bytes → positioned text lines.
 
-    Real `%PDF-` payloads parse library-free for the
-    uncompressed/FlateDecode text-object profile
-    (``functions/pdf_decode.py``); out-of-profile PDFs (DCT/CCITT
-    filters, CMap encodings, xref streams with predictors) surface as
+    Real `%PDF-` payloads parse library-free for text objects behind
+    any chain of the standard non-image stream filters (Flate, LZW,
+    ASCIIHex, ASCII85, RunLength — ``functions/pdf_decode.py``);
+    out-of-profile PDFs (DCT/CCITT image filters, CMap encodings,
+    predictor-coded streams) surface as
     NotImplementedError, which ``extract_pdf_document`` soft-fails to
     the STATUS_PDF_DECODE_UNAVAILABLE sentinel per M5. The `%FAKE-PDF`
     container decodes deterministically.

@@ -470,16 +470,100 @@ def decode_real_pdf_lines(payload: bytes) -> list[dict]:
 # --- fixture writer ---------------------------------------------------------
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible encoder (EarlyChange=1); fixture/corpus
+    writer paired with ``_lzw_decode``."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # leading clear
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table or len(w + c) == 1:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = next_code
+        next_code += 1
+        # the DECODER reconstructs each entry one code later than the
+        # encoder creates it, so its early-change widen (at 2^w - 1)
+        # lines up with a NORMAL-change widen (at 2^w) here
+        if next_code >= 4095:  # table full: clear before overflow
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        elif next_code >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _run_length_encode(data: bytes) -> bytes:
+    """Literal-runs-only RunLengthDecode writer (valid, not optimal)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _encode_stream(data: bytes, filters: tuple[str, ...]) -> bytes:
+    """Apply the ENCODING chain for a /Filter list: the decoder applies
+    filters first-to-last, so encoders run last-to-first."""
+    import base64
+
+    for name in reversed(filters):
+        if name == "FlateDecode":
+            data = zlib.compress(data)
+        elif name == "LZWDecode":
+            data = _lzw_encode(data)
+        elif name == "ASCIIHexDecode":
+            data = data.hex().encode("ascii") + b">"
+        elif name == "ASCII85Decode":
+            data = base64.a85encode(data) + b"~>"
+        elif name == "RunLengthDecode":
+            data = _run_length_encode(data)
+        else:
+            raise ValueError(f"no encoder for /{name}")
+    return data
+
+
 def render_minimal_pdf(
     page_lines: list[list[tuple[float, float, str]]],
     *,
     compress: bool = True,
     font_size: float = 12.0,
+    filters: tuple[str, ...] | None = None,
 ) -> bytes:
     """Hand-built single-revision PDF for tests: one content stream per
     page, each line a (x, y, text) Td+Tj at ``font_size``. Produces a
     structurally complete file (catalog, pages, page objects, xref,
-    trailer) so third-party tools parse it too."""
+    trailer) so third-party tools parse it too.
+
+    ``filters``: explicit /Filter chain for the content streams (names
+    in DECODE order, e.g. ``("ASCII85Decode", "LZWDecode")``);
+    overrides ``compress``."""
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -512,7 +596,15 @@ def render_minimal_pdf(
             prev_x, prev_y = x, y
         ops.append("ET")
         data = "\n".join(ops).encode("latin-1")
-        if compress:
+        if filters:
+            body = _encode_stream(data, filters)
+            names = "".join(f"/{f}" for f in filters)
+            chain = f"[{names}]" if len(filters) > 1 else names
+            head = b"<< /Length %d /Filter %s >>" % (
+                len(body),
+                chain.encode("ascii"),
+            )
+        elif compress:
             body = zlib.compress(data)
             head = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
         else:

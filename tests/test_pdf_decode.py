@@ -179,3 +179,120 @@ def test_flagship_dispatcher_routes_real_pdf(ray_session):
     assert out.loc["https://a.example/pdf1", "extracted_text"] == "pdf body text here"
     assert out.loc["https://a.example/pdf1", "status"] == STATUS_OK
     assert "html body text" in out.loc["https://a.example/h1", "extracted_text"]
+
+
+# --- stream filter chains (VERDICT r3 missing #2) ----------------------------
+
+
+def _chain_pdf(content: bytes, filters: tuple[str, ...]) -> bytes:
+    from ocr_dataset_builder_ray.functions.pdf_decode import _encode_stream
+
+    body = _encode_stream(content, filters)
+    names = "".join(f"/{f}" for f in filters)
+    chain = f"[{names}]" if len(filters) > 1 else names
+    head = (
+        b"<< /Length "
+        + str(len(body)).encode()
+        + b" /Filter "
+        + chain.encode()
+        + b" >>"
+    )
+    return (
+        b"%PDF-1.4\n1 0 obj\n"
+        + head
+        + b"\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n"
+    )
+
+
+CONTENT = b"BT /F1 10 Tf 50 700 Td (filtered text!) Tj ET"
+
+
+@pytest.mark.parametrize(
+    "filters",
+    [
+        ("ASCIIHexDecode",),
+        ("ASCII85Decode",),
+        ("RunLengthDecode",),
+        ("LZWDecode",),
+        ("ASCIIHexDecode", "FlateDecode"),
+        ("ASCII85Decode", "LZWDecode"),
+        ("RunLengthDecode", "FlateDecode"),
+    ],
+)
+def test_filter_chains_decode(filters):
+    lines = decode_real_pdf_lines(_chain_pdf(CONTENT, filters))
+    assert [(l["x0"], l["y0"], l["text"]) for l in lines] == [
+        (50.0, 700.0, "filtered text!")
+    ]
+
+
+def test_ascii_hex_hand_fixture():
+    """Hand-written hex stream: whitespace ignored, '>' terminates,
+    odd final nibble pads with 0."""
+    from ocr_dataset_builder_ray.functions.pdf_decode import _ascii_hex_decode
+
+    assert _ascii_hex_decode(b"48 65\n6c6C 6f>garbage") == b"Hello"
+    assert _ascii_hex_decode(b"7>") == b"\x70"
+
+
+def test_run_length_hand_fixture():
+    from ocr_dataset_builder_ray.functions.pdf_decode import _run_length_decode
+
+    # literal "AB", repeat 'C' x3 (257-254), EOD, trailing ignored
+    assert _run_length_decode(bytes([1, 65, 66, 254, 67, 128, 9, 9])) == b"ABCCC"
+
+
+def test_lzw_hand_fixture():
+    """Hand-packed 9-bit code stream for b'AAA': CLEAR(256), 65,
+    258 ('AA' from the just-added entry), EOD(257) ->
+    bits 100000000 001000001 100000010 100000001 + pad."""
+    from ocr_dataset_builder_ray.functions.pdf_decode import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    packed = bytes([0x80, 0x10, 0x60, 0x50, 0x10])
+    assert _lzw_decode(packed) == b"AAA"
+    assert _lzw_encode(b"AAA") == packed
+
+
+def test_lzw_roundtrip_long_text():
+    """LZW round-trips data long enough to cross the 9->10->11 bit
+    width boundaries (table > 1022 entries) incl. the KwKwK case."""
+    from ocr_dataset_builder_ray.functions.pdf_decode import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    words = [b"stream", b"filter", b"pdf", b"text", b"ray", b"arrow"]
+    data = b" ".join(words[i] for i in rng.randint(0, len(words), 4000))
+    assert _lzw_decode(_lzw_encode(data)) == data
+    kwkwk = b"abababababab" * 10  # classic KwKwK pattern
+    assert _lzw_decode(_lzw_encode(kwkwk)) == kwkwk
+
+
+def test_render_minimal_pdf_filter_chains():
+    """The fixture writer emits /Filter chains the decoder reads back,
+    page attribution intact."""
+    pages = [[(72.0, 700.0, "page one line")], [(72.0, 680.0, "page two line")]]
+    for filters in (("LZWDecode",), ("ASCIIHexDecode", "LZWDecode")):
+        pdf = render_minimal_pdf(pages, filters=filters)
+        lines = decode_real_pdf_lines(pdf)
+        assert [(l["page"], l["text"]) for l in lines] == [
+            (0, "page one line"),
+            (1, "page two line"),
+        ]
+
+
+def test_predictor_still_unsupported():
+    body = b"xxxx"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 4 >> >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+    )
+    with pytest.raises(UnsupportedPdfError):
+        decode_real_pdf_lines(pdf)
