@@ -10,15 +10,20 @@ Supported decode profile — everything else raises
 ``UnsupportedMediaError`` (soft-failed per M5 by the decode stage):
 
 * baseline sequential DCT (SOF0), 8-bit precision;
+* progressive DCT (SOF2): spectral selection, successive
+  approximation, EOB runs, all four scan kinds (DC/AC x
+  first/refine), interleaved and non-interleaved scans;
 * grayscale or YCbCr with 4:4:4, 4:2:2, 4:2:0 sampling;
 * restart intervals (DRI / RSTn) and byte stuffing;
-* progressive (SOF2), arithmetic coding, 12-bit, CMYK are rejected.
+* arithmetic coding, lossless/hierarchical, 12-bit, CMYK rejected.
 
-The encoder (``encode_jpeg``) is a minimal baseline writer — 4:4:4,
-Annex-K quantization tables scaled by ``quality``, Annex-K Huffman
-tables — used by tests and corpus generators. JPEG is lossy, so
+The encoders (``encode_jpeg`` baseline, ``encode_jpeg_progressive``)
+are minimal writers — 4:4:4, Annex-K quantization tables scaled by
+``quality`` — used by tests and corpus generators. JPEG is lossy, so
 round-trip tests assert PSNR bounds (plus exactness on solid images,
-where every AC coefficient is zero and DC survives quantization).
+where every AC coefficient is zero and DC survives quantization);
+the two encoders quantize identically, so baseline and progressive
+decodes of the same image must be byte-identical.
 
 Performance is honest-costed: entropy decoding is a per-bit Python
 loop (~1-2 MB/s of compressed data); the IDCT and color transform are
@@ -84,15 +89,13 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:  # stuffed FF
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
-                    # restart/EOI marker: stop filling, pad with 1s
+                else:
+                    # any real marker (RSTn, EOI, or the next scan's
+                    # DHT/SOS in a progressive file) ends this scan's
+                    # data: stop filling, pad with 1s, leave pos on it
                     self.bits = (self.bits << 8) | 0xFF
                     self.nbits += 8
                     continue
-                else:
-                    raise UnsupportedMediaError(
-                        f"unexpected marker 0xFF{nxt:02X} in scan"
-                    )
             else:
                 self.pos += 1
             self.bits = (self.bits << 8) | byte
@@ -199,7 +202,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + total]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huffman(counts, symbols)
                 i += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise UnsupportedMediaError(f"{precision}-bit JPEG")
@@ -211,26 +214,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise UnsupportedMediaError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical)"
+                " not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise UnsupportedMediaError("SOS before SOF0")
+                raise UnsupportedMediaError("SOS before SOF")
             ns = seg[0]
             sel = {}
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tables >> 4, tables & 0xF)
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame, sel, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, pos + 2 + seglen, frame, sel, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos + 2 + seglen, frame, sel, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 0xF,
             )
+            continue  # pos now sits on the next marker
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and "coef" in frame["comps"][0]:
+        return _assemble_image(frame, qt)
     raise UnsupportedMediaError("no scan data found")
 
 
@@ -286,6 +300,17 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
                     c["coef"][row * c["bw"] + col] = block
         mcu += 1
 
+    return _assemble_image(frame, qt)
+
+
+def _assemble_image(frame, qt) -> np.ndarray:
+    """Dequantize each component's coefficient store, IDCT, upsample to
+    the MCU grid, crop, and color-convert. Shared by the baseline and
+    progressive paths."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qt[c["tq"]].reshape(64).astype(np.int32)
@@ -313,6 +338,182 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) scan decoding ---------------------------------------
+
+
+def _ensure_coef_stores(frame) -> None:
+    """Size per-component coefficient stores to the MCU grid once; they
+    accumulate across the frame's scans."""
+    if "coef" in frame["comps"][0]:
+        return
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        # non-interleaved scan grid: the component's OWN sample extent
+        c["nbw"] = -(-(frame["w"] * c["h"]) // (8 * hmax))
+        c["nbh"] = -(-(frame["h"] * c["v"]) // (8 * vmax))
+
+
+def _first_ac(r, block, hac, ss, se, al, eobrun) -> int:
+    """AC first scan (Ah=0) for one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = hac.decode(r)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise UnsupportedMediaError("AC index overflow")
+        block[_ZIGZAG[k]] = _extend(r.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac(r, block, hac, ss, se, al, eobrun) -> int:
+    """AC refinement scan (Ah=Al+1) for one block: one more magnitude
+    bit for already-nonzero coefficients, new +-1<<Al significances
+    elsewhere (ITU T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = hac.decode(r)
+            run, size = rs >> 4, rs & 0xF
+            val = 0
+            if size:
+                if size != 1:
+                    raise UnsupportedMediaError("bad AC-refine magnitude")
+                val = p1 if r.read_bit() else m1
+            elif run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += r.read_bits(run)
+                break
+            # advance over `run` zero-history coefficients, emitting a
+            # correction bit for every nonzero-history one passed
+            while k <= se:
+                z = _ZIGZAG[k]
+                if block[z] != 0:
+                    if r.read_bit() and not (block[z] & p1):
+                        block[z] += p1 if block[z] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                block[_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        # rest of the band: correction bits only
+        while k <= se:
+            z = _ZIGZAG[k]
+            if block[z] != 0:
+                if r.read_bit() and not (block[z] & p1):
+                    block[z] += p1 if block[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, frame, sel, huff_dc, huff_ac, restart_interval, ss, se, ah, al
+) -> int:
+    """Decode ONE progressive scan into the frame's coefficient stores;
+    returns the byte offset of the next marker."""
+    if (ss == 0) != (se == 0) or se > 63 or (ah and ah != al + 1) or al > 13:
+        raise UnsupportedMediaError(
+            f"malformed progressive scan header Ss={ss} Se={se} Ah={ah} Al={al}"
+        )
+    _ensure_coef_stores(frame)
+    comps = [c for c in frame["comps"] if c["id"] in sel]
+    for c in comps:
+        dc_id, ac_id = sel[c["id"]]
+        if ss == 0 and ah == 0:
+            c["hdc"] = huff_dc[dc_id]
+        if ss > 0:
+            c["hac"] = huff_ac[ac_id]
+        c["pred"] = 0
+    if ss > 0 and (len(comps) != 1 or se < ss):
+        raise UnsupportedMediaError("malformed progressive AC scan")
+    r = _BitReader(data, pos)
+    eobrun = 0
+
+    def _restart() -> None:
+        nonlocal eobrun
+        r.align_restart()
+        eobrun = 0
+        for c in comps:
+            c["pred"] = 0
+
+    if len(comps) > 1:  # interleaved (DC scans only)
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        n_mcu = mcux * mcuy
+        for mcu in range(n_mcu):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _restart()
+            my, mx = divmod(mcu, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        block = c["coef"][row * c["bw"] + col]
+                        if ah == 0:
+                            t = c["hdc"].decode(r)
+                            c["pred"] += _extend(r.read_bits(t), t)
+                            block[0] = c["pred"] << al
+                        else:
+                            block[0] |= r.read_bit() << al
+    else:  # single component: raster over its own block grid
+        c = comps[0]
+        nb = c["nbh"] * c["nbw"]
+        for i in range(nb):
+            if restart_interval and i and i % restart_interval == 0:
+                _restart()
+            row, col = divmod(i, c["nbw"])
+            block = c["coef"][row * c["bw"] + col]
+            if ss == 0:
+                if ah == 0:
+                    t = c["hdc"].decode(r)
+                    c["pred"] += _extend(r.read_bits(t), t)
+                    block[0] = c["pred"] << al
+                else:
+                    block[0] |= r.read_bit() << al
+            elif ah == 0:
+                eobrun = _first_ac(r, block, c["hac"], ss, se, al, eobrun)
+            else:
+                eobrun = _refine_ac(r, block, c["hac"], ss, se, al, eobrun)
+
+    # skip any padding to the next marker (not a stuffed FF00 / RSTn)
+    p = r.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
 
 
 # --- minimal baseline encoder (tests / corpus generation) -------------------
@@ -477,6 +678,31 @@ def _encode_blocks(wtr, blocks, q, dc_codes, ac_codes, pred):
     return pred
 
 
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """One sample plane → (n, 8, 8) level-shifted blocks, edge-padded."""
+    ph = -(-plane.shape[0] // 8) * 8
+    pw = -(-plane.shape[1] // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[: plane.shape[0], : plane.shape[1]] = plane
+    padded[plane.shape[0] :, : plane.shape[1]] = plane[-1:]
+    padded[:, plane.shape[1] :] = padded[:, plane.shape[1] - 1 : plane.shape[1]]
+    return (
+        padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    ) - 128.0
+
+
+def _split_planes(arr: np.ndarray, ql: np.ndarray, qc: np.ndarray):
+    """uint8 gray/RGB → [(blocks, qtable), ...] per component (4:4:4)."""
+    if arr.ndim == 2:
+        return [(_plane_blocks(arr.astype(np.float64)), ql)]
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
+    return [(_plane_blocks(y), ql), (_plane_blocks(cb), qc), (_plane_blocks(cr), qc)]
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB → baseline JPEG (4:4:4)."""
     arr = np.asarray(arr, dtype=np.uint8)
@@ -484,27 +710,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     h, w = arr.shape[:2]
     ql = _quality_scale(_QL, quality)
     qc = _quality_scale(_QC, quality)
-
-    def _plane_blocks(plane: np.ndarray) -> np.ndarray:
-        ph = -(-plane.shape[0] // 8) * 8
-        pw = -(-plane.shape[1] // 8) * 8
-        padded = np.empty((ph, pw), dtype=np.float64)
-        padded[: plane.shape[0], : plane.shape[1]] = plane
-        padded[plane.shape[0] :, : plane.shape[1]] = plane[-1:]
-        padded[:, plane.shape[1] :] = padded[:, plane.shape[1] - 1 : plane.shape[1]]
-        return (
-            padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-        ) - 128.0
-
-    if gray:
-        planes = [(_plane_blocks(arr.astype(np.float64)), ql)]
-    else:
-        rgb = arr.astype(np.float64)
-        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128
-        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128
-        planes = [(_plane_blocks(y), ql), (_plane_blocks(cb), qc), (_plane_blocks(cr), qc)]
+    planes = _split_planes(arr, ql, qc)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -547,5 +753,224 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
                 wtr, blocks[b : b + 1], q, dc_tabs[ci], ac_tabs[ci], preds[ci]
             )
     out.extend(wtr.flush())
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# --- minimal progressive encoder (tests / corpus generation) -----------------
+
+# "identity" AC Huffman table: every byte symbol gets a code (255 at 9
+# bits + one at 10), so the encoder can emit EOBn run symbols (0x10..
+# 0xE0) that the Annex-K baseline tables lack. Canonical and legal
+# (last code 0b1111111110 is not all-ones).
+_IDENTITY_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    bytes(range(256)),
+)
+
+
+def _emit_dc_first(wtr, zzs, dc_tabs, al) -> None:
+    """Interleaved DC first scan (Ah=0): diff-code dc >> al (arithmetic
+    shift per T.81 G.1.2.1). 4:4:4 → one block per component per MCU."""
+    preds = [0] * len(zzs)
+    for b in range(zzs[0].shape[0]):
+        for ci, zz in enumerate(zzs):
+            dc = int(zz[b, 0]) >> al
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            t = _category(diff)
+            code, ln = dc_tabs[ci][t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _emit_dc_refine(wtr, zzs, al) -> None:
+    """Interleaved DC refinement scan (Ah=Al+1): raw bit al of each DC."""
+    for b in range(zzs[0].shape[0]):
+        for zz in zzs:
+            wtr.write((int(zz[b, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(wtr, zz, ss, se, al, ac_codes) -> None:
+    """Single-component AC first scan (Ah=0) with cross-block EOB runs.
+    Point transform truncates toward zero (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for row in zz:
+        band = row[ss : se + 1]
+        vals = np.sign(band) * (np.abs(band) >> al)
+        nzi = np.nonzero(vals)[0]
+        if len(nzi) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nzi[-1] + 1):
+            v = int(vals[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            t = _category(v)
+            code, ln = ac_codes[(run << 4) | t]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if nzi[-1] < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(wtr, zz, ss, se, al, ac_codes) -> None:
+    """Single-component AC refinement scan (Ah=Al+1), mirroring libjpeg
+    encode_mcu_AC_refine: correction bits for already-nonzero history
+    buffer until the next symbol (or ride the pending EOB run), runs
+    count only zero-history coefficients, trailing ZRLs fold into EOB."""
+    eobrun = 0
+    be_bits: list[int] = []  # corrections owned by the pending EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, be_bits
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(eobrun - (1 << r), r)
+        for b in be_bits:
+            wtr.write(b, 1)
+        eobrun = 0
+        be_bits = []
+
+    for row in zz:
+        band = row[ss : se + 1]
+        absv = np.abs(band)
+        t = absv >> al
+        newly = np.nonzero(t == 1)[0]
+        eob_idx = int(newly[-1]) if len(newly) else -1
+        run = 0
+        bitbuf: list[int] = []
+        for i in range(len(band)):
+            ti = int(t[i])
+            if ti == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_idx:
+                flush_eob()
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+                for b in bitbuf:
+                    wtr.write(b, 1)
+                bitbuf = []
+            if ti > 1:  # already significant: buffer one correction bit
+                bitbuf.append(ti & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if int(band[i]) > 0 else 0, 1)
+            for b in bitbuf:
+                wtr.write(b, 1)
+            bitbuf = []
+            run = 0
+        if run > 0 or bitbuf:
+            eobrun += 1
+            be_bits.extend(bitbuf)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → progressive (SOF2) JPEG,
+    4:4:4, two AC bands (1-5, 6-63) x 1-bit successive approximation:
+    DC first (Al=1) → AC firsts (Al=1) → DC refine → AC refines. Emits
+    every decoder scan kind including EOBn runs, ZRL and buffered
+    correction bits. Quantizes identically to ``encode_jpeg``, so
+    decoding both streams of one image yields identical pixels."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ql = _quality_scale(_QL, quality)
+    qc = _quality_scale(_QC, quality)
+    planes = _split_planes(arr, ql, qc)
+    zzs = []
+    for blocks, q in planes:
+        coefs = np.round(_dct2(blocks) / q).astype(np.int32).reshape(-1, 64)
+        zzs.append(coefs[:, _ZIGZAG])
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+
+    zzl = np.empty(64, dtype=np.uint8)
+    zzl[np.arange(64)] = ql.reshape(64)[_ZIGZAG]
+    seg(0xDB, bytes([0x00]) + bytes(zzl))
+    if not gray:
+        zzc = np.empty(64, dtype=np.uint8)
+        zzc[np.arange(64)] = qc.reshape(64)[_ZIGZAG]
+        seg(0xDB, bytes([0x01]) + bytes(zzc))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    seg(0xC2, sof)  # SOF2
+    seg(0xC4, bytes([0x00]) + bytes(_HDC_L[0]) + _HDC_L[1])
+    if not gray:
+        seg(0xC4, bytes([0x01]) + bytes(_HDC_C[0]) + _HDC_C[1])
+    seg(0xC4, bytes([0x10]) + bytes(_IDENTITY_AC[0]) + _IDENTITY_AC[1])
+
+    dc_tabs = [_huff_codes(*_HDC_L)] + [_huff_codes(*_HDC_C)] * (ncomp - 1)
+    ac_codes = _huff_codes(*_IDENTITY_AC)
+    all_ids = list(range(1, ncomp + 1))
+    dc_tables = [0x00] + [0x10] * (ncomp - 1)  # (dc_id<<4)|ac_id
+
+    def sos(cids, tables, ss, se, ah, al) -> None:
+        body = bytes([len(cids)])
+        for cid, tb in zip(cids, tables):
+            body += bytes([cid, tb])
+        seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def scan(emit, *args) -> None:
+        wtr = _BitWriter()
+        emit(wtr, *args)
+        out.extend(wtr.flush())
+
+    bands = ((1, 5), (6, 63))
+    sos(all_ids, dc_tables, 0, 0, 0, 1)
+    scan(_emit_dc_first, zzs, dc_tabs, 1)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            sos([ci + 1], [0x00], ss, se, 0, 1)
+            scan(_emit_ac_first, zzs[ci], ss, se, 1, ac_codes)
+    sos(all_ids, dc_tables, 0, 0, 1, 0)
+    scan(_emit_dc_refine, zzs, 0)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            sos([ci + 1], [0x00], ss, se, 1, 0)
+            scan(_emit_ac_refine, zzs[ci], ss, se, 0, ac_codes)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -12,14 +12,14 @@ numpy and the stdlib:
 * WAV (PCM) — stdlib ``wave``;
 * PNG (8-bit non-interlaced; DEFLATE via stdlib ``zlib`` + numpy
   unfilter) — ``png_codec.py``;
-* baseline JPEG (SOF0, 4:4:4/4:2:2/4:2:0; Python Huffman + numpy
-  IDCT) — ``jpeg_codec.py``. PNG/JPEG are the reference's actual
-  frame formats (video/processing.py:223-245).
+* baseline + progressive JPEG (SOF0/SOF2, 4:4:4/4:2:2/4:2:0; Python
+  Huffman + numpy IDCT) — ``jpeg_codec.py``. PNG/JPEG are the
+  reference's actual frame formats (video/processing.py:223-245).
 
 These back ``DecodeMedia(fake=False)``: a *real* decode → resize path
-for real payloads; out-of-profile payloads (progressive JPEG, 16-bit
-PNG, unknown containers) still fail soft per M5 (flagged rows, never
-a raise).
+for real payloads; out-of-profile payloads (arithmetic-coded JPEG,
+16-bit PNG, unknown containers) still fail soft per M5 (flagged rows,
+never a raise).
 """
 
 from __future__ import annotations

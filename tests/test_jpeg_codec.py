@@ -1,11 +1,13 @@
-"""Baseline JPEG codec tests.
+"""Baseline + progressive JPEG codec tests.
 
 Matched-pair risk (testing my decoder only against my encoder) is
 mitigated by external cross-checks: the canonical Huffman code
 assignments are asserted against values published in the JPEG spec
-(ITU T.81 Annex K commentary — e.g. luminance AC EOB = '1010'), and a
+(ITU T.81 Annex K commentary — e.g. luminance AC EOB = '1010'), a
 4:2:0 stream the encoder cannot produce is assembled by hand at the
-bit level and decoded."""
+bit level and decoded, and the progressive path is pinned to the
+baseline path coefficient-for-coefficient: both encoders quantize
+identically, so decodes of the same image must be byte-identical."""
 
 import struct
 
@@ -15,10 +17,12 @@ import pytest
 from ocr_dataset_builder_ray.functions.jpeg_codec import (
     _HAC_L,
     _HDC_L,
+    _IDENTITY_AC,
     _BitWriter,
     _huff_codes,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 from ocr_dataset_builder_ray.functions.media_codecs import UnsupportedMediaError
 
@@ -144,12 +148,76 @@ def test_handbuilt_420_stream_decodes():
 def test_unsupported_profiles_raise():
     img = np.full((8, 8), 100, dtype=np.uint8)
     good = encode_jpeg(img)
-    # progressive marker (SOF2) in place of SOF0
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # SOF2 swapped onto a baseline stream → the full-band Ss=0/Se=63
+    # scan header is malformed for progressive and must raise
     with pytest.raises(UnsupportedMediaError):
-        decode_jpeg(prog)
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # arithmetic-coded (SOF9) stays rejected
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"not a jpeg at all")
+
+
+def test_progressive_matches_baseline_exactly():
+    """Same quantized coefficients → decoding the progressive stream
+    must reproduce the baseline decode bit-for-bit, across gray/RGB,
+    odd dimensions, noise (dense AC) and quality levels."""
+    rng = np.random.RandomState(7)
+    cases = [
+        np.full((20, 20, 3), 77, np.uint8),
+        np.clip(
+            np.kron(rng.standard_normal((8, 12, 3)), np.ones((8, 8, 1))) * 40
+            + 128,
+            0,
+            255,
+        ).astype(np.uint8),
+        rng.randint(0, 256, (33, 47, 3)).astype(np.uint8),
+        np.clip(
+            rng.standard_normal((40, 56)) * 12
+            + 128
+            + np.kron(rng.standard_normal((5, 7)) * 40, np.ones((8, 8))),
+            0,
+            255,
+        ).astype(np.uint8),
+    ]
+    for q in (50, 90):
+        for img in cases:
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert prog.shape == base.shape
+            assert (prog == base).all()
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A nearly-empty 64x64 image: one hot pixel among 64 blocks forces
+    multi-block EOBn symbols with extra bits (the identity AC table has
+    them; Annex-K does not) plus refinement correction bits."""
+    img = np.zeros((64, 64), np.uint8)
+    img[5, 9] = 255
+    payload = encode_jpeg_progressive(img, quality=85)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    assert (decode_jpeg(payload) == base).all()
+
+
+def test_progressive_malformed_refine_raises():
+    """Corrupting the DC refinement SOS from Ah=1 to Ah=2 (a two-bit
+    approximation step, illegal) must raise, not corrupt silently."""
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    payload = encode_jpeg_progressive(img)
+    sos_dc_refine = b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x10"
+    assert sos_dc_refine in payload
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(payload.replace(sos_dc_refine, sos_dc_refine[:-1] + b"\x20"))
+
+
+def test_identity_ac_table_is_canonical():
+    """255 codes at 9 bits + one at 10: symbol k gets code k, the last
+    code 0b0111111110 is not the reserved all-ones pattern."""
+    codes = _huff_codes(*_IDENTITY_AC)
+    assert codes[0x00] == (0, 9)
+    assert codes[0xFE] == (254, 9)
+    assert codes[0xFF] == (0b0111111110, 10)
 
 
 def test_decode_media_integration(ray_session):
