@@ -145,6 +145,140 @@ def test_handbuilt_420_stream_decodes():
     assert int(np.abs(img[..., 0].astype(int) - img[..., 2].astype(int)).max()) <= 2
 
 
+def test_handbuilt_420_progressive_matches_baseline():
+    """24x16 4:2:0 — a shape where the Y component's non-interleaved
+    scan grid (3x2 blocks) is SMALLER than its MCU-padded store (4x2):
+    progressive AC scans must skip the padding column while the
+    interleaved DC scans cover it. Assembled at the bit level twice —
+    once baseline, once progressive — from ONE coefficient spec; the
+    decodes must be byte-identical, with block means anchored to the
+    chosen DC ramp."""
+    from ocr_dataset_builder_ray.functions.jpeg_codec import (
+        _HAC_L as HAC,
+        _HDC_L as HDC,
+        _category,
+        _emit_ac_first,
+        _emit_ac_refine,
+    )
+
+    dc_codes = _huff_codes(*HDC)
+    ac_codes = _huff_codes(*HAC)
+    h, w = 16, 24  # Y: mcu grid 2x1 → store 4x2 blocks, scan grid 3x2
+
+    # coefficient stores in zigzag order, (n_blocks, 64) row-major
+    zz_y = np.zeros((8, 64), np.int32)  # bw=4, bh=2
+    y_dcs = [17, 48, 81, 112, 145, 176]  # visible blocks, mixed parity
+    for r in range(2):
+        for c in range(3):
+            zz_y[r * 4 + c, 0] = y_dcs[r * 3 + c]
+            zz_y[r * 4 + c, 1] = 5 + r * 3 + c  # AC(0,1), values 5..10
+    zz_cb = np.zeros((2, 64), np.int32)
+    zz_cb[0, 0], zz_cb[0, 1] = 9, 3
+    zz_cb[1, 0], zz_cb[1, 1] = -8, -4
+    zz_cr = np.zeros((2, 64), np.int32)
+    zz_cr[0, 0] = -7  # no AC → all-zero band in AC scans (EOB path)
+    zz_cr[1, 0], zz_cr[1, 1] = 6, 5
+
+    def headers(sof_marker, hac):
+        out = bytearray(b"\xff\xd8")
+
+        def seg(marker, body):
+            out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+            out.extend(body)
+
+        seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # flat quant
+        seg(sof_marker, struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+        seg(0xC4, bytes([0x00]) + bytes(HDC[0]) + HDC[1])
+        seg(0xC4, bytes([0x10]) + bytes(hac[0]) + hac[1])
+        return out, seg
+
+    def mcu_blocks():
+        """(store, store_bw, row, col) per block in interleaved order."""
+        for mx in range(2):  # mcux=2, mcuy=1
+            for by in range(2):
+                for bx in range(2):
+                    yield 0, zz_y, 4, by, mx * 2 + bx
+            yield 1, zz_cb, 2, 0, mx
+            yield 2, zz_cr, 2, 0, mx
+
+    def put_dc(wtr, diff):
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    # --- baseline stream: one interleaved full-band scan
+    base, seg = headers(0xC0, HAC)
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, zz, bw, r, c in mcu_blocks():
+        row = zz[r * bw + c]
+        put_dc(wtr, int(row[0]) - preds[ci])
+        preds[ci] = int(row[0])
+        v = int(row[1])
+        if v:
+            t = _category(v)
+            code, ln = ac_codes[t]  # run 0
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << t) - 1, t)
+        code, ln = ac_codes[0x00]
+        wtr.write(code, ln)  # EOB
+    base.extend(wtr.flush())
+    base.extend(b"\xff\xd9")
+
+    # --- progressive stream: DC first/refine interleaved + per-comp
+    # AC first/refine over the NON-INTERLEAVED grids (Y skips col 3).
+    # AC scans need the identity table: the Y refine scan has no
+    # newly-significant coefficients, so the whole component is one
+    # 6-block EOB run (EOB2 + extra bits — symbols Annex-K lacks).
+    prog, seg = headers(0xC2, _IDENTITY_AC)
+    id_codes = _huff_codes(*_IDENTITY_AC)
+    scans = []  # non-interleaved block rasters per component
+    scans.append(zz_y.reshape(2, 4, 64)[:, :3].reshape(-1, 64))  # nbw=3
+    scans.append(zz_cb)
+    scans.append(zz_cr)
+
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))  # DC Al=1
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, zz, bw, r, c in mcu_blocks():
+        dc = int(zz[r * bw + c, 0]) >> 1
+        put_dc(wtr, dc - preds[ci])
+        preds[ci] = dc
+    prog.extend(wtr.flush())
+    for ci in range(3):  # AC first, Al=1
+        seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0x01]))
+        wtr = _BitWriter()
+        _emit_ac_first(wtr, scans[ci], 1, 63, 1, id_codes)
+        prog.extend(wtr.flush())
+    seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))  # DC refine
+    wtr = _BitWriter()
+    for ci, zz, bw, r, c in mcu_blocks():
+        wtr.write(int(zz[r * bw + c, 0]) & 1, 1)
+    prog.extend(wtr.flush())
+    for ci in range(3):  # AC refine, Ah=1 Al=0
+        seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0x10]))
+        wtr = _BitWriter()
+        _emit_ac_refine(wtr, scans[ci], 1, 63, 0, id_codes)
+        prog.extend(wtr.flush())
+    prog.extend(b"\xff\xd9")
+
+    img_b = decode_jpeg(bytes(base))
+    img_p = decode_jpeg(bytes(prog))
+    assert img_b.shape == (16, 24, 3) and (img_b == img_p).all()
+    # anchor: visible Y-block means follow the DC ramp (step 31/8 ≈ 3.9
+    # levels, far above the ±1-level chroma wobble)
+    means = [
+        img_b[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8].mean()
+        for r in range(2)
+        for c in range(3)
+    ]
+    assert all(b - a > 2 for a, b in zip(means, means[1:]))
+
+
 def test_unsupported_profiles_raise():
     img = np.full((8, 8), 100, dtype=np.uint8)
     good = encode_jpeg(img)
