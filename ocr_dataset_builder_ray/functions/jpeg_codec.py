@@ -110,6 +110,11 @@ class _BitReader:
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 25:
+            # legit reads are <= 16 bits (magnitude/EOBn extras); a
+            # larger n comes from a corrupted Huffman symbol and would
+            # spin _fill() forever (it stops adding bits past 25)
+            raise UnsupportedMediaError(f"oversized bit-field read ({n})")
         while self.nbits < n:
             self._fill()
         self.nbits -= n
@@ -164,8 +169,29 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+# decoded-image size cap: bounds decoder memory/work against crafted
+# or corrupted dimension fields (a 100-TB run must survive any payload)
+_MAX_PIXELS = 1 << 26  # 67M pixels ≈ 8192x8192
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB."""
+    """JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    Never raises anything but ``UnsupportedMediaError``: corrupted
+    streams that trip a parser edge (bad table sizes, truncated
+    segments, zero sampling factors, ...) are converted, so the M5
+    soft-fail contract holds for arbitrary bytes."""
+    try:
+        return _decode_jpeg(payload)
+    except UnsupportedMediaError:
+        raise
+    except Exception as e:
+        raise UnsupportedMediaError(
+            f"malformed JPEG ({type(e).__name__})"
+        ) from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -207,6 +233,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if precision != 8:
                 raise UnsupportedMediaError(f"{precision}-bit JPEG")
             h, w = struct.unpack_from(">HH", seg, 1)
+            if h == 0 or w == 0 or h * w > _MAX_PIXELS:
+                raise UnsupportedMediaError(f"JPEG dimensions {w}x{h} out of profile")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise UnsupportedMediaError(f"{ncomp}-component JPEG (CMYK?)")

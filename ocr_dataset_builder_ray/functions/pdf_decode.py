@@ -47,6 +47,12 @@ class UnsupportedPdfError(ValueError):
     """PDF uses features outside the minimal supported profile."""
 
 
+# per-stream decoded-size cap: a text content stream is kilobytes in
+# practice; anything larger is a decompression bomb, not a document a
+# 100-TB run should spend a worker's heap on
+_MAX_STREAM_BYTES = 1 << 26  # 64 MiB
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _STREAM_RE = re.compile(rb"stream\r?\n")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
@@ -175,6 +181,8 @@ def _lzw_decode(data: bytes) -> bytes:
                     code_width += 1
             out += entry
             prev = entry
+            if len(out) > _MAX_STREAM_BYTES:
+                raise UnsupportedPdfError("LZW stream exceeds size profile")
     raise UnsupportedPdfError("LZW stream missing EOD")
 
 
@@ -204,9 +212,12 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
     for name in _FILTER_NAME_RE.findall(fm.group(1)):
         if name in (b"FlateDecode", b"Fl"):
             try:
-                stream = zlib.decompress(stream)
+                d = zlib.decompressobj()
+                stream = d.decompress(stream, _MAX_STREAM_BYTES + 1)
             except zlib.error as e:
                 raise UnsupportedPdfError(f"bad FlateDecode stream: {e}") from e
+            if len(stream) > _MAX_STREAM_BYTES:
+                raise UnsupportedPdfError("decoded stream exceeds size profile")
         elif name in _STREAM_FILTERS:
             stream = _STREAM_FILTERS[name](stream)
         else:
@@ -437,8 +448,18 @@ def _extract_stream_lines(data: bytes, page: int) -> list[dict]:
 def decode_real_pdf_lines(payload: bytes) -> list[dict]:
     """``%PDF-`` bytes → positioned text lines for the layout extractor.
 
-    Raises UnsupportedPdfError outside the supported profile (the
-    caller soft-fails per M5)."""
+    Never raises anything but UnsupportedPdfError (the caller
+    soft-fails per M5): out-of-profile features raise it directly and
+    corrupted bytes tripping a parser edge are converted."""
+    try:
+        return _decode_real_pdf_lines(payload)
+    except UnsupportedPdfError:
+        raise
+    except Exception as e:
+        raise UnsupportedPdfError(f"malformed PDF ({type(e).__name__})") from e
+
+
+def _decode_real_pdf_lines(payload: bytes) -> list[dict]:
     if not payload.startswith(b"%PDF-"):
         raise UnsupportedPdfError("not a %PDF- payload")
     objects = _parse_objects(payload)

@@ -158,13 +158,29 @@ def _decode_subimage(
     return (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
 
 
+# decoded-image size cap: bounds decoder memory/work against crafted
+# or corrupted dimension fields / deflate bombs
+_MAX_PIXELS = 1 << 26  # 67M pixels ≈ 8192x8192
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (h, w) array for grayscale, (h, w, C) otherwise;
     uint8 except 16-bit images which decode to uint16.
 
     Palette images are expanded to RGB; sub-8-bit grayscale is scaled
-    to 0-255. Handles both interlace methods. Raises
-    UnsupportedMediaError on malformed streams."""
+    to 0-255. Handles both interlace methods. Never raises anything
+    but UnsupportedMediaError — corrupted streams tripping a parser
+    edge are converted, so the M5 soft-fail contract holds for
+    arbitrary bytes."""
+    try:
+        return _decode_png(payload)
+    except UnsupportedMediaError:
+        raise
+    except Exception as e:
+        raise UnsupportedMediaError(f"malformed PNG ({type(e).__name__})") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     if not payload.startswith(PNG_MAGIC):
         raise UnsupportedMediaError("not a PNG")
     width = height = None
@@ -194,11 +210,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if width == 0 or height == 0:
         raise UnsupportedMediaError("zero-dimension PNG")
+    if width * height > _MAX_PIXELS:
+        raise UnsupportedMediaError(
+            f"PNG dimensions {width}x{height} out of profile"
+        )
     channels = _CHANNELS[color_type]
+    # inflate bound: non-interlaced needs h*(1+row_bytes); Adam7 the
+    # same pixels split over 7 passes (≤ 2x the filter/rounding bytes).
+    # Anything past the bound is a deflate bomb, not a legal image.
+    limit = 2 * (height + 8) * (8 + _row_bytes(width, channels, bit_depth))
     try:
-        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+        d = zlib.decompressobj()
+        raw = np.frombuffer(d.decompress(bytes(idat), limit + 1), dtype=np.uint8)
     except zlib.error as e:
         raise UnsupportedMediaError(f"bad PNG deflate stream: {e}") from e
+    if len(raw) > limit:
+        raise UnsupportedMediaError("PNG pixel data exceeds declared size")
 
     sample_dtype = np.uint16 if bit_depth == 16 else np.uint8
     if interlace == 0:

@@ -106,6 +106,11 @@ class DecodeMedia:
                 return samples.shape[0], samples.shape[1], rate, check, True, None, 0
         except UnsupportedMediaError:
             pass
+        except Exception:
+            # defense in depth: the codecs convert parser edges to
+            # UnsupportedMediaError themselves, but a decode bug must
+            # flag the row (M5), never kill a 100-TB job's batch
+            pass
         return 0, 0, 0, 0, False, None, 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

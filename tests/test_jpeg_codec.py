@@ -379,3 +379,42 @@ def test_decode_media_integration(ray_session):
     row = decode_pipeline(ds, fake=False, emit_pixels=True, max_dimension=8).to_pandas().iloc[0]
     assert bool(row["decoded_ok"])
     assert max(row["width"], row["height"]) <= 8
+
+
+def test_arbitrary_corruption_only_raises_unsupported():
+    """The M5 contract for hostile bytes: truncations and single-byte
+    flips anywhere in a stream either decode or raise
+    UnsupportedMediaError — never another exception type, never a
+    spin (a corrupted DHT symbol used to drive read_bits(n>25) into an
+    infinite _fill loop)."""
+    import random
+
+    img = np.clip(
+        np.kron(np.random.RandomState(3).standard_normal((2, 3, 3)),
+                np.ones((8, 8, 1))) * 30 + 128, 0, 255).astype(np.uint8)
+    for payload in (encode_jpeg(img), encode_jpeg_progressive(img)):
+        rnd = random.Random(1)
+        cases = [payload[:c] for c in range(2, len(payload), len(payload) // 40)]
+        for _ in range(150):
+            i = rnd.randrange(2, len(payload))
+            cases.append(
+                payload[:i] + bytes([rnd.randrange(256)]) + payload[i + 1:]
+            )
+        for q in cases:
+            try:
+                decode_jpeg(q)
+            except UnsupportedMediaError:
+                pass
+
+
+def test_oversized_dimensions_rejected():
+    """A corrupted SOF claiming huge dims must raise, not allocate a
+    multi-GB coefficient store (one poisoned payload must not OOM a
+    worker)."""
+    img = np.full((8, 8), 90, np.uint8)
+    for enc, marker in ((encode_jpeg, b"\xff\xc0"), (encode_jpeg_progressive, b"\xff\xc2")):
+        p = enc(img)
+        i = p.find(marker)
+        huge = p[: i + 5] + b"\xff\xff\xff\xff" + p[i + 9 :]  # h=w=65535
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(huge)

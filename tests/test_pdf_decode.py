@@ -296,3 +296,39 @@ def test_predictor_still_unsupported():
     )
     with pytest.raises(UnsupportedPdfError):
         decode_real_pdf_lines(pdf)
+
+
+def test_pdf_stream_bomb_rejected():
+    """A FlateDecode content stream inflating past the 64 MiB profile
+    bound must raise UnsupportedPdfError at the bound, not inflate to
+    completion (M5 size hostility)."""
+    import zlib
+
+    body = zlib.compress(b" BT (x) Tj ET " + b"\x00" * (128 * 1024 * 1024))
+    bomb = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + body
+        + b"\nendstream\nendobj\n%%EOF"
+    )
+    with pytest.raises(UnsupportedPdfError, match="size profile"):
+        decode_real_pdf_lines(bomb)
+
+
+def test_pdf_arbitrary_corruption_only_raises_unsupported():
+    import random
+
+    payload = render_minimal_pdf(
+        [[(72, 700, "hello world")], [(72, 650, "page two")]],
+        filters=("FlateDecode",),
+    )
+    rnd = random.Random(3)
+    cases = [payload[:c] for c in range(5, len(payload), len(payload) // 40)]
+    for _ in range(200):
+        i = rnd.randrange(5, len(payload))
+        cases.append(payload[:i] + bytes([rnd.randrange(256)]) + payload[i + 1:])
+    for q in cases:
+        try:
+            decode_real_pdf_lines(q)
+        except UnsupportedPdfError:
+            pass

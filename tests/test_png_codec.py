@@ -293,3 +293,64 @@ def test_sniff_and_decode_media_integration(ray_session):
     assert out.loc["png0", "checksum"] == out.loc["ppm0", "checksum"]
     # resize really happened on the decoded raster
     assert max(out.loc["png0", "width"], out.loc["png0", "height"]) <= 4
+
+
+def test_png_bombs_rejected():
+    """Size hostility per M5: huge declared dims raise before any big
+    allocation; a deflate bomb behind small declared dims is cut off
+    at the declared-size bound, not inflated to completion."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ocr_dataset_builder_ray.functions.media_codecs import (
+        UnsupportedMediaError,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    dims_bomb = (
+        magic
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedMediaError, match="out of profile"):
+        decode_png(dims_bomb)
+    deflate_bomb = (
+        magic
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (64 * 1024 * 1024)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedMediaError, match="exceeds declared size"):
+        decode_png(deflate_bomb)
+
+
+def test_png_arbitrary_corruption_only_raises_unsupported():
+    import random
+
+    import numpy as np
+
+    from ocr_dataset_builder_ray.functions.media_codecs import (
+        UnsupportedMediaError,
+    )
+
+    img = (np.arange(20 * 24 * 3, dtype=np.uint8).reshape(20, 24, 3) * 7) % 256
+    payload = encode_png(img)
+    rnd = random.Random(2)
+    cases = [payload[:c] for c in range(2, len(payload), len(payload) // 40)]
+    for _ in range(200):
+        i = rnd.randrange(8, len(payload))
+        cases.append(payload[:i] + bytes([rnd.randrange(256)]) + payload[i + 1:])
+    for q in cases:
+        try:
+            decode_png(q)
+        except UnsupportedMediaError:
+            pass
