@@ -657,6 +657,13 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-padding and emit an RSTn marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out.extend((0xFF, 0xD0 + (n & 7)))
+
 
 def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
     quality = min(100, max(1, quality))
@@ -731,8 +738,11 @@ def _split_planes(arr: np.ndarray, ql: np.ndarray, qc: np.ndarray):
     return [(_plane_blocks(y), ql), (_plane_blocks(cb), qc), (_plane_blocks(cr), qc)]
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
-    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JPEG (4:4:4)."""
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """uint8 (h, w) gray or (h, w, 3) RGB → baseline JPEG (4:4:4).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -763,6 +773,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         else ((0x00, _HDC_L), (0x10, _HAC_L), (0x01, _HDC_C), (0x11, _HAC_C))
     ):
         seg(0xC4, bytes([tc_th]) + bytes(counts) + symbols)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00 if cid == 1 else 0x11])
@@ -776,6 +788,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     dc_tabs = [_huff_codes(*_HDC_L)] + [_huff_codes(*_HDC_C)] * (len(planes) - 1)
     ac_tabs = [_huff_codes(*_HAC_L)] + [_huff_codes(*_HAC_C)] * (len(planes) - 1)
     for b in range(nblk):
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.restart(b // restart_interval - 1)
+            preds = [0] * len(planes)
         for ci, (blocks, q) in enumerate(planes):
             preds[ci] = _encode_blocks(
                 wtr, blocks[b : b + 1], q, dc_tabs[ci], ac_tabs[ci], preds[ci]
@@ -797,11 +812,14 @@ _IDENTITY_AC = (
 )
 
 
-def _emit_dc_first(wtr, zzs, dc_tabs, al) -> None:
+def _emit_dc_first(wtr, zzs, dc_tabs, al, restart_interval=0) -> None:
     """Interleaved DC first scan (Ah=0): diff-code dc >> al (arithmetic
     shift per T.81 G.1.2.1). 4:4:4 → one block per component per MCU."""
     preds = [0] * len(zzs)
     for b in range(zzs[0].shape[0]):
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.restart(b // restart_interval - 1)
+            preds = [0] * len(zzs)
         for ci, zz in enumerate(zzs):
             dc = int(zz[b, 0]) >> al
             diff = dc - preds[ci]
@@ -813,14 +831,16 @@ def _emit_dc_first(wtr, zzs, dc_tabs, al) -> None:
                 wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
 
-def _emit_dc_refine(wtr, zzs, al) -> None:
+def _emit_dc_refine(wtr, zzs, al, restart_interval=0) -> None:
     """Interleaved DC refinement scan (Ah=Al+1): raw bit al of each DC."""
     for b in range(zzs[0].shape[0]):
+        if restart_interval and b and b % restart_interval == 0:
+            wtr.restart(b // restart_interval - 1)
         for zz in zzs:
             wtr.write((int(zz[b, 0]) >> al) & 1, 1)
 
 
-def _emit_ac_first(wtr, zz, ss, se, al, ac_codes) -> None:
+def _emit_ac_first(wtr, zz, ss, se, al, ac_codes, restart_interval=0) -> None:
     """Single-component AC first scan (Ah=0) with cross-block EOB runs.
     Point transform truncates toward zero (T.81 G.1.2.2)."""
     eobrun = 0
@@ -836,7 +856,10 @@ def _emit_ac_first(wtr, zz, ss, se, al, ac_codes) -> None:
             wtr.write(eobrun - (1 << r), r)
         eobrun = 0
 
-    for row in zz:
+    for b, row in enumerate(zz):
+        if restart_interval and b and b % restart_interval == 0:
+            flush_eob()
+            wtr.restart(b // restart_interval - 1)
         band = row[ss : se + 1]
         vals = np.sign(band) * (np.abs(band) >> al)
         nzi = np.nonzero(vals)[0]
@@ -868,7 +891,7 @@ def _emit_ac_first(wtr, zz, ss, se, al, ac_codes) -> None:
     flush_eob()
 
 
-def _emit_ac_refine(wtr, zz, ss, se, al, ac_codes) -> None:
+def _emit_ac_refine(wtr, zz, ss, se, al, ac_codes, restart_interval=0) -> None:
     """Single-component AC refinement scan (Ah=Al+1), mirroring libjpeg
     encode_mcu_AC_refine: correction bits for already-nonzero history
     buffer until the next symbol (or ride the pending EOB run), runs
@@ -890,7 +913,10 @@ def _emit_ac_refine(wtr, zz, ss, se, al, ac_codes) -> None:
         eobrun = 0
         be_bits = []
 
-    for row in zz:
+    for b, row in enumerate(zz):
+        if restart_interval and b and b % restart_interval == 0:
+            flush_eob()
+            wtr.restart(b // restart_interval - 1)
         band = row[ss : se + 1]
         absv = np.abs(band)
         t = absv >> al
@@ -930,13 +956,17 @@ def _emit_ac_refine(wtr, zz, ss, se, al, ac_codes) -> None:
     flush_eob()
 
 
-def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
     """uint8 (h, w) gray or (h, w, 3) RGB → progressive (SOF2) JPEG,
     4:4:4, two AC bands (1-5, 6-63) x 1-bit successive approximation:
     DC first (Al=1) → AC firsts (Al=1) → DC refine → AC refines. Emits
     every decoder scan kind including EOBn runs, ZRL and buffered
-    correction bits. Quantizes identically to ``encode_jpeg``, so
-    decoding both streams of one image yields identical pixels."""
+    correction bits; ``restart_interval`` > 0 adds DRI + RSTn markers
+    (EOB runs never cross a restart). Quantizes identically to
+    ``encode_jpeg``, so decoding both streams of one image yields
+    identical pixels."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -987,18 +1017,20 @@ def encode_jpeg_progressive(arr: np.ndarray, quality: int = 85) -> bytes:
         emit(wtr, *args)
         out.extend(wtr.flush())
 
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     bands = ((1, 5), (6, 63))
     sos(all_ids, dc_tables, 0, 0, 0, 1)
-    scan(_emit_dc_first, zzs, dc_tabs, 1)
+    scan(_emit_dc_first, zzs, dc_tabs, 1, restart_interval)
     for ci in range(ncomp):
         for ss, se in bands:
             sos([ci + 1], [0x00], ss, se, 0, 1)
-            scan(_emit_ac_first, zzs[ci], ss, se, 1, ac_codes)
+            scan(_emit_ac_first, zzs[ci], ss, se, 1, ac_codes, restart_interval)
     sos(all_ids, dc_tables, 0, 0, 1, 0)
-    scan(_emit_dc_refine, zzs, 0)
+    scan(_emit_dc_refine, zzs, 0, restart_interval)
     for ci in range(ncomp):
         for ss, se in bands:
             sos([ci + 1], [0x00], ss, se, 1, 0)
-            scan(_emit_ac_refine, zzs[ci], ss, se, 0, ac_codes)
+            scan(_emit_ac_refine, zzs[ci], ss, se, 0, ac_codes, restart_interval)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

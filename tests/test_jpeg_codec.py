@@ -418,3 +418,32 @@ def test_oversized_dimensions_rejected():
         huge = p[: i + 5] + b"\xff\xff\xff\xff" + p[i + 9 :]  # h=w=65535
         with pytest.raises(UnsupportedMediaError):
             decode_jpeg(huge)
+
+
+def test_restart_intervals_roundtrip_both_modes():
+    """DRI/RSTn paths: restart markers (byte-aligned, DC preds and EOB
+    runs reset) must not change decoded pixels in either mode, down to
+    the degenerate 1-MCU interval."""
+    rng = np.random.RandomState(4)
+    img = np.clip(
+        rng.standard_normal((40, 56, 3)) * 12 + 128
+        + np.kron(rng.standard_normal((5, 7, 3)) * 40, np.ones((8, 8, 1))),
+        0,
+        255,
+    ).astype(np.uint8)
+    ref = decode_jpeg(encode_jpeg(img, 85))
+    for ri in (1, 3, 9):
+        assert (decode_jpeg(encode_jpeg(img, 85, restart_interval=ri)) == ref).all()
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img, 85, restart_interval=ri))
+            == ref
+        ).all()
+    # sparse gray: EOB runs truncated by restart boundaries
+    sp = np.zeros((64, 64), np.uint8)
+    sp[5, 9], sp[40, 50] = 255, 200
+    refs = decode_jpeg(encode_jpeg(sp, 85))
+    for ri in (1, 3, 7):
+        assert (
+            decode_jpeg(encode_jpeg_progressive(sp, 85, restart_interval=ri))
+            == refs
+        ).all()
