@@ -34,6 +34,28 @@ class UnsupportedMediaError(ValueError):
     """Payload is not a format the library-free codecs can decode."""
 
 
+def _soft(fn):
+    """Decoder contract: arbitrary bytes raise UnsupportedMediaError,
+    never another exception type — corrupted headers tripping a parser
+    edge (int() of junk tokens, short struct reads, bad reshapes) are
+    converted so M5 soft-fail holds for hostile payloads."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(payload):
+        try:
+            return fn(payload)
+        except UnsupportedMediaError:
+            raise
+        except Exception as e:
+            raise UnsupportedMediaError(
+                f"malformed {fn.__name__.removeprefix('decode_')}"
+                f" ({type(e).__name__})"
+            ) from e
+
+    return wrapper
+
+
 def sniff_media_format(payload: bytes) -> str | None:
     """'png' | 'jpeg' | 'ppm' | 'pgm' | 'bmp' | 'wav' | None (unknown)."""
     if not payload:
@@ -79,6 +101,7 @@ def _pnm_header(payload: bytes, n_fields: int) -> tuple[list[int], int]:
     return fields, i + 1  # single whitespace byte separates header/raster
 
 
+@_soft
 def decode_ppm(payload: bytes) -> np.ndarray:
     """P6 binary RGB → uint8 array (h, w, 3)."""
     if payload[:2] != b"P6":
@@ -93,6 +116,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
+@_soft
 def decode_pgm(payload: bytes) -> np.ndarray:
     """P5 binary grayscale → uint8 array (h, w)."""
     if payload[:2] != b"P5":
@@ -118,6 +142,7 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 # --- BMP ------------------------------------------------------------------
 
 
+@_soft
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24/32-bit BI_RGB BMP → uint8 RGB array (h, w, 3)."""
     if payload[:2] != b"BM" or len(payload) < 54:
@@ -162,6 +187,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 # --- WAV ------------------------------------------------------------------
 
 
+@_soft
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV → (int16/uint8 array (n_samples, channels), sample_rate)."""
     import wave

@@ -119,3 +119,34 @@ def test_real_decode_resize_pipeline(ray_session):
     assert out.loc["song", "sample_rate"] == 8000
     assert (out.loc["song", "width"], out.loc["song", "height"]) == (1600, 2)
     assert not out.loc["junk", "decoded_ok"]
+
+
+def test_simple_decoders_arbitrary_corruption_only_raises_unsupported():
+    """Same M5 contract as the PNG/JPEG/PDF fuzz pins: truncations and
+    byte flips through ppm/pgm/bmp/wav either decode or raise
+    UnsupportedMediaError — never int()/struct/reshape exceptions."""
+    import random
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    wav = encode_wav(
+        (rng.standard_normal(2000) * 8000).astype(np.int16).reshape(-1, 2),
+        16000,
+    )
+    payloads = [
+        (encode_ppm(img), decode_ppm),
+        (b"P5\n17 13\n255\n" + img[..., 0].tobytes(), decode_pgm),
+        (encode_bmp(img), decode_bmp),
+        (wav, decode_wav),
+    ]
+    rnd = random.Random(4)
+    for p, dec in payloads:
+        cases = [p[:c] for c in range(2, len(p), max(1, len(p) // 40))]
+        for _ in range(150):
+            i = rnd.randrange(2, len(p))
+            cases.append(p[:i] + bytes([rnd.randrange(256)]) + p[i + 1:])
+        for q in cases:
+            try:
+                dec(q)
+            except UnsupportedMediaError:
+                pass
