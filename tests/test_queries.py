@@ -105,5 +105,8 @@ def test_entry_contract(ray_session):
     assert len(df) > 0
     assert {"url", "extracted_text", "status"} <= set(df.columns)
     q, o = mod.queries(), mod.oracle_sql()
-    assert set(o) <= set(q)
-    assert len(q) >= 20
+    # registry frozen at 65/65 for the round-4 driver gate (VERDICT r3
+    # #1): every query has an oracle and the sets match exactly — a new
+    # query without its oracle (or vice versa) fails here first
+    assert set(o) == set(q)
+    assert len(q) == 65
