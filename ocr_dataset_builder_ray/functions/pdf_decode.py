@@ -19,9 +19,10 @@ the layout extractor soft-fails per M5):
 * content streams stored uncompressed or behind any chain of the
   standard non-image filters — ``/FlateDecode``, ``/LZWDecode``,
   ``/ASCIIHexDecode``, ``/ASCII85Decode``, ``/RunLengthDecode`` —
-  applied in array order (VERDICT r3 missing #2). PNG predictors
-  (``/DecodeParms`` with ``/Predictor`` > 1) stay out of profile:
-  they matter for image xobjects, not text content streams;
+  applied in array order (VERDICT r3 missing #2), with
+  ``/DecodeParms`` predictors undone after decompression (PNG row
+  filters via the PNG codec's unfilter, TIFF horizontal differencing
+  for 8-bit samples);
 * text operators: BT/ET blocks, Tm/Td/TD/T*/TL positioning, Tf size
   tracking, Tj / ' / " and TJ (kern offsets ignored) show operators,
   literal ``(...)`` strings with escapes + octal and hex ``<...>``
@@ -200,6 +201,48 @@ _STREAM_FILTERS = {
 }
 
 
+def _apply_predictor(
+    data: bytes, predictor: int, colors: int, bits: int, columns: int
+) -> bytes:
+    """Undo /DecodeParms predictors: 2 = TIFF horizontal differencing
+    (8-bit), >= 10 = PNG row filters (reuses the PNG codec's unfilter;
+    the predictor value only declares the default filter — each row's
+    leading byte picks its actual one, per the PDF spec)."""
+    import numpy as np
+
+    if predictor == 2:
+        if bits != 8:
+            raise UnsupportedPdfError("TIFF predictor requires 8-bit samples")
+        stride = colors * columns
+        if stride <= 0 or len(data) % stride:
+            raise UnsupportedPdfError("TIFF predictor data length mismatch")
+        rows = np.frombuffer(data, np.uint8).reshape(-1, columns, colors)
+        return (
+            np.cumsum(rows.astype(np.uint32), axis=1).astype(np.uint8).tobytes()
+        )
+    if predictor >= 10:
+        from .png_codec import _unfilter
+
+        stride = (colors * bits * columns + 7) // 8
+        bpp = max(1, colors * bits // 8)
+        if stride <= 0 or len(data) % (1 + stride):
+            raise UnsupportedPdfError("PNG predictor data length mismatch")
+        n_rows = len(data) // (1 + stride)
+        raw = np.frombuffer(data, np.uint8)
+        from .media_codecs import UnsupportedMediaError
+
+        try:
+            return _unfilter(raw, n_rows, stride, bpp).tobytes()
+        except UnsupportedMediaError as e:
+            raise UnsupportedPdfError(f"bad PNG predictor row: {e}") from e
+    raise UnsupportedPdfError(f"unsupported /Predictor {predictor}")
+
+
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BITSPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+
+
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
     fm = _FILTER_VAL_RE.search(head)
     if fm is None:
@@ -207,8 +250,7 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
             raise UnsupportedPdfError("unparseable /Filter value")
         return stream
     pm = _PREDICTOR_RE.search(head)
-    if pm and int(pm.group(1)) > 1:
-        raise UnsupportedPdfError("predictor-coded streams not supported")
+    predictor = int(pm.group(1)) if pm else 1
     for name in _FILTER_NAME_RE.findall(fm.group(1)):
         if name in (b"FlateDecode", b"Fl"):
             try:
@@ -224,6 +266,16 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
             raise UnsupportedPdfError(
                 f"unsupported stream filter /{name.decode('ascii', 'replace')}"
             )
+        if predictor > 1 and name in (
+            b"FlateDecode", b"Fl", b"LZWDecode", b"LZW",
+        ):
+            # DecodeParms belong to the compression filter; apply once,
+            # right after it (single-parms profile)
+            colors = int(m.group(1)) if (m := _COLORS_RE.search(head)) else 1
+            bits = int(m.group(1)) if (m := _BITSPC_RE.search(head)) else 8
+            cols = int(m.group(1)) if (m := _COLUMNS_RE.search(head)) else 1
+            stream = _apply_predictor(stream, predictor, colors, bits, cols)
+            predictor = 1
     return stream
 
 

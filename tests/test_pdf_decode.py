@@ -287,15 +287,93 @@ def test_render_minimal_pdf_filter_chains():
         ]
 
 
-def test_predictor_still_unsupported():
-    body = b"xxxx"
+def _png_predict(data: bytes, columns: int, filters=(0, 1, 2)) -> bytes:
+    """Forward PNG row filtering (encoder side, test-only): pad to the
+    column stride, rotate through the given per-row filter types."""
+    pad = (-len(data)) % columns
+    data = data + b" " * pad
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    out = bytearray()
+    prev = bytes(columns)
+    for y, row in enumerate(rows):
+        f = filters[y % len(filters)]
+        out.append(f)
+        if f == 0:  # None
+            out.extend(row)
+        elif f == 1:  # Sub (bpp=1)
+            left = 0
+            for b in row:
+                out.append((b - left) & 0xFF)
+                left = b
+        else:  # Up
+            out.extend((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    return bytes(out)
+
+
+def test_png_predictor_streams_decode():
+    """A FlateDecode content stream behind /Predictor 12 (PNG Up, with
+    per-row None/Sub/Up variety) must yield the same text lines as the
+    plain stream; TIFF /Predictor 2 likewise."""
+    import zlib
+
+    ops = b"BT /F1 12 Tf 72 700 Td (predicted hello) Tj 0 -20 Td (line two) Tj ET"
+    def _pdf(head_extra, body):
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(body)).encode() + head_extra
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF"
+        )
+
+    plain = _pdf(b"", ops)
+    want = decode_real_pdf_lines(plain)
+    assert [ln["text"] for ln in want] == ["predicted hello", "line two"]
+
+    body = zlib.compress(_png_predict(ops, 16))
+    png_pdf = _pdf(
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>",
+        body,
+    )
+    got = decode_real_pdf_lines(png_pdf)
+    assert [ln["text"] for ln in got] == [ln["text"] for ln in want]
+
+    # TIFF predictor 2: horizontal differencing, colors=1 → per-row
+    # prefix-diff with no filter bytes
+    cols = 16
+    padded = ops + b" " * ((-len(ops)) % cols)
+    diffed = bytearray()
+    for i in range(0, len(padded), cols):
+        row = padded[i : i + cols]
+        left = 0
+        for b in row:
+            diffed.append((b - left) & 0xFF)
+            left = b
+    body2 = zlib.compress(bytes(diffed))
+    tiff_pdf = _pdf(
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns 16 >>",
+        body2,
+    )
+    got2 = decode_real_pdf_lines(tiff_pdf)
+    assert [ln["text"] for ln in got2] == [ln["text"] for ln in want]
+
+
+def test_predictor_malformed_raises():
+    """Bad predictor geometry (data not a multiple of the row stride)
+    raises UnsupportedPdfError rather than corrupting silently."""
+    import zlib
+
+    body = zlib.compress(b"\x00abc")  # 4 bytes: not a multiple of 1+16
     pdf = (
-        b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /FlateDecode "
-        b"/DecodeParms << /Predictor 12 /Columns 4 >> >>\n"
-        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 16 >> >>\nstream\n"
+        + body + b"\nendstream\nendobj\n%%EOF"
     )
     with pytest.raises(UnsupportedPdfError):
         decode_real_pdf_lines(pdf)
+    with pytest.raises(UnsupportedPdfError):  # predictor 3-9: undefined
+        decode_real_pdf_lines(pdf.replace(b"/Predictor 12", b"/Predictor 5"))
 
 
 def test_pdf_stream_bomb_rejected():
