@@ -23,11 +23,15 @@ the layout extractor soft-fails per M5):
   ``/DecodeParms`` predictors undone after decompression (PNG row
   filters via the PNG codec's unfilter, TIFF horizontal differencing
   for 8-bit samples);
-* text operators: BT/ET blocks, Tm/Td/TD/T*/TL positioning, Tf size
-  tracking, Tj / ' / " and TJ (kern offsets ignored) show operators,
-  literal ``(...)`` strings with escapes + octal and hex ``<...>``
-  strings, latin-1 byte semantics (no CMap/ToUnicode — embedded-font
-  custom encodings are out of scope);
+* text operators: BT/ET blocks, Tm/Td/TD/T*/TL positioning, Tf
+  font+size tracking, Tj / ' / " and TJ (kern offsets ignored) show
+  operators, literal ``(...)`` strings with escapes + octal and hex
+  ``<...>`` strings;
+* ``/ToUnicode`` CMaps per page font (codespacerange 1-2 byte codes,
+  bfchar, bfrange incl. array destinations) — subset/Identity-H fonts
+  extract real Unicode; fonts without one keep latin-1 byte semantics.
+  CID font programs themselves are never parsed (glyph metrics out of
+  scope);
 * page attribution via ``/Type /Page`` objects' ``/Contents``
   references, in object order; content streams referenced by no page
   object land on page 0 (fixture-friendly fallback).
@@ -383,8 +387,164 @@ def _tokenize_content(data: bytes):
                 i = j
 
 
-def _extract_stream_lines(data: bytes, page: int) -> list[dict]:
+# --- /ToUnicode CMaps (subset-font text without font programs) --------------
+
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f\s]+>)"
+)
+_MAX_CMAP_ENTRIES = 1 << 20  # hostile-CMap expansion bound
+
+
+def _utf16_hex(hx: bytes) -> str:
+    clean = re.sub(rb"\s", b"", hx)
+    if len(clean) % 2:
+        clean += b"0"
+    return bytes.fromhex(clean.decode("ascii")).decode("utf-16-be", "replace")
+
+
+class _CMap:
+    """A /ToUnicode mapping: fixed code width (from codespacerange),
+    bfchar singles, bfrange bases (last UTF-16 unit increments)."""
+
+    __slots__ = ("code_bytes", "single", "ranges")
+
+    def __init__(self) -> None:
+        self.code_bytes = 1
+        self.single: dict[int, str] = {}
+        self.ranges: list[tuple[int, int, str]] = []
+
+    def _lookup(self, code: int) -> str:
+        hit = self.single.get(code)
+        if hit is not None:
+            return hit
+        for lo, hi, base in self.ranges:
+            if lo <= code <= hi:
+                if not base:
+                    return ""
+                last = ord(base[-1]) + (code - lo)
+                if last > 0x10FFFF or 0xD800 <= last <= 0xDFFF:
+                    return "�"
+                return base[:-1] + chr(last)
+        if 0xD800 <= code <= 0xDFFF or code > 0x10FFFF:
+            return "�"
+        return chr(code)  # unmapped 1-byte codes keep latin-1 semantics
+
+    def map_string(self, s: str) -> str:
+        bs = s.encode("latin-1", "replace")
+        cb = self.code_bytes
+        out = []
+        full = len(bs) - len(bs) % cb
+        for i in range(0, full, cb):
+            out.append(self._lookup(int.from_bytes(bs[i : i + cb], "big")))
+        for b in bs[full:]:  # trailing partial code: keep raw
+            out.append(chr(b))
+        return "".join(out)
+
+
+def _parse_tounicode(src: bytes) -> _CMap:
+    cm = _CMap()
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", src, re.S)
+    if m:
+        h = _HEXTOK_RE.search(m.group(1))
+        if h:
+            cm.code_bytes = max(1, min(2, len(re.sub(rb"\s", b"", h.group(1))) // 2))
+    for sec in re.findall(rb"beginbfchar(.*?)endbfchar", src, re.S):
+        toks = _HEXTOK_RE.findall(sec)
+        for a, b in zip(toks[0::2], toks[1::2]):
+            if len(cm.single) >= _MAX_CMAP_ENTRIES:
+                raise UnsupportedPdfError("CMap exceeds size profile")
+            cm.single[int(re.sub(rb"\s", b"", a), 16)] = _utf16_hex(b)
+    for sec in re.findall(rb"beginbfrange(.*?)endbfrange", src, re.S):
+        for em in _BFRANGE_ENTRY_RE.finditer(sec):
+            lo = int(re.sub(rb"\s", b"", em.group(1)), 16)
+            hi = int(re.sub(rb"\s", b"", em.group(2)), 16)
+            dst = em.group(3)
+            if hi < lo:
+                continue
+            if dst.startswith(b"["):  # explicit per-code destinations
+                dsts = _HEXTOK_RE.findall(dst)
+                if len(cm.single) + len(dsts) > _MAX_CMAP_ENTRIES:
+                    raise UnsupportedPdfError("CMap exceeds size profile")
+                for off, d in enumerate(dsts):
+                    if lo + off > hi:
+                        break
+                    cm.single[lo + off] = _utf16_hex(d)
+            else:
+                if len(cm.ranges) >= 10000:
+                    raise UnsupportedPdfError("CMap exceeds size profile")
+                base = _HEXTOK_RE.search(dst)
+                if base is None:
+                    continue
+                cm.ranges.append((lo, hi, _utf16_hex(base.group(1))))
+    return cm
+
+
+def _dict_region_after(body: bytes, key_re: bytes) -> bytes | None:
+    """The balanced << ... >> region following the first match of
+    ``key_re``, or None."""
+    m = re.search(key_re, body)
+    if m is None:
+        return None
+    j = body.find(b"<<", m.end())
+    if j < 0:
+        return None
+    depth, k, n = 0, j, len(body)
+    while k < n - 1:
+        two = body[k : k + 2]
+        if two == b"<<":
+            depth += 1
+            k += 2
+        elif two == b">>":
+            depth -= 1
+            k += 2
+            if depth == 0:
+                return body[j:k]
+        else:
+            k += 1
+    return None
+
+
+def _page_fonts(page_body: bytes, objects) -> dict[bytes, _CMap]:
+    """Font resource name → _CMap for every page font carrying a
+    /ToUnicode stream (by-reference fonts; fonts without one keep
+    latin-1 byte semantics)."""
+    res = page_body
+    rm = _RESOURCES_REF_RE.search(page_body)
+    if rm:
+        ref = objects.get(int(rm.group(1)))
+        if ref is not None:
+            res = ref[0]
+    region = _dict_region_after(res, rb"/Font(?![A-Za-z])")
+    fonts: dict[bytes, _CMap] = {}
+    if region is None:
+        return fonts
+    for fm in _FONT_REF_RE.finditer(region):
+        fobj = objects.get(int(fm.group(2)))
+        if fobj is None:
+            continue
+        tm = _TOUNICODE_RE.search(fobj[0])
+        if tm is None:
+            continue
+        tobj = objects.get(int(tm.group(1)))
+        if tobj is None or tobj[1] is None:
+            continue
+        try:
+            fonts[fm.group(1)] = _parse_tounicode(_decode_stream(tobj[0], tobj[1]))
+        except UnsupportedPdfError:
+            continue  # unparseable CMap: font stays latin-1
+    return fonts
+
+
+def _extract_stream_lines(
+    data: bytes, page: int, fonts: dict[bytes, _CMap] | None = None
+) -> list[dict]:
     """One decoded content stream → positioned line boxes."""
+    fonts = fonts or {}
+    cmap: _CMap | None = None
     lines: list[dict] = []
     in_text = False
     # text state: tm holds (a b c d e f); we track only e,f (translation)
@@ -399,6 +559,8 @@ def _extract_stream_lines(data: bytes, page: int) -> list[dict]:
 
     def _emit(text: str) -> None:
         nonlocal x
+        if cmap is not None:
+            text = cmap.map_string(text)
         if text:
             w = 0.5 * size * len(text)
             lines.append(
@@ -447,6 +609,8 @@ def _extract_stream_lines(data: bytes, page: int) -> list[dict]:
         elif op == b"Tf":
             if stack and stack[-1][0] == "num":
                 size = float(stack[-1][1]) or size
+            if len(stack) >= 2 and stack[-2][0] == "name":
+                cmap = fonts.get(bytes(stack[-2][1]))
             stack.clear()
         elif op == b"TL":
             if stack and stack[-1][0] == "num":
@@ -516,14 +680,19 @@ def _decode_real_pdf_lines(payload: bytes) -> list[dict]:
         raise UnsupportedPdfError("not a %PDF- payload")
     objects = _parse_objects(payload)
 
-    # page attribution: /Type /Page objects in object-number order
+    # page attribution: /Type /Page objects in object-number order;
+    # each page's /Resources /Font dict supplies its ToUnicode CMaps
     page_of_stream: dict[int, int] = {}
+    fonts_of_stream: dict[int, dict[bytes, _CMap]] = {}
     page_idx = 0
     for num in sorted(objects):
         body, _ = objects[num]
         if _PAGE_RE.search(body):
+            fonts = _page_fonts(body, objects)
             for cm in _CONTENTS_RE.finditer(body):
                 page_of_stream[int(cm.group(1))] = page_idx
+                if fonts:
+                    fonts_of_stream[int(cm.group(1))] = fonts
             page_idx += 1
 
     lines: list[dict] = []
@@ -536,7 +705,11 @@ def _decode_real_pdf_lines(payload: bytes) -> list[dict]:
         data = _decode_stream(body, stream)
         if b"BT" not in data:
             continue
-        lines.extend(_extract_stream_lines(data, page_of_stream.get(num, 0)))
+        lines.extend(
+            _extract_stream_lines(
+                data, page_of_stream.get(num, 0), fonts_of_stream.get(num)
+            )
+        )
     return lines
 
 

@@ -410,3 +410,88 @@ def test_pdf_arbitrary_corruption_only_raises_unsupported():
             decode_real_pdf_lines(q)
         except UnsupportedPdfError:
             pass
+
+
+def _tounicode_pdf(cmap_src: bytes, content: bytes) -> bytes:
+    """One page, one font (/F1 -> ToUnicode stream), one content
+    stream — hand-assembled with classic refs."""
+    objs = [
+        b"<< /Type /Page /Contents 2 0 R /Resources << /Font << /F1 3 0 R >> >> >>",
+        None,  # content, built below
+        b"<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >>",
+        None,  # cmap stream
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    bodies = {
+        1: (objs[0], None),
+        2: (b"<< /Length " + str(len(content)).encode() + b" >>", content),
+        3: (objs[2], None),
+        4: (b"<< /Length " + str(len(cmap_src)).encode() + b" >>", cmap_src),
+    }
+    for num, (head, stream) in bodies.items():
+        out += b"%d 0 obj\n" % num + head
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    out += b"%%EOF"
+    return bytes(out)
+
+
+def test_tounicode_single_byte_bfchar_bfrange():
+    """1-byte codes remapped to Greek: bfchar for 'A', bfrange for
+    a-z; codes outside the map keep latin-1 semantics."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<41> <0391>\nendbfchar\n"
+        b"1 beginbfrange\n<61> <7A> <03B1>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    pdf = _tounicode_pdf(cmap, b"BT /F1 12 Tf 72 700 Td (Aab z!) Tj ET")
+    (line,) = decode_real_pdf_lines(pdf)
+    # A->Alpha, a->alpha, b->beta, z->alpha+25 (U+03CA), unmapped
+    # space/'!' pass through as latin-1
+    assert line["text"] == "Ααβ ϊ!"
+
+
+def test_tounicode_two_byte_identity_h():
+    """2-byte codespace (Identity-H subset font): hex show strings map
+    code pairs through bfchar; multi-char destination expands a
+    ligature."""
+    cmap = (
+        b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"3 beginbfchar\n"
+        b"<0001> <0048>\n"   # -> H
+        b"<0002> <0069>\n"   # -> i
+        b"<0003> <00660066>\n"  # -> ff ligature, decomposed
+        b"endbfchar\n"
+    )
+    pdf = _tounicode_pdf(cmap, b"BT /F1 12 Tf 72 700 Td <000100020003> Tj ET")
+    (line,) = decode_real_pdf_lines(pdf)
+    assert line["text"] == "Hiff"
+
+
+def test_tounicode_bfrange_array_form():
+    """bfrange with an explicit destination array (one dst per code)."""
+    cmap = (
+        b"begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<41> <43> [<0058> <0059> <005A>]\nendbfrange\n"
+    )
+    pdf = _tounicode_pdf(cmap, b"BT /F1 12 Tf 0 0 Td (ABC) Tj ET")
+    (line,) = decode_real_pdf_lines(pdf)
+    assert line["text"] == "XYZ"
+
+
+def test_tounicode_font_switch_and_default():
+    """Tf switching between a mapped font and an unmapped one flips
+    the mapping on and off mid-stream."""
+    cmap = (
+        b"begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<78> <0416>\nendbfchar\n"  # x -> Zhe
+    )
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (xx) Tj /F9 12 Tf 0 -20 Td (xx) Tj ET"
+    )
+    pdf = _tounicode_pdf(cmap, content)
+    lines = decode_real_pdf_lines(pdf)
+    assert [ln["text"] for ln in lines] == ["ЖЖ", "xx"]
