@@ -94,7 +94,52 @@ def _parse_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         objects[num] = (body, stream)
     if not objects:
         raise UnsupportedPdfError("no PDF objects found")
+    _expand_object_streams(objects)
     return objects
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(
+    objects: dict[int, tuple[bytes, bytes | None]]
+) -> None:
+    """Inline the objects stored inside /Type /ObjStm compressed
+    object streams (PDF 1.5+ puts page and font DICTS there, with only
+    content streams left as classic top-level objects). The stream
+    starts with N (objnum, offset) integer pairs; offsets are relative
+    to /First. Embedded objects never carry streams. Top-level objects
+    win on number collision (a later revision shadows the ObjStm)."""
+    for num in sorted(objects):
+        body, stream = objects[num]
+        if stream is None or _OBJSTM_RE.search(body) is None:
+            continue
+        nm, fm = _N_RE.search(body), _FIRST_RE.search(body)
+        if nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        if n <= 0 or n > 100000:
+            raise UnsupportedPdfError("object stream /N out of profile")
+        try:
+            data = _decode_stream(body, stream)
+        except UnsupportedPdfError:
+            continue  # undecodable container: its objects stay missing
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = []
+        try:
+            for i in range(n):
+                pairs.append((int(header[2 * i]), int(header[2 * i + 1])))
+        except ValueError:
+            continue
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            if off < 0 or end < off:
+                continue
+            objects.setdefault(onum, (data[first + off : first + end], None))
 
 
 def _ascii_hex_decode(data: bytes) -> bytes:

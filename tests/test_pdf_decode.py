@@ -495,3 +495,40 @@ def test_tounicode_font_switch_and_default():
     pdf = _tounicode_pdf(cmap, content)
     lines = decode_real_pdf_lines(pdf)
     assert [ln["text"] for ln in lines] == ["ЖЖ", "xx"]
+
+
+def test_object_stream_pdf_decodes():
+    """A PDF-1.5-style file: the page and font dicts live inside a
+    FlateDecode /ObjStm (with a ToUnicode CMap resolving through it);
+    only the content and CMap streams are classic top-level objects."""
+    import zlib
+
+    page = b"<< /Type /Page /Contents 4 0 R /Resources << /Font << /F1 2 0 R >> >> >>"
+    font = b"<< /Type /Font /ToUnicode 5 0 R >>"
+    embedded = page + b" " + font
+    header = b"1 0 2 " + str(len(page) + 1).encode()
+    first = len(header) + 1
+    objstm_data = header + b"\n" + embedded
+    objstm = zlib.compress(objstm_data)
+    cmap = (
+        b"begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<51> <0051> \nendbfchar\n"
+        b"1 beginbfrange\n<61> <7A> <0041>\nendbfrange\n"  # lower->UPPER
+    )
+    content = b"BT /F1 12 Tf 72 700 Td (Qobjstm works) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    for num, head, stream in [
+        (3, b"<< /Type /ObjStm /N 2 /First " + str(first).encode()
+            + b" /Length " + str(len(objstm)).encode()
+            + b" /Filter /FlateDecode >>", objstm),
+        (4, b"<< /Length " + str(len(content)).encode() + b" >>", content),
+        (5, b"<< /Length " + str(len(cmap)).encode() + b" >>", cmap),
+    ]:
+        out += b"%d 0 obj\n" % num + head
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        out += b"\nendobj\n"
+    out += b"%%EOF"
+    lines = decode_real_pdf_lines(bytes(out))
+    # Q maps via bfchar, a-z via bfrange to A-Z, space is unmapped latin-1.
+    assert [ln["text"] for ln in lines] == ["QOBJSTM WORKS"]
