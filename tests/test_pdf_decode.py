@@ -497,8 +497,8 @@ def test_tounicode_font_switch_and_default():
     assert [ln["text"] for ln in lines] == ["ЖЖ", "xx"]
 
 
-def test_object_stream_pdf_decodes():
-    """A PDF-1.5-style file: the page and font dicts live inside a
+def _objstm_pdf() -> bytes:
+    """PDF-1.5-style fixture: the page and font dicts live inside a
     FlateDecode /ObjStm (with a ToUnicode CMap resolving through it);
     only the content and CMap streams are classic top-level objects."""
     import zlib
@@ -529,6 +529,30 @@ def test_object_stream_pdf_decodes():
             out += b"\nstream\n" + stream + b"\nendstream"
         out += b"\nendobj\n"
     out += b"%%EOF"
-    lines = decode_real_pdf_lines(bytes(out))
+    return bytes(out)
+
+
+def test_object_stream_pdf_decodes():
+    lines = decode_real_pdf_lines(_objstm_pdf())
     # Q maps via bfchar, a-z via bfrange to A-Z, space is unmapped latin-1.
     assert [ln["text"] for ln in lines] == ["QOBJSTM WORKS"]
+
+
+def test_objstm_corruption_only_raises_unsupported():
+    """Same M5 hostile-bytes contract as the classic-PDF fuzz pin, over
+    the /ObjStm expansion path: truncations and single-byte flips must
+    decode, or raise UnsupportedPdfError — never leak another exception
+    type, hang, or over-allocate."""
+    import random
+
+    payload = _objstm_pdf()
+    rnd = random.Random(7)
+    cases = [payload[:c] for c in range(5, len(payload), len(payload) // 40)]
+    for _ in range(300):
+        i = rnd.randrange(5, len(payload))
+        cases.append(payload[:i] + bytes([rnd.randrange(256)]) + payload[i + 1:])
+    for q in cases:
+        try:
+            decode_real_pdf_lines(q)
+        except UnsupportedPdfError:
+            pass
