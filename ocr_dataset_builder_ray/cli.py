@@ -18,6 +18,7 @@ Subcommands:
     curate    corpus-curation chain over a documents table (repetition
               gate -> decontamination -> exact dedup -> source mix),
               optionally written as deterministic training shards
+    ingest-warc  WARC archives -> pages-shaped parquet (extract input)
     search    BM25 top-k over a documents-style table (JSON rows)
     index     build an inverted index (token -> sorted postings) parquet
     profile   one-pass numeric column profile (JSON rows)
@@ -239,6 +240,31 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ingest_warc(args: argparse.Namespace) -> int:
+    """WARC archives -> pages-shaped parquet dir (the extract input).
+
+    Conversion is a streaming Dataset write (one read task per archive,
+    bounded blocks), so a 1 GB `.warc.gz` never materializes whole. The
+    row count is summed from the written parquet footers — no second
+    pass over the data."""
+    _ensure_ray()
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.warc import read_warc, warc_pages
+
+    pages = warc_pages(read_warc(args.input))
+    pages.write_parquet(args.output)
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(args.output, "*.parquet"))
+    )
+    print(json.dumps({"pages": args.output, "rows": rows}))
+    return 0
+
+
 def _cmd_gen(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .sources.pages import generate_pages_corpus
@@ -356,6 +382,15 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--input", required=True)
     pr.add_argument("--columns", nargs="+", required=True)
     pr.set_defaults(fn=_cmd_profile)
+
+    w = sub.add_parser(
+        "ingest-warc", help="WARC archives -> pages parquet (extract input)"
+    )
+    w.add_argument(
+        "--input", required=True, help="dir or file of *.warc / *.warc.gz"
+    )
+    w.add_argument("--output", required=True, help="pages parquet dir")
+    w.set_defaults(fn=_cmd_ingest_warc)
 
     g = sub.add_parser("gen", help="generate synthetic pages corpus")
     g.add_argument("--output", required=True)

@@ -396,7 +396,7 @@ def dedup_latest(
 
 
 def extraction_pipeline(
-    paths: str | list[str],
+    paths: str | list[str] | ray.data.Dataset,
     *,
     dedup: bool = True,
     concurrency: int | tuple[int, int] | None = None,
@@ -407,6 +407,11 @@ def extraction_pipeline(
     plan_ranges: int | None = None,
 ) -> ray.data.Dataset:
     """End-to-end flagship Dataset (consume with write/iter/agg).
+
+    ``paths`` may also be a pages-shaped ``Dataset`` (url, warc_ts,
+    html, lang) — e.g. the WARC bridge ``sources.warc.warc_pages`` — in
+    which case the parquet-only planning scans are skipped and dedup
+    runs in grouped-shuffle mode (same output contract).
 
     ``size_split="auto"`` (default): the footer-only ``probe_oversized``
     scan decides — the oversized-blob route turns on exactly when some
@@ -432,11 +437,25 @@ def extraction_pipeline(
     any dedup exchange, and are assembled into the public
     ``spans: list<struct>`` view in one final vectorized map.
     """
-    if size_split == "auto":
-        size_split = probe_oversized(paths)
-    ds = read_pages(paths)
-    if prefilter is not None:
-        ds = ds.map_batches(prefilter, batch_format="pyarrow")
+    if isinstance(paths, ray.data.Dataset):
+        # Dataset input (e.g. the WARC bridge, sources/warc.warc_pages):
+        # the parquet-footer probe and the skinny winner-planning scan
+        # both need re-readable parquet files, so the oversized split
+        # stays off (blocks are still byte-bounded) and dedup takes the
+        # grouped-shuffle path on the already-extracted stream.
+        ds = paths
+        if size_split == "auto":
+            size_split = False
+        if prefilter is not None:
+            ds = ds.map_batches(prefilter, batch_format="pyarrow")
+        dedup_mode = "shuffle"
+        paths = None
+    else:
+        if size_split == "auto":
+            size_split = probe_oversized(paths)
+        ds = read_pages(paths)
+        if prefilter is not None:
+            ds = ds.map_batches(prefilter, batch_format="pyarrow")
     if dedup and dedup_mode == "prefilter":
         if plan_ranges and plan_ranges > 1:
             dup_urls, winner_keys, ambiguous = plan_dedup_winners_ranged(paths, plan_ranges)
