@@ -13,7 +13,8 @@ equality check (byte-identical output across parallelism levels).
 
 Family benches (each its own JSON line): ``--dedup`` near-dedup ops at
 100k docs, ``--curation`` curation/retrieval ops in fresh processes,
-``--skew`` heavy-tailed blob routing, ``--media`` mixed-format image
+``--skew`` heavy-tailed blob routing, ``--warc`` the WARC on-ramp vs
+parquet at equal pages, ``--media`` mixed-format image
 decode through the real codecs (incl. hostile rows).
 """
 
@@ -663,6 +664,153 @@ def run_media_bench() -> dict:
     }
 
 
+def run_warc_bench() -> dict:
+    """WARC on-ramp at volume: the standard pages corpus converted to
+    member-gzip WARC archives (Common Crawl framing, one read task per
+    archive) and run through the FULL flagship chain
+    ``read_warc -> warc_pages -> extraction_pipeline`` vs the same
+    pages read from parquet in the same session. Asserts the two paths
+    produce the same deduped output checksum — the WARC source is not
+    just fast but equivalent."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_WARC_PAGES", "100000"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ocr_dataset_builder_ray.pipelines.extraction import (
+        extract_from_warc,
+        extraction_pipeline,
+    )
+    from ocr_dataset_builder_ray.sources.pages import (
+        default_corpus_dir,
+        generate_pages_corpus,
+        pages_parquet_files,
+    )
+
+    corpus = generate_pages_corpus(default_corpus_dir(n_pages), n_rows=n_pages)
+    files = pages_parquet_files(corpus)
+
+    warc_dir = f"/tmp/graft_warc_v1_{n_pages}"
+    done = os.path.join(warc_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(warc_dir, exist_ok=True)
+
+        @ray.remote
+        def _convert(src: str, dst: str) -> int:
+            import pyarrow.parquet as pq
+
+            from ocr_dataset_builder_ray.sources.warc import write_warc
+
+            t = pq.read_table(src, columns=["url", "warc_ts", "html"])
+            recs = [
+                {
+                    "url": u,
+                    "date": ts.isoformat() + "Z",
+                    "payload": h or b"",
+                    "rid": str(i),
+                }
+                for i, (u, ts, h) in enumerate(
+                    zip(
+                        t["url"].to_pylist(),
+                        t["warc_ts"].to_pylist(),
+                        t["html"].to_pylist(),
+                    )
+                )
+            ]
+            write_warc(dst, recs, compress="member")
+            return len(recs)
+
+        ray.get(
+            [
+                _convert.remote(
+                    f,
+                    os.path.join(
+                        warc_dir,
+                        os.path.basename(f).replace(".parquet", ".warc.gz"),
+                    ),
+                )
+                for f in files
+            ]
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    warc_bytes = sum(
+        os.path.getsize(os.path.join(warc_dir, f))
+        for f in os.listdir(warc_dir)
+        if f.endswith(".warc.gz")
+    )
+
+    def _hash_rows(t: pa.Table) -> pa.Table:
+        mix = pc.bit_wise_xor(t["url_hash"], t["content_hash64"])
+        part = pc.cast(
+            pc.bit_wise_and(mix, pa.scalar(2**31 - 1, pa.uint64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "rows_part": pa.array([t.num_rows], type=pa.int64()),
+                "h": pa.array([int(pc.sum(part).as_py() or 0)], type=pa.int64()),
+            }
+        )
+
+    def _warc_chain():
+        # metadata-planned prefilter (the scale path); equivalence with
+        # the one-pass grouped-shuffle form is pinned in tests/test_warc
+        return extract_from_warc(warc_dir)
+
+    # untimed warmups: worker spawn + OS page cache
+    extraction_pipeline(files[: max(1, len(files) // 16)]).count()
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    warc_times, pq_times, n_warc, n_pq = [], [], 0, 0
+    for _ in range(max(1, reps)):
+        t0 = time.monotonic()
+        n_warc = _warc_chain().count()
+        warc_times.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        n_pq = extraction_pipeline(files).count()
+        pq_times.append(time.monotonic() - t0)
+
+    def _checksum(ds) -> tuple[int, int]:
+        agg = ds.map_batches(_hash_rows, batch_format="pyarrow").aggregate(
+            Sum("rows_part", alias_name="rows"), Sum("h", alias_name="checksum")
+        )
+        return int(agg["rows"]), int(agg["checksum"])
+
+    warc_rows, warc_sum = _checksum(_warc_chain())
+    pq_rows, pq_sum = _checksum(extraction_pipeline(files))
+    result = {
+        "metric": "flagship over WARC input (read_warc -> warc_pages -> extract, deduped)",
+        "value": round(min(warc_times), 3),
+        "unit": "sec",
+        "pages": n_warc,
+        "docs_per_sec": round(n_warc / min(warc_times), 1),
+        "warc_gz_mb": round(warc_bytes / 1e6, 1),
+        "warc_mb_per_sec": round(warc_bytes / 1e6 / min(warc_times), 1),
+        "parquet_sec": round(min(pq_times), 3),
+        "parquet_rows": n_pq,
+        "checksum_match": (warc_rows, warc_sum) == (pq_rows, pq_sum),
+        "output_checksum": warc_sum,
+        "num_cpus": ncpu,
+    }
+    assert result["checksum_match"], (warc_rows, warc_sum, pq_rows, pq_sum)
+    ray.shutdown()
+    return result
+
+
 def run_skew_bench() -> dict:
     """Heavy-tailed corpus: the standard pages corpus plus a shard of
     multi-MB html blobs (a few giant template pages), run through the
@@ -1146,6 +1294,8 @@ if __name__ == "__main__":
         print(json.dumps(run_skew_bench()))
     elif "--media" in sys.argv:
         print(json.dumps(run_media_bench()))
+    elif "--warc" in sys.argv:
+        print(json.dumps(run_warc_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:

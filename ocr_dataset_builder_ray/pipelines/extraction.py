@@ -222,8 +222,6 @@ def plan_dedup_winners(files: list[str], url_range: tuple[int, int] | None = Non
     concatenates. Providing a range always uses the distributed
     combiner path.
     """
-    import pandas as pd
-
     if isinstance(files, str):
         files = sorted(glob.glob(os.path.join(files, "*.parquet")))
     if len(files) <= 256 and url_range is None:
@@ -233,46 +231,64 @@ def plan_dedup_winners(files: list[str], url_range: tuple[int, int] | None = Non
         import pyarrow.dataset as pads
 
         keys = pads.dataset(files).to_table(columns=["url", "warc_ts"]).to_pandas()
-    else:
-        # huge inputs: distributed per-batch combiners, collect only
-        # one (url, max_ts, n_at_max=n at batch max, n_rows) row per
-        # url per batch — scoped to the url-hash range when given
-        skinny = ray.data.read_parquet(files, columns=["url", "warc_ts"])
+        return _winner_combine(keys)
+    # huge inputs: distributed per-batch combiners
+    return plan_dedup_winners_from_skinny(
+        ray.data.read_parquet(files, columns=["url", "warc_ts"]), url_range
+    )
 
-        def _partial(t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            if url_range is not None:
-                from ..functions.hashing import stable_hash64_array
 
-                r, n = url_range
-                h = stable_hash64_array(df["url"].tolist())
-                df = df[(h % np.uint64(n)).astype(np.int64) == r]
-            agg = (
-                df.groupby("url", sort=False)["warc_ts"]
-                .agg(max_ts="max", n_rows="size")
-                .reset_index()
+def plan_dedup_winners_from_skinny(
+    skinny: ray.data.Dataset, url_range: tuple[int, int] | None = None
+) -> tuple:
+    """Distributed winner planning over ANY ``(url, warc_ts)`` dataset —
+    the parquet path passes a column-pruned read; the WARC path passes
+    the metadata-only reader pass (``sources.warc``, ``max_payload=0``:
+    payloads are drained inside the read task, never shipped). Per-batch
+    combiners emit one ``(url, max_ts, n_at_max, n_rows)`` row per url
+    per batch — scoped to the url-hash range when given — so the driver
+    combine touches key columns only."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if url_range is not None:
+            from ..functions.hashing import stable_hash64_array
+
+            r, n = url_range
+            h = stable_hash64_array(df["url"].tolist())
+            df = df[(h % np.uint64(n)).astype(np.int64) == r]
+        agg = (
+            df.groupby("url", sort=False)["warc_ts"]
+            .agg(max_ts="max", n_rows="size")
+            .reset_index()
+        )
+        at_max = df.merge(
+            agg.rename(columns={"max_ts": "warc_ts"})[["url", "warc_ts"]],
+            on=["url", "warc_ts"],
+        )
+        cnt = at_max.groupby("url", sort=False).size().rename("n_at_max").reset_index()
+        out = agg.merge(cnt, on="url")
+        if out.empty:  # schema-stable empty for range-filtered batches
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "max_ts": pa.array([], t["warc_ts"].type),
+                    "n_rows": pa.array([], pa.int64()),
+                    "n_at_max": pa.array([], pa.int64()),
+                }
             )
-            at_max = df.merge(
-                agg.rename(columns={"max_ts": "warc_ts"})[["url", "warc_ts"]],
-                on=["url", "warc_ts"],
-            )
-            cnt = at_max.groupby("url", sort=False).size().rename("n_at_max").reset_index()
-            out = agg.merge(cnt, on="url")
-            if out.empty:  # schema-stable empty for range-filtered batches
-                return pa.table(
-                    {
-                        "url": pa.array([], pa.string()),
-                        "max_ts": pa.array([], t["warc_ts"].type),
-                        "n_rows": pa.array([], pa.int64()),
-                        "n_at_max": pa.array([], pa.int64()),
-                    }
-                )
-            return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-        parts = skinny.map_batches(_partial, batch_format="pyarrow").to_pandas()
-        # expand partials back to one weighted row set with identical
-        # combine semantics: max_ts rows carry n_at_max weight
-        keys = parts.rename(columns={"max_ts": "warc_ts"})
+    parts = skinny.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    # expand partials back to one weighted row set with identical
+    # combine semantics: max_ts rows carry n_at_max weight
+    return _winner_combine(parts.rename(columns={"max_ts": "warc_ts"}))
+
+
+def _winner_combine(keys) -> tuple:
+    """Driver combine shared by every winner-planning path; ``keys`` is
+    either raw ``(url, warc_ts)`` rows or the weighted partial form."""
+    import pandas as pd
 
     if "n_rows" in keys.columns:  # partial form
         totals = keys.groupby("url", sort=False)["n_rows"].sum()
@@ -475,6 +491,74 @@ def extraction_pipeline(
     )
     if not need_shuffle:
         return ds  # spans already assembled inside the actor pool
+    ds = dedup_latest(ds, pre_bucketed=True)
+    return ds.map_batches(assemble_spans, batch_format="pyarrow")
+
+
+def extract_from_warc(
+    paths,
+    *,
+    dedup: bool = True,
+    plan: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int | None = 512,
+    max_payload: int | None = None,
+) -> ray.data.Dataset:
+    """Flagship over WARC archives with the parquet path's
+    no-payload-all-to-all plan.
+
+    A metadata-only WARC pass (``max_payload=0``: payloads are drained
+    inside the read task and never enter the object store; HTTP
+    status/mime survive via the bounded head peek) feeds
+    ``plan_dedup_winners_from_skinny``; the payload read is then
+    prefiltered to winners, so losing recaptures are dropped before
+    extraction and only ambiguous same-url-same-ts ties shuffle —
+    measured 15.3 s -> ~5 s at 100k pages / 32 CPUs vs the grouped
+    shuffle. Costs a second gunzip pass over the archives (~0.7 s at
+    that scale); ``plan=False`` falls back to the one-pass
+    grouped-shuffle form. Output is checksum-identical either way.
+
+    The planning mask and the bridge share ``html_mime_mask`` plus the
+    same oversize predicate (declared length > ``max_payload``), so the
+    plan and the payload stream agree on which records exist; response
+    header blocks beyond the 64 KiB head peek are out of profile for
+    the plan (their mime reads null — use ``plan=False`` for such
+    archives)."""
+    from ..sources.warc import (
+        MAX_PAYLOAD_BYTES,
+        html_mime_mask,
+        read_warc,
+        warc_pages,
+    )
+
+    mp = MAX_PAYLOAD_BYTES if max_payload is None else max_payload
+    pages = warc_pages(read_warc(paths, max_payload=mp))
+    if not (dedup and plan):
+        return extraction_pipeline(
+            pages, dedup=dedup, concurrency=concurrency, batch_size=batch_size
+        )
+
+    def _keys(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            html_mime_mask(t), pc.less_equal(t["payload_len"], pa.scalar(mp))
+        )
+        return t.filter(mask).select(["url", "warc_ts"])
+
+    skinny = read_warc(paths, max_payload=0).map_batches(
+        _keys, batch_format="pyarrow"
+    )
+    dup_urls, winner_keys, ambiguous = plan_dedup_winners_from_skinny(skinny)
+    ds = filter_to_winners(pages, dup_urls, winner_keys, ambiguous)
+    need_shuffle = bool(ambiguous)
+    ds = extract_pages(
+        ds,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        dedup_buckets=DEFAULT_DEDUP_BUCKETS if need_shuffle else None,
+        emit="flat" if need_shuffle else "struct",
+    )
+    if not need_shuffle:
+        return ds
     ds = dedup_latest(ds, pre_bucketed=True)
     return ds.map_batches(assemble_spans, batch_format="pyarrow")
 

@@ -61,6 +61,7 @@ WARC_SCHEMA = pa.schema(
 
 DEFAULT_RECORD_TYPES = frozenset({"response", "resource", "conversion"})
 MAX_PAYLOAD_BYTES = 64 * 1024 * 1024  # beyond this: payload=null, len kept
+_HTTP_HEAD_PEEK = 64 * 1024  # head kept from dropped payloads (status/mime)
 _ROWS_PER_BLOCK = 512
 _BLOCK_BYTES = 32 * 1024 * 1024
 
@@ -223,8 +224,19 @@ def parse_warc_records(
             rtype = headers.get("warc-type", "").lower()
             wanted = rtype in record_types
             truncated = length > max_payload
-            if not wanted or truncated:
+            head = b""
+            if not wanted:
                 rd.drain(length)
+                block = b""
+            elif truncated:
+                # keep a bounded head so HTTP status/mime survive even
+                # when the payload is dropped (metadata-only planning
+                # passes read with max_payload=0). Response header
+                # blocks beyond _HTTP_HEAD_PEEK are out of profile for
+                # the head peek (mime comes back null).
+                n_head = min(length, _HTTP_HEAD_PEEK)
+                head = rd.read_exact(n_head)
+                rd.drain(length - n_head)
                 block = b""
             else:
                 block = rd.read_exact(length)
@@ -239,6 +251,7 @@ def parse_warc_records(
             payload: bytes | None = block
             if rtype == "response" and ctype.startswith("application/http"):
                 if truncated:
+                    status, mime, _ = _split_http(head)
                     payload = None
                 else:
                     status, mime, payload = _split_http(block)
@@ -313,12 +326,33 @@ def read_warc(
     blocks stream out bounded by rows and payload bytes."""
     import ray.data
 
+    read_args.setdefault("file_extensions", ["warc", "warc.gz"])
+    ds_args = {"file_extensions": read_args.pop("file_extensions")}
     return ray.data.read_datasource(
         WarcDatasource(
-            paths, record_types=record_types, max_payload=max_payload
+            paths,
+            record_types=record_types,
+            max_payload=max_payload,
+            **ds_args,
         ),
         **read_args,
     )
+
+
+HTML_MIMES = ("text/html", "application/xhtml+xml")
+
+
+def html_mime_mask(batch: pa.Table):
+    """Boolean mask: rows that are html documents with a url — the
+    shared half of the bridge filter, used identically by ``warc_pages``
+    and the winner-planning skinny pass so the prefilter plan and the
+    payload stream always agree on which records exist."""
+    import pyarrow.compute as pc
+
+    mask = pc.fill_null(
+        pc.is_in(batch.column("mime"), value_set=pa.array(HTML_MIMES)), False
+    )
+    return pc.and_(mask, pc.is_valid(batch.column("url")))
 
 
 def warc_pages(ds):
@@ -327,13 +361,8 @@ def warc_pages(ds):
     ``lang`` empty (the corpus langid stage fills it downstream)."""
     import pyarrow.compute as pc
 
-    _HTML_MIMES = ("text/html", "application/xhtml+xml")
-
     def to_pages(batch: pa.Table) -> pa.Table:
-        mime = batch.column("mime")
-        mask = pc.fill_null(pc.is_in(mime, value_set=pa.array(_HTML_MIMES)), False)
-        mask = pc.and_(mask, pc.is_valid(batch.column("payload")))
-        mask = pc.and_(mask, pc.is_valid(batch.column("url")))
+        mask = pc.and_(html_mime_mask(batch), pc.is_valid(batch.column("payload")))
         kept = batch.filter(mask)
         return pa.Table.from_arrays(
             [

@@ -179,6 +179,66 @@ def test_ray_read_warc_and_pages_bridge(ray_session, tmp_path):
     assert ok["extracted_text"].iloc[0].startswith("Document 0-3 body text")
 
 
+def test_extract_from_warc_planned_equals_shuffle(ray_session, tmp_path):
+    """The metadata-planned prefilter path must produce exactly the
+    grouped-shuffle path's rows, including the corners: cross-file
+    duplicate urls, a duplicated url whose LATEST capture is non-html
+    (invisible to the bridge — the latest html capture must win), and
+    a same-url-same-ts ambiguous tie (content tie-break shuffle)."""
+
+    def page(tag):
+        return (
+            b"<html><body><p>Body "
+            + tag.encode()
+            + b" with enough characters to be kept by the extractor.</p></body></html>"
+        )
+
+    t1, t2 = "2025-06-20T00:00:00Z", "2025-06-21T00:00:00Z"
+    file_a = [
+        {"url": "http://d.example/dup", "payload": page("old"), "date": t1},
+        {"url": "http://d.example/amb", "payload": page("amb1"), "date": t1},
+        {"url": "http://d.example/json", "payload": page("html-wins"), "date": t1},
+        {"url": "http://d.example/s1", "payload": page("s1"), "date": t1},
+    ]
+    file_b = [
+        {"url": "http://d.example/dup", "payload": page("new"), "date": t2},
+        {"url": "http://d.example/amb", "payload": page("amb2"), "date": t1},
+        {
+            "url": "http://d.example/json",
+            "payload": b'{"newer": true}',
+            "date": t2,
+            "mime": "application/json",
+        },
+        {"url": "http://d.example/s2", "payload": page("s2"), "date": t2},
+    ]
+    write_warc(str(tmp_path / "a.warc.gz"), file_a, compress="member")
+    write_warc(str(tmp_path / "b.warc"), file_b)
+
+    from ocr_dataset_builder_ray.pipelines.extraction import (
+        extract_from_warc,
+        extraction_pipeline,
+    )
+
+    def canon(df):
+        return (
+            df[["url", "extracted_text", "content_hash", "status"]]
+            .sort_values(["url"])
+            .reset_index(drop=True)
+        )
+
+    planned_df = extract_from_warc(str(tmp_path)).to_pandas()
+    planned = canon(planned_df)
+    shuffled = canon(
+        extraction_pipeline(warc_pages(read_warc(str(tmp_path)))).to_pandas()
+    )
+    assert planned.equals(shuffled)
+    assert len(planned) == 5  # one row per url
+    text = dict(zip(planned["url"], planned["extracted_text"]))
+    assert "Body new" in text["http://d.example/dup"]  # latest ts wins
+    assert "Body html-wins" in text["http://d.example/json"]  # latest HTML wins
+    assert text["http://d.example/amb"].startswith("Body amb")  # tie resolved
+
+
 def test_block_bounds_stream(ray_session, tmp_path):
     recs = [{"url": f"http://a/{j}", "payload": HTML1} for j in range(25)]
     write_warc(str(tmp_path / "a.warc"), recs)
