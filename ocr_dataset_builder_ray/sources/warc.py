@@ -377,6 +377,51 @@ def warc_pages(ds):
     return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
+def warc_text_documents(ds, *, min_chars: int = 1):
+    """WET-style bridge: ``conversion``/``resource`` records carrying
+    ``text/plain`` (Common Crawl WET files are exactly WARC conversion
+    records) -> the engine's documents shape ``(doc_id, text, lang,
+    source, n_chars)``, ready for the dedup/curation/retrieval family
+    (``key_col="doc_id"``, ``text_col="text"``). ``doc_id`` is the
+    stable 64-bit url hash reinterpreted as int64 (bijective), so ids
+    are deterministic across runs and parallelism levels."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64_array
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.equal(batch.column("mime"), "text/plain"), False)
+        mask = pc.and_(mask, pc.is_valid(batch.column("url")))
+        mask = pc.and_(mask, pc.is_valid(batch.column("payload")))
+        kept = batch.filter(mask)
+        text = pa.array(
+            [
+                (b or b"").decode("utf-8", errors="replace")
+                for b in kept.column("payload").to_pylist()
+            ],
+            type=pa.string(),
+        )
+        n_chars = pc.utf8_length(text)
+        urls = kept.column("url").to_pylist()
+        doc_id = pa.array(
+            stable_hash64_array(urls).view(np.int64), type=pa.int64()
+        )
+        out = pa.Table.from_arrays(
+            [
+                doc_id,
+                text,
+                pa.array([""] * len(kept), type=pa.string()),
+                kept.column("url"),
+                pc.cast(n_chars, pa.int64()),
+            ],
+            names=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        return out.filter(pc.greater_equal(out["n_chars"], min_chars))
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")
+
+
 # -- fixture writer (tests / local bench only) ---------------------------
 
 

@@ -239,6 +239,44 @@ def test_extract_from_warc_planned_equals_shuffle(ray_session, tmp_path):
     assert text["http://d.example/amb"].startswith("Body amb")  # tie resolved
 
 
+def test_wet_documents_bridge(ray_session, tmp_path):
+    """WET-style conversion records land in the documents shape and
+    flow straight into a curation-family operator."""
+    recs = []
+    for j in range(30):
+        body = "common shared text " * 5 if j % 2 else f"wet document {j} unique tail"
+        recs.append({
+            "type": "conversion",
+            "url": f"http://w.example/{j}",
+            "payload": body.encode(),
+            "http": False,
+            "mime": "text/plain",
+        })
+    recs.append({  # html response: must NOT appear in documents
+        "url": "http://w.example/html", "payload": HTML1})
+    write_warc(str(tmp_path / "w.warc.gz"), recs, compress="member")
+
+    from ocr_dataset_builder_ray.sources.warc import warc_text_documents
+
+    docs = warc_text_documents(read_warc(str(tmp_path)))
+    df = docs.to_pandas()
+    assert list(df.columns) == ["doc_id", "text", "lang", "source", "n_chars"]
+    assert len(df) == 30
+    assert df["doc_id"].is_unique
+    assert (df["n_chars"] == df["text"].str.len()).all()
+
+    # deterministic ids: a second read yields identical (source, doc_id)
+    df2 = warc_text_documents(read_warc(str(tmp_path))).to_pandas()
+    assert set(zip(df2["source"], df2["doc_id"])) == set(
+        zip(df["source"], df["doc_id"]))
+
+    # feeds the dedup family directly
+    from ocr_dataset_builder_ray.stages.dedup import exact_dedup
+
+    kept = exact_dedup(docs, text_col="text", key_col="doc_id").to_pandas()
+    assert len(kept) == 16  # 15 identical odd docs collapse to one
+
+
 def test_block_bounds_stream(ray_session, tmp_path):
     recs = [{"url": f"http://a/{j}", "payload": HTML1} for j in range(25)]
     write_warc(str(tmp_path / "a.warc"), recs)
