@@ -670,3 +670,109 @@ def chunk_documents(
         )
 
     return ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+# -- url-keyed curation (web-corpus hygiene) -------------------------------
+
+
+def add_domain_column(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    out_col: str = "domain",
+) -> ray.data.Dataset:
+    """Append the registrable domain (eTLD+1) of ``url_col`` — the
+    per-site grouping key for caps / mixing / stats. Pure map; the
+    per-row suffix walk is the string kernel (functions/urltools.py)."""
+    from ..functions.urltools import registrable_domains
+
+    def _add(batch: pa.Table) -> pa.Table:
+        doms = registrable_domains(batch[url_col].to_pylist())
+        return batch.append_column(out_col, pa.array(doms, pa.string()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def domain_cap(
+    ds: ray.data.Dataset,
+    k: int | dict,
+    *,
+    url_col: str = "url",
+    key_col: str | None = None,
+    n_buckets: int = 4096,
+    keep_domain_col: bool = True,
+) -> ray.data.Dataset:
+    """Keep at most ``k`` documents per registrable domain — the
+    standard anti-domination cap (no site may dominate the corpus).
+
+    Selection is :func:`fixed_size_sample` grouped on the domain: the
+    k smallest deterministic hash tickets per domain survive, so the
+    result is a seeded uniform within-domain sample, independent of
+    partitioning and row order, with the same exact order-statistics
+    machinery (no corpus sort, driver state bounded by
+    domains x buckets). ``k`` may be a dict ``{domain: k}`` for
+    per-site quotas — un-listed domains get 0 and are dropped
+    (``fixed_size_sample``'s dict contract, same as
+    ``mix_to_proportions`` quota behavior).
+
+    ``key_col`` defaults to the url itself; a string key is hashed to
+    a stable int64 (blake2b-8) because the whole ticket/selection
+    machinery runs on integer keys — ties then break by hash order,
+    still fully deterministic.
+    """
+    key_col = key_col or url_col
+    with_dom = add_domain_column(ds, url_col=url_col, out_col="__domain")
+    drop_cols = []
+    if not pa.types.is_integer(
+        with_dom.schema().base_schema.field(key_col).type
+    ):
+        from ..functions.urltools import hash_nodes_int64
+
+        str_key = key_col
+
+        def _add_key(batch: pa.Table) -> pa.Table:
+            ids = hash_nodes_int64(batch[str_key].to_pylist())
+            return batch.append_column("__key_id", pa.array(ids, pa.int64()))
+
+        with_dom = with_dom.map_batches(_add_key, batch_format="pyarrow")
+        key_col = "__key_id"
+        drop_cols = ["__key_id"]
+    capped = fixed_size_sample(
+        with_dom, "__domain", key_col, k, n_buckets=n_buckets
+    )
+    if drop_cols:
+        capped = capped.drop_columns(drop_cols)
+    if keep_domain_col:
+        def _rename(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("__domain")
+            return batch.rename_columns(
+                [n if j != i else "domain" for j, n in enumerate(batch.schema.names)]
+            )
+
+        return capped.map_batches(_rename, batch_format="pyarrow")
+    return capped.drop_columns(["__domain"])
+
+
+def canonical_url_dedup(
+    ds: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    key_col: str,
+) -> ray.data.Dataset:
+    """Exact dedup on the CANONICAL url: tracking params, default
+    ports, fragments and case differences collapse; per canonical
+    form the row with the smallest ``key_col`` survives (``key_col``
+    must be unique per row — the exact_dedup contract). The canonical
+    string never leaves the skinny hash exchange; survivors are a
+    broadcast key filter over the original stream."""
+    from ..functions.urltools import canonicalize_urls
+    from .dedup import exact_dedup
+
+    def _add(batch: pa.Table) -> pa.Table:
+        canon = canonicalize_urls(batch[url_col].to_pylist())
+        return batch.append_column("__canon_url", pa.array(canon, pa.string()))
+
+    with_canon = ds.map_batches(_add, batch_format="pyarrow")
+    return exact_dedup(with_canon, "__canon_url", key_col).drop_columns(
+        ["__canon_url"]
+    )

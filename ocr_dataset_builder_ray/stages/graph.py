@@ -1,0 +1,319 @@
+"""Link-graph operators: href extraction and distributed PageRank.
+
+The web-corpus quality signal the reference (a filesystem OCR pipeline)
+never needed but a crawl-scale curation engine does: build the
+(src, dst) hyperlink graph from raw pages and score every url with
+PageRank, then use the score as a curation feature (join back via a
+broadcast map, feed ``quality_percentile_filter`` etc.).
+
+Scale contract (stated, per the engine's bound-every-collect rule):
+
+* **Edges stream** — the edge set is corpus-scaled and only ever
+  crosses the cluster as a skinny ``(int64 src, int64 dst)``
+  projection, materialized ONCE and re-read per iteration from the
+  object store.
+* **The rank vector is node-bounded driver/broadcast state** — sorted
+  node-id, out-degree and rank arrays (24 B/node) live on the driver
+  and are broadcast per iteration via ``ray.put`` (the
+  ``unigram_logprob`` broadcast-scoring pattern, filters.py:428). This
+  is the standard "ranks fit in memory, edges don't" PageRank regime;
+  at 10⁹ nodes the vectors are ~24 GB and the iteration must move to a
+  rank-exchange formulation (bucket the node table by id range and
+  groupby-join per iteration) — documented, not implemented, because
+  every practical corpus this engine targets (≤ low-10⁸ pages after
+  url dedup) fits the broadcast regime.
+* Per-iteration reduction collects per-BLOCK partial sums
+  ``(dst, contrib)`` — at most ``unique_dst_per_block × n_blocks``
+  rows, the same blocks-bounded collect as ``profile_columns``.
+
+Determinism: node ids, degrees, edge sets and iteration count are
+exactly deterministic at any parallelism. Rank VALUES are float64 sums
+whose addition order follows block boundaries, so across different
+parallelism levels they agree to ~1e-12 relative (tests pin allclose),
+and selection-grade ordering uses ``top_k`` which rounds to 9 dp with
+an id tie-break — the q56/bm25 rounding-before-cut rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.urltools import extract_hrefs, hash_nodes_int64
+
+__all__ = ["extract_links", "pagerank", "PageRankResult"]
+
+
+def extract_links(
+    pages: ray.data.Dataset,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_links_per_page: int = 1000,
+) -> ray.data.Dataset:
+    """pages(url, html, ...) → edges(src, dst) — canonicalized,
+    per-page-deduped outgoing http(s) hyperlinks.
+
+    Pure flat map (one read task's pages → its edge rows; no shuffle).
+    The per-row regex walk is the string kernel itself, same judgment
+    as ``ExtractPages``. Self-links and in-page duplicate targets are
+    dropped; one page emits at most ``max_links_per_page`` edges so a
+    link farm cannot produce an unbounded row.
+    """
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        htmls = batch.column(html_col).to_pylist()
+        src: list[str] = []
+        dst: list[str] = []
+        for u, h in zip(urls, htmls):
+            if not u:
+                continue
+            links = extract_hrefs(h, u, max_links=max_links_per_page)
+            src.extend([u] * len(links))
+            dst.extend(links)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.string()),
+                "dst": pa.array(dst, type=pa.string()),
+            }
+        )
+
+    return pages.select_columns([url_col, html_col]).map_batches(
+        _edges, batch_format="pyarrow"
+    )
+
+
+@dataclass
+class PageRankResult:
+    """Broadcastable PageRank scores: sorted node ids + aligned ranks.
+
+    ``attach`` is the join-free way to use the scores — a broadcast
+    searchsorted map over any dataset with a node column, exactly how
+    ``unigram_logprob`` scores documents against its vocabulary.
+    """
+
+    node_ids: np.ndarray  # int64, sorted ascending
+    ranks: np.ndarray  # float64, aligned with node_ids, sums to 1.0
+    n_edges: int
+    iterations: int
+    delta: float  # L1 rank change of the final iteration
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_ids)
+
+    def rank_of(self, nodes) -> np.ndarray:
+        """Ranks for node strings / int64 ids (0.0 for unknown)."""
+        ids = self._as_ids(nodes)
+        pos = np.searchsorted(self.node_ids, ids)
+        pos_c = np.minimum(pos, len(self.node_ids) - 1)
+        hit = self.node_ids[pos_c] == ids
+        out = np.where(hit, self.ranks[pos_c], 0.0)
+        return out
+
+    @staticmethod
+    def _as_ids(nodes) -> np.ndarray:
+        arr = np.asarray(nodes)
+        if arr.dtype.kind in "iu":
+            return arr.astype(np.int64, copy=False)
+        return hash_nodes_int64(list(nodes))
+
+    def attach(
+        self,
+        ds: ray.data.Dataset,
+        node_col: str,
+        out_col: str = "pagerank",
+        default: float = 0.0,
+    ) -> ray.data.Dataset:
+        """Add a rank column to any dataset keyed by url/node — a
+        broadcast map, never a shuffle join."""
+        bcast = ray.put((self.node_ids, self.ranks))
+
+        def _score(batch: pa.Table) -> pa.Table:
+            ids_s, ranks_s = ray.get(bcast)
+            col = batch.column(node_col)
+            if pa.types.is_integer(col.type):
+                ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                ids = hash_nodes_int64(col.to_pylist())
+            if len(ids_s):
+                pos = np.minimum(
+                    np.searchsorted(ids_s, ids), len(ids_s) - 1
+                )
+                vals = np.where(
+                    ids_s[pos] == ids, ranks_s[pos], np.float64(default)
+                )
+            else:
+                vals = np.full(len(ids), np.float64(default))
+            return batch.append_column(
+                out_col, pa.array(vals, type=pa.float64())
+            )
+
+        return ds.map_batches(_score, batch_format="pyarrow")
+
+    def top_k(self, k: int) -> pd.DataFrame:
+        """Deterministic top-k (rounded rank DESC, node_id ASC) —
+        rounding BEFORE the cut so float addition-order jitter cannot
+        flip the selection (the q56 rule)."""
+        r = np.round(self.ranks, 9)
+        order = np.lexsort((self.node_ids, -r))[:k]
+        return pd.DataFrame(
+            {"node_id": self.node_ids[order], "rank": self.ranks[order]}
+        )
+
+    def to_pandas(self) -> pd.DataFrame:
+        return pd.DataFrame({"node_id": self.node_ids, "rank": self.ranks})
+
+
+def _edge_id_projection(
+    edges: ray.data.Dataset, src_col: str, dst_col: str
+) -> ray.data.Dataset:
+    """Skinny (int64 s, int64 d) projection — string nodes are hashed
+    (stable blake2b-8 → int64 bijective reinterpret), int columns pass
+    through. Materialized by the caller; every iteration re-reads it."""
+
+    def _ids(batch: pa.Table) -> pa.Table:
+        out = {}
+        for name, col in (("s", batch.column(src_col)), ("d", batch.column(dst_col))):
+            if pa.types.is_integer(col.type):
+                out[name] = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                out[name] = hash_nodes_int64(col.to_pylist())
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+
+    return edges.select_columns([src_col, dst_col]).map_batches(
+        _ids, batch_format="pyarrow"
+    )
+
+
+def _reduce_by_id(ids: np.ndarray, vals: np.ndarray):
+    """Sort-and-reduceat sum of vals per id — the driver-side reduce.
+    Secondary sort on the value makes the float addition order a pure
+    function of the multiset of partials."""
+    if len(ids) == 0:
+        return ids.astype(np.int64), vals.astype(np.float64)
+    order = np.lexsort((vals, ids))
+    ids_s, vals_s = ids[order], vals[order]
+    boundary = np.empty(len(ids_s), dtype=bool)
+    boundary[0] = True
+    np.not_equal(ids_s[1:], ids_s[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    return ids_s[starts], np.add.reduceat(vals_s, starts)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 20,
+    tol: float = 0.0,
+) -> PageRankResult:
+    """Distributed PageRank over an edge dataset.
+
+    Power iteration with uniform teleport and dangling-mass
+    redistribution::
+
+        r' = (1-d)/n + d * (sum_{(s,v) in E} r[s]/outdeg[s]
+                            + dangling_mass / n)
+
+    Parallel duplicate edges count with multiplicity (a page linking
+    twice votes twice — ``extract_links`` already dedups in-page, so
+    feed its output for the once-per-page convention).
+
+    Stops after ``n_iter`` iterations or when the L1 change ≤ ``tol``.
+    See the module docstring for the scale contract (edges stream,
+    rank vector is node-bounded broadcast state).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    edges_i = _edge_id_projection(edges, src_col, dst_col).materialize()
+    n_edges = edges_i.count()
+
+    # node ids + out-degree: per-block partials, node-bounded driver reduce
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        us, cs = np.unique(s, return_counts=True)
+        ud = np.unique(d)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([us, ud]), type=pa.int64()),
+                "deg": pa.array(
+                    np.concatenate([cs.astype(np.float64), np.zeros(len(ud))]),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    parts = edges_i.map_batches(_deg_partial, batch_format="pyarrow").to_pandas()
+    if "id" not in parts.columns:  # empty dataset loses its schema
+        parts = pd.DataFrame({"id": pd.Series(dtype=np.int64), "deg": pd.Series(dtype=np.float64)})
+    node_ids, outdeg = _reduce_by_id(
+        parts["id"].to_numpy(), parts["deg"].to_numpy()
+    )
+    n = len(node_ids)
+    if n == 0:
+        return PageRankResult(
+            node_ids=np.empty(0, np.int64),
+            ranks=np.empty(0, np.float64),
+            n_edges=0,
+            iterations=0,
+            delta=0.0,
+        )
+
+    ids_ref = ray.put(node_ids)
+    rank = np.full(n, 1.0 / n)
+    dangling_mask = outdeg == 0.0
+    safe_deg = np.where(dangling_mask, 1.0, outdeg)
+    delta = float("inf")
+    it = 0
+    for it in range(1, n_iter + 1):
+        w_ref = ray.put(rank / safe_deg)
+
+        def _contrib(batch: pa.Table) -> pa.Table:
+            ids_s = ray.get(ids_ref)
+            w = ray.get(w_ref)
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            d = batch.column("d").to_numpy(zero_copy_only=False)
+            ws = w[np.searchsorted(ids_s, s)]  # every s is a known node
+            uid, csum = _reduce_by_id(d, ws)
+            return pa.table(
+                {
+                    "id": pa.array(uid, type=pa.int64()),
+                    "c": pa.array(csum, type=pa.float64()),
+                }
+            )
+
+        cparts = edges_i.map_batches(
+            _contrib, batch_format="pyarrow"
+        ).to_pandas()
+        cid, cval = _reduce_by_id(
+            cparts["id"].to_numpy(), cparts["c"].to_numpy()
+        )
+        contrib = np.zeros(n)
+        contrib[np.searchsorted(node_ids, cid)] = cval
+        dangling_mass = float(rank[dangling_mask].sum())
+        new_rank = (1.0 - damping) / n + damping * (
+            contrib + dangling_mass / n
+        )
+        delta = float(np.abs(new_rank - rank).sum())
+        rank = new_rank
+        if delta <= tol:
+            break
+
+    return PageRankResult(
+        node_ids=node_ids,
+        ranks=rank,
+        n_edges=n_edges,
+        iterations=it,
+        delta=delta,
+    )

@@ -1,0 +1,237 @@
+"""Link graph: url canonicalization, href extraction, PageRank.
+
+PageRank correctness is pinned against a dense numpy power iteration
+(same damping / dangling conventions) on seeded random graphs, plus
+hand-checked tiny graphs; determinism across parallelism is pinned to
+1e-12 relative (float addition order follows block boundaries — see
+stages/graph.py module docstring) with exact top-k under the rounded
+selection rule.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from ocr_dataset_builder_ray.functions.urltools import (
+    canonicalize_url,
+    extract_hrefs,
+    hash_nodes_int64,
+    registrable_domain,
+)
+from ocr_dataset_builder_ray.stages.graph import extract_links, pagerank
+
+
+# -- urltools ------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        ("HTTP://Example.COM:80/A/b/", "http://example.com/A/b"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/p?utm_source=t&b=2&a=1#frag", "http://example.com/p?a=1&b=2"),
+        ("http://example.com/p?fbclid=xyz", "http://example.com/p"),
+        ("ftp://example.com/x", ""),
+        ("mailto:a@b.c", ""),
+        ("", ""),
+        (None, ""),
+        ("http://trailing.dot./x", "http://trailing.dot/x"),
+        ("http:///nopath", ""),
+    ],
+)
+def test_canonicalize_url(raw, canon):
+    assert canonicalize_url(raw) == canon
+
+
+def test_canonicalize_idempotent():
+    urls = [
+        "HTTP://A.example:80/x/?utm_medium=m&z=1&a=2#f",
+        "https://b.example/path/sub/",
+        "http://c.example/?gclid=1",
+    ]
+    once = [canonicalize_url(u) for u in urls]
+    assert [canonicalize_url(u) for u in once] == once
+
+
+@pytest.mark.parametrize(
+    "host,dom",
+    [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("www.shop.com.au", "shop.com.au"),
+        ("http://Sub.Example.ORG/path", "example.org"),
+        ("192.168.0.1", "192.168.0.1"),
+        ("", ""),
+        (None, ""),
+    ],
+)
+def test_registrable_domain(host, dom):
+    assert registrable_domain(host) == dom
+
+
+def test_extract_hrefs():
+    html = b"""
+    <html><body>
+      <a href="/rel/page">rel</a>
+      <a href='http://Other.example/abs?utm_source=x'>abs</a>
+      <a href=bare>bare</a>
+      <a href="#frag">frag-only</a>
+      <a href="mailto:x@y.z">mail</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="/rel/page">dup</a>
+      <a href="http://base.example/self">self</a>
+    </body></html>
+    """
+    links = extract_hrefs(html, "http://base.example/self")
+    assert links == [
+        "http://base.example/rel/page",
+        "http://other.example/abs",
+        "http://base.example/bare",
+    ]
+    assert extract_hrefs(None, "http://x/") == []
+    assert extract_hrefs(b"<p>no links</p>", "http://x/") == []
+    # cap respected
+    farm = b"".join(b'<a href="/l%d">x</a>' % i for i in range(50))
+    assert len(extract_hrefs(farm, "http://f.example/", max_links=10)) == 10
+
+
+# -- numpy reference PageRank --------------------------------------------
+
+
+def _dense_pagerank(edges, damping=0.85, n_iter=20):
+    """Dense reference: same conventions as stages/graph.pagerank
+    (duplicate edges count with multiplicity, dangling mass spread
+    uniformly, uniform teleport)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for s, d in edges:
+        M[idx[d], idx[s]] += 1.0
+    outdeg = M.sum(axis=0)
+    col = np.divide(M, outdeg, out=np.zeros_like(M), where=outdeg > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (col @ r + dangling / n)
+    return nodes, r
+
+
+def _edges_ds(edges, parallelism=4):
+    return ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges], override_num_blocks=parallelism
+    )
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 60, 400
+    edges = [
+        (f"http://n{int(a)}.example/", f"http://n{int(b)}.example/")
+        for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+        if a != b
+    ]
+    nodes_ref, r_ref = _dense_pagerank(edges, n_iter=25)
+    pr = pagerank(_edges_ds(edges), n_iter=25)
+    assert pr.n_nodes == len(nodes_ref)
+    assert pr.n_edges == len(edges)
+    got = pr.rank_of(nodes_ref)
+    assert np.allclose(got, r_ref, rtol=1e-9, atol=1e-12)
+    assert abs(pr.ranks.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_and_hub(ray_session):
+    # star: a,b,c -> hub; hub dangles. Hub must outrank the leaves.
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub")]
+    pr = pagerank(_edges_ds(edges, parallelism=2), n_iter=30)
+    nodes_ref, r_ref = _dense_pagerank(edges, n_iter=30)
+    assert np.allclose(pr.rank_of(nodes_ref), r_ref, rtol=1e-9)
+    ranks = dict(zip(nodes_ref, r_ref))
+    assert pr.rank_of(["hub"])[0] == pytest.approx(ranks["hub"])
+    assert pr.rank_of(["hub"])[0] > pr.rank_of(["a"])[0]
+    # unknown node scores 0
+    assert pr.rank_of(["zzz-not-a-node"])[0] == 0.0
+
+
+def test_pagerank_parallelism_invariant(ray_session):
+    rng = np.random.default_rng(11)
+    edges = [
+        (f"u{int(a)}", f"u{int(b)}")
+        for a, b in rng.integers(0, 40, size=(300, 2))
+    ]
+    pr1 = pagerank(_edges_ds(edges, parallelism=1), n_iter=15)
+    pr8 = pagerank(_edges_ds(edges, parallelism=8), n_iter=15)
+    assert np.array_equal(pr1.node_ids, pr8.node_ids)
+    assert np.allclose(pr1.ranks, pr8.ranks, rtol=1e-12, atol=1e-15)
+    # selection-grade ordering identical under the rounded top-k rule
+    pd.testing.assert_frame_equal(
+        pr1.top_k(10).reset_index(drop=True).round({"rank": 9}),
+        pr8.top_k(10).reset_index(drop=True).round({"rank": 9}),
+    )
+
+
+def test_pagerank_tol_early_stop(ray_session):
+    edges = [("a", "b"), ("b", "a")]
+    pr = pagerank(_edges_ds(edges, parallelism=1), n_iter=50, tol=1e-12)
+    assert pr.iterations < 50
+    assert pr.delta <= 1e-12
+    assert np.allclose(pr.ranks, 0.5)
+
+
+def test_pagerank_int_keys_and_empty(ray_session):
+    edges_int = ray.data.from_items(
+        [{"src": 1, "dst": 2}, {"src": 2, "dst": 3}, {"src": 3, "dst": 1}]
+    )
+    pr = pagerank(edges_int, n_iter=40)
+    assert np.allclose(pr.ranks, 1 / 3, atol=1e-9)  # 3-cycle is uniform
+    assert np.array_equal(np.sort(pr.node_ids), pr.node_ids)
+    # empty edge set
+    pr0 = pagerank(_edges_ds([("a", "b")]).filter(lambda r: False), n_iter=5)
+    assert pr0.n_nodes == 0 and pr0.n_edges == 0
+
+
+def test_extract_links_and_attach(ray_session):
+    pages = ray.data.from_items(
+        [
+            {
+                "url": "http://s1.example/",
+                "html": b'<a href="/p1">a</a><a href="http://s2.example/">b</a>',
+            },
+            {
+                "url": "http://s2.example/",
+                "html": b'<a href="http://s1.example/p1?utm_source=x">c</a>',
+            },
+            {"url": "http://s3.example/", "html": None},
+        ]
+    )
+    edges = extract_links(pages)
+    df = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(df.itertuples(index=False, name=None)) == [
+        ("http://s1.example/", "http://s1.example/p1"),
+        ("http://s1.example/", "http://s2.example/"),
+        ("http://s2.example/", "http://s1.example/p1"),
+    ]
+    pr = pagerank(edges, n_iter=20)
+    scored = pr.attach(pages, "url", out_col="pagerank").to_pandas()
+    assert set(scored.columns) >= {"url", "pagerank"}
+    # s3 has no edges at all -> default 0; s2 is linked -> positive
+    by_url = dict(zip(scored["url"], scored["pagerank"]))
+    assert by_url["http://s3.example/"] == 0.0
+    assert by_url["http://s2.example/"] > 0.0
+    # attach agrees with rank_of
+    assert by_url["http://s2.example/"] == pytest.approx(
+        pr.rank_of(["http://s2.example/"])[0]
+    )
+
+
+def test_hash_nodes_roundtrip_determinism():
+    a = hash_nodes_int64(["x", "y", "x"])
+    assert a.dtype == np.int64
+    assert a[0] == a[2] != a[1]
