@@ -811,6 +811,94 @@ def run_warc_bench() -> dict:
     return result
 
 
+def run_graph_bench() -> dict:
+    """Link-graph family at volume: href extraction over the standard
+    pages corpus, PageRank power iteration (edges stream, rank vector
+    broadcast), broadcast attach, and the per-domain cap. Reports
+    per-phase seconds (best-of-GRAFT_BENCH_REPS) plus graph shape and
+    per-iteration cost — the number that matters, since iteration
+    count is the user's knob."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_GRAPH_PAGES", "100000"))
+    n_iter = int(os.environ.get("GRAFT_GRAPH_ITERS", "10"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ocr_dataset_builder_ray.sources.pages import (
+        default_corpus_dir,
+        generate_pages_corpus,
+        pages_parquet_files,
+    )
+    from ocr_dataset_builder_ray.stages.curation import domain_cap
+    from ocr_dataset_builder_ray.stages.graph import extract_links, pagerank
+
+    corpus = generate_pages_corpus(default_corpus_dir(n_pages), n_rows=n_pages)
+    files = pages_parquet_files(corpus)
+
+    def _pages():
+        return ray.data.read_parquet(files, columns=["url", "html"])
+
+    # untimed warmup (worker spawn + page cache)
+    extract_links(_pages().limit(2000)).count()
+
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+    times: dict[str, list[float]] = {"extract_links": [], "pagerank": [], "attach": [], "domain_cap": []}
+    pr = None
+    n_edges = 0
+    for _ in range(reps):
+        t0 = time.monotonic()
+        edges = extract_links(_pages()).materialize()
+        n_edges = edges.count()
+        times["extract_links"].append(time.monotonic() - t0)
+
+        t0 = time.monotonic()
+        pr = pagerank(edges, n_iter=n_iter)
+        times["pagerank"].append(time.monotonic() - t0)
+
+        t0 = time.monotonic()
+        scored = pr.attach(_pages().drop_columns(["html"]), "url")
+        assert scored.count() == n_pages
+        times["attach"].append(time.monotonic() - t0)
+
+        t0 = time.monotonic()
+        capped = domain_cap(
+            _pages().drop_columns(["html"]), 5000, url_col="url"
+        )
+        n_capped = capped.count()
+        times["domain_cap"].append(time.monotonic() - t0)
+
+    best = {k: round(min(v), 3) for k, v in times.items()}
+    pr_sec = best["pagerank"]
+    result = {
+        "metric": "link graph: extract_links + pagerank(%d iters) at %dk pages" % (n_iter, n_pages // 1000),
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "phases": best,
+        "n_pages": n_pages,
+        "n_edges": n_edges,
+        "n_nodes": pr.n_nodes,
+        "edges_per_sec_extract": round(n_edges / best["extract_links"], 1),
+        "sec_per_iteration": round(pr_sec / max(1, pr.iterations), 3),
+        "iterations": pr.iterations,
+        "final_delta": pr.delta,
+        "capped_rows": n_capped,
+        "num_cpus": ncpu,
+    }
+    ray.shutdown()
+    return result
+
+
 def run_skew_bench() -> dict:
     """Heavy-tailed corpus: the standard pages corpus plus a shard of
     multi-MB html blobs (a few giant template pages), run through the
@@ -1296,6 +1384,8 @@ if __name__ == "__main__":
         print(json.dumps(run_media_bench()))
     elif "--warc" in sys.argv:
         print(json.dumps(run_warc_bench()))
+    elif "--graph" in sys.argv:
+        print(json.dumps(run_graph_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:
