@@ -26,6 +26,7 @@ __all__ = [
     "registrable_domain",
     "registrable_domains",
     "extract_hrefs",
+    "extract_hrefs_with_text",
 ]
 
 # Tracking parameters stripped during canonicalization — the standard
@@ -169,6 +170,10 @@ _HREF_RE = re.compile(
     rb"""<a\s[^>]*?href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
     re.IGNORECASE | re.DOTALL,
 )
+# anchor inner markup: from the anchor's ">" to its closing tag
+_ANCHOR_BODY_RE = re.compile(rb">(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+_INNER_TAG_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
 
 
 def extract_hrefs(
@@ -182,10 +187,25 @@ def extract_hrefs(
     at ``max_links`` (link farms exist; one page must not emit an
     unbounded edge list).
     """
+    return [u for u, _ in extract_hrefs_with_text(html, base_url, max_links=max_links, with_text=False)]
+
+
+def extract_hrefs_with_text(
+    html: bytes | None,
+    base_url: str,
+    *,
+    max_links: int = 1000,
+    max_text_chars: int = 200,
+    with_text: bool = True,
+) -> list[tuple[str, str]]:
+    """Like :func:`extract_hrefs` but pairs every link with its anchor
+    text (inner markup stripped of tags, whitespace collapsed, capped
+    at ``max_text_chars``). The FIRST occurrence of a target on the
+    page wins, so its anchor text is the first anchor's."""
     if not html:
         return []
     base = canonicalize_url(base_url)
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     seen: set[str] = set()
     for m in _HREF_RE.finditer(html):
         raw = next(g for g in m.groups() if g is not None)
@@ -202,8 +222,16 @@ def extract_hrefs(
         canon = canonicalize_url(resolved)
         if not canon or canon == base or canon in seen:
             continue
+        text = ""
+        if with_text:
+            body = _ANCHOR_BODY_RE.search(html, m.end())
+            if body is not None:
+                inner = _INNER_TAG_RE.sub(b" ", body.group(1))
+                text = _WS_RE.sub(
+                    " ", inner.decode("utf-8", errors="replace")
+                ).strip()[:max_text_chars]
         seen.add(canon)
-        out.append(canon)
+        out.append((canon, text))
         if len(out) >= max_links:
             break
     return out

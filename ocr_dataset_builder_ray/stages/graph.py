@@ -45,9 +45,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.urltools import extract_hrefs, hash_nodes_int64
+from ..functions.urltools import extract_hrefs_with_text, hash_nodes_int64
 
-__all__ = ["extract_links", "pagerank", "PageRankResult"]
+__all__ = ["extract_links", "pagerank", "PageRankResult", "anchor_texts"]
 
 
 def extract_links(
@@ -56,15 +56,18 @@ def extract_links(
     url_col: str = "url",
     html_col: str = "html",
     max_links_per_page: int = 1000,
+    with_anchor_text: bool = False,
 ) -> ray.data.Dataset:
-    """pages(url, html, ...) → edges(src, dst) — canonicalized,
-    per-page-deduped outgoing http(s) hyperlinks.
+    """pages(url, html, ...) → edges(src, dst[, anchor]) —
+    canonicalized, per-page-deduped outgoing http(s) hyperlinks.
 
     Pure flat map (one read task's pages → its edge rows; no shuffle).
     The per-row regex walk is the string kernel itself, same judgment
     as ``ExtractPages``. Self-links and in-page duplicate targets are
     dropped; one page emits at most ``max_links_per_page`` edges so a
-    link farm cannot produce an unbounded row.
+    link farm cannot produce an unbounded row. With
+    ``with_anchor_text`` each edge carries the (tag-stripped, capped)
+    anchor text for :func:`anchor_texts` aggregation.
     """
 
     def _edges(batch: pa.Table) -> pa.Table:
@@ -72,18 +75,24 @@ def extract_links(
         htmls = batch.column(html_col).to_pylist()
         src: list[str] = []
         dst: list[str] = []
+        anchors: list[str] = []
         for u, h in zip(urls, htmls):
             if not u:
                 continue
-            links = extract_hrefs(h, u, max_links=max_links_per_page)
-            src.extend([u] * len(links))
-            dst.extend(links)
-        return pa.table(
-            {
-                "src": pa.array(src, type=pa.string()),
-                "dst": pa.array(dst, type=pa.string()),
-            }
-        )
+            pairs = extract_hrefs_with_text(
+                h, u, max_links=max_links_per_page, with_text=with_anchor_text
+            )
+            src.extend([u] * len(pairs))
+            dst.extend(p[0] for p in pairs)
+            if with_anchor_text:
+                anchors.extend(p[1] for p in pairs)
+        cols = {
+            "src": pa.array(src, type=pa.string()),
+            "dst": pa.array(dst, type=pa.string()),
+        }
+        if with_anchor_text:
+            cols["anchor"] = pa.array(anchors, type=pa.string())
+        return pa.table(cols)
 
     return pages.select_columns([url_col, html_col]).map_batches(
         _edges, batch_format="pyarrow"
@@ -316,4 +325,148 @@ def pagerank(
         n_edges=n_edges,
         iterations=it,
         delta=delta,
+    )
+
+
+def anchor_texts(
+    edges: ray.data.Dataset,
+    *,
+    dst_col: str = "dst",
+    src_col: str = "src",
+    text_col: str = "anchor",
+    k: int = 20,
+    n_buckets: int = 4096,
+    sep: str = " | ",
+) -> ray.data.Dataset:
+    """Inbound anchor-text collection: for every link TARGET, the
+    anchor texts other pages use to link to it — the classic web
+    search/quality signal (how the web describes a page).
+
+    Output: ``(dst, n_inlinks, anchors)`` where ``anchors`` joins at
+    most ``k`` distinct non-empty anchor texts, selected
+    deterministically as the k smallest ``hash64(src)`` tickets (tie
+    by src) so the result is independent of partitioning and row
+    order, and ``n_inlinks`` is the exact inbound edge count.
+
+    Scale shape (the build_postings lesson applied from the start): a
+    hot target ("/" of a big site) has corpus-bounded in-links, so the
+    whole group must never materialize. Per-batch partials keep at
+    most ``k`` candidate rows per dst per batch plus one count row, so
+    the exchange carries ≤ ``(k+1) × distinct_dst_per_batch`` rows per
+    batch; the reduce is ONE skew-free bucket exchange (equal dst
+    share a bucket; per-bucket work is a vectorized lexsort rank cut,
+    never a per-dst group loop).
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dst = batch.column(dst_col).to_pylist()
+        if n == 0:
+            return pa.table(
+                {
+                    "dst": pa.array([], pa.string()),
+                    "tick": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        src = batch.column(src_col).to_pylist()
+        txt = batch.column(text_col).to_pylist()
+        did = hash_nodes_int64(dst)
+        tick = hash_nodes_int64(src)
+        # exact per-dst counts for this batch
+        uid, first, counts = np.unique(did, return_index=True, return_counts=True)
+        out_dst = [dst[i] for i in first]
+        out_tick = np.zeros(len(uid), dtype=np.int64)
+        out_text = [None] * len(uid)
+        out_cnt = counts.astype(np.int64)
+        # candidate anchors: k smallest PER-TEXT-MIN ticks per dst among
+        # non-empty texts. Selecting the k smallest per-(dst,text) min
+        # ticks per batch is an exact prefilter for the global
+        # dedup-then-top-k (a text in the global top-k attains its
+        # global min tick in SOME batch, where at most k-1 texts can
+        # beat it — else it wouldn't be global top-k). Boundary ticks
+        # keep their ties so an equal-tick text can't be cut wrongly.
+        has_text = np.array([bool(t) for t in txt])
+        if has_text.any():
+            idx = np.flatnonzero(has_text)
+            t_id = hash_nodes_int64([txt[i] for i in idx])
+            # representative row per (dst, text): the min-tick row
+            perm = np.lexsort((tick[idx], t_id, did[idx]))
+            order = idx[perm]
+            d_s, t_s = did[order], t_id[perm]
+            rep = np.empty(len(order), dtype=bool)
+            rep[0] = True
+            rep[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+            reps = order[rep]
+            # k smallest representative ticks per dst (ties included)
+            r_did, r_tick = did[reps], tick[reps]
+            o2 = np.lexsort((r_tick, r_did))
+            d2, t2 = r_did[o2], r_tick[o2]
+            boundary = np.empty(len(o2), dtype=bool)
+            boundary[0] = True
+            np.not_equal(d2[1:], d2[:-1], out=boundary[1:])
+            grp = np.cumsum(boundary) - 1
+            starts = np.flatnonzero(boundary)
+            rank = np.arange(len(o2)) - starts[grp]
+            kth = np.minimum(starts[grp] + (k - 1), len(o2) - 1)
+            keep = reps[o2[(rank < k) | (t2 == t2[kth])]]
+            cand_dst = [dst[i] for i in keep]
+            cand_tick = tick[keep]
+            cand_text = [txt[i] for i in keep]
+            return pa.table(
+                {
+                    "dst": pa.array(out_dst + cand_dst, pa.string()),
+                    "tick": pa.array(
+                        np.concatenate([out_tick, cand_tick]), pa.int64()
+                    ),
+                    "text": pa.array(out_text + cand_text, pa.string()),
+                    "cnt": pa.array(
+                        np.concatenate(
+                            [out_cnt, np.zeros(len(keep), dtype=np.int64)]
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+        return pa.table(
+            {
+                "dst": pa.array(out_dst, pa.string()),
+                "tick": pa.array(out_tick, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+                "cnt": pa.array(out_cnt, pa.int64()),
+            }
+        )
+
+    def _add_bucket(batch: pa.Table) -> pa.Table:
+        ids = hash_nodes_int64(batch.column("dst").to_pylist())
+        b = (ids.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def _reduce(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby("dst", sort=True)["cnt"].sum()
+        cand = group[group["text"].notna()]
+        anchors = {}
+        if len(cand):
+            # distinct texts per dst, keep the k smallest per-text min
+            # ticks (tie by text ascending — fully order-independent)
+            cand = cand.sort_values(["dst", "tick", "text"], kind="stable")
+            cand = cand.drop_duplicates(["dst", "text"])
+            topk = cand.groupby("dst", sort=False).head(k)
+            anchors = topk.groupby("dst", sort=False)["text"].agg(sep.join).to_dict()
+        return pd.DataFrame(
+            {
+                "dst": cnt.index,
+                "n_inlinks": cnt.to_numpy(np.int64),
+                "anchors": [anchors.get(d, "") for d in cnt.index],
+            }
+        )
+
+    return (
+        edges.select_columns([dst_col, src_col, text_col])
+        .map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_reduce, batch_format="pandas")
     )

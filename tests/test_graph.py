@@ -231,6 +231,83 @@ def test_extract_links_and_attach(ray_session):
     )
 
 
+def test_extract_links_anchor_text(ray_session):
+    pages = ray.data.from_items(
+        [
+            {
+                "url": "http://s.example/",
+                "html": b'<a href="/a"><b>Bold</b> label </a>'
+                b'<a href="/b">plain</a><a href="/c"></a>',
+            }
+        ]
+    )
+    df = extract_links(pages, with_anchor_text=True).to_pandas()
+    by_dst = dict(zip(df["dst"], df["anchor"]))
+    assert by_dst["http://s.example/a"] == "Bold label"
+    assert by_dst["http://s.example/b"] == "plain"
+    assert by_dst["http://s.example/c"] == ""
+
+
+def _brute_anchor_texts(rows, k=20, sep=" | "):
+    from ocr_dataset_builder_ray.functions.urltools import hash_nodes_int64
+
+    df = pd.DataFrame(rows)
+    df["tick"] = hash_nodes_int64(df["src"].tolist())
+    out = {}
+    for dst, g in df.groupby("dst"):
+        cand = g[g["anchor"] != ""].copy()
+        # per-text representative tick = min tick, then k smallest
+        # (tick, text) — mirrors the operator's order-independent rule
+        cand = cand.sort_values(["tick", "anchor"], kind="stable")
+        cand = cand.drop_duplicates(["anchor"])
+        cand = cand.sort_values(["tick", "anchor"], kind="stable").head(k)
+        out[dst] = (len(g), sep.join(cand["anchor"]))
+    return out
+
+
+def test_anchor_texts_matches_brute_force(ray_session):
+    from ocr_dataset_builder_ray.stages.graph import anchor_texts
+
+    rng = np.random.default_rng(3)
+    rows = [
+        {
+            "src": f"http://s{int(i)}.example/",
+            "dst": f"http://t{int(rng.integers(0, 12))}.example/",
+            "anchor": ["click here", "more", "docs", ""][int(rng.integers(0, 4))],
+        }
+        for i in range(300)
+    ]
+    expect = _brute_anchor_texts(rows, k=2)
+    for par in (1, 8):
+        ds = ray.data.from_items(rows, override_num_blocks=par)
+        got = anchor_texts(ds, k=2).to_pandas()
+        assert len(got) == len(expect)
+        for _, r in got.iterrows():
+            n, anch = expect[r["dst"]]
+            assert r["n_inlinks"] == n
+            assert r["anchors"] == anch
+        assert "__b" not in got.columns
+
+
+def test_anchor_texts_hot_dst_bounded(ray_session):
+    # one target with EVERY in-link: partials keep <= k rows per batch,
+    # output anchors joins exactly k distinct texts
+    from ocr_dataset_builder_ray.stages.graph import anchor_texts
+
+    rows = [
+        {"src": f"http://s{i}.example/", "dst": "http://hot.example/",
+         "anchor": f"anchor {i}"}
+        for i in range(500)
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=10)
+    got = anchor_texts(ds, k=5).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["n_inlinks"] == 500
+    assert len(got.iloc[0]["anchors"].split(" | ")) == 5
+    expect = _brute_anchor_texts(rows, k=5)
+    assert got.iloc[0]["anchors"] == expect["http://hot.example/"][1]
+
+
 def test_hash_nodes_roundtrip_determinism():
     a = hash_nodes_int64(["x", "y", "x"])
     assert a.dtype == np.int64
