@@ -240,6 +240,34 @@ def _cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_linkrank(args: argparse.Namespace) -> int:
+    """Build the hyperlink graph from a pages dir and PageRank it."""
+    _ensure_ray()
+    import ray.data
+
+    from .stages.graph import extract_links, pagerank
+
+    pages = _read_clean(args.input, ["url", "html"])
+    edges = extract_links(pages).materialize()
+    pr = pagerank(edges, n_iter=args.iters, damping=args.damping)
+    scored = pr.attach(pages.drop_columns(["html"]), "url")
+    scored.write_parquet(args.output)
+    top = pr.top_k(args.top)
+    print(
+        json.dumps(
+            {
+                "nodes": pr.n_nodes,
+                "edges": pr.n_edges,
+                "iterations": pr.iterations,
+                "final_delta": pr.delta,
+                "output": args.output,
+                "top_node_ids": [int(v) for v in top["node_id"]],
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_ingest_warc(args: argparse.Namespace) -> int:
     """WARC archives -> pages-shaped parquet dir (the extract input).
 
@@ -382,6 +410,16 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--input", required=True)
     pr.add_argument("--columns", nargs="+", required=True)
     pr.set_defaults(fn=_cmd_profile)
+
+    lr = sub.add_parser(
+        "linkrank", help="hyperlink graph + PageRank over a pages dir"
+    )
+    lr.add_argument("--input", required=True)
+    lr.add_argument("--output", required=True)
+    lr.add_argument("--iters", type=int, default=20)
+    lr.add_argument("--damping", type=float, default=0.85)
+    lr.add_argument("--top", type=int, default=10)
+    lr.set_defaults(fn=_cmd_linkrank)
 
     w = sub.add_parser(
         "ingest-warc", help="WARC archives -> pages parquet (extract input)"

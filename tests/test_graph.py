@@ -308,6 +308,38 @@ def test_anchor_texts_hot_dst_bounded(ray_session):
     assert got.iloc[0]["anchors"] == expect["http://hot.example/"][1]
 
 
+def test_cli_linkrank(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_dataset_builder_ray.cli import main
+
+    rows = {
+        "url": [f"http://h{i}.example/" for i in range(20)],
+        "html": [
+            f'<a href="http://h{(i + 1) % 20}.example/">next</a>'
+            f'<a href="http://h0.example/">home</a>'.encode()
+            for i in range(20)
+        ],
+    }
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.table({"url": rows["url"],
+                             "html": pa.array(rows["html"], pa.binary())}), src)
+    out_dir = str(tmp_path / "ranks")
+    assert main(["linkrank", "--input", src, "--output", out_dir,
+                 "--iters", "15", "--top", "3"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # h0 drops its self-link, h19's next==home dedups: 18*2 + 1 + 1
+    assert res["nodes"] == 20 and res["edges"] == 38
+    assert res["iterations"] == 15 and len(res["top_node_ids"]) == 3
+    ranked = ray.data.read_parquet(out_dir).to_pandas()
+    assert set(ranked.columns) == {"url", "pagerank"}
+    # the universally-linked home page dominates
+    assert ranked.loc[ranked["pagerank"].idxmax(), "url"] == "http://h0.example/"
+
+
 def test_hash_nodes_roundtrip_determinism():
     a = hash_nodes_int64(["x", "y", "x"])
     assert a.dtype == np.int64
