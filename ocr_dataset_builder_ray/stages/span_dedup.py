@@ -344,3 +344,207 @@ def apply_span_dedup(
         )
 
     return ds.map_batches(_cut, batch_format="pyarrow")
+
+
+# -- corpus-level exact line dedup (the C4 rule) --------------------------
+
+
+def _line_rows(
+    batch: pa.Table, text_col: str, key_col: str, min_chars: int
+) -> pa.Table:
+    """Skinny (lhash, packed) rows — one per dedup-eligible line.
+
+    Vectorized: ONE ``split_pattern`` per batch, line hashes over the
+    flat child array, positions from the list offsets (the
+    ``doc_tokens`` pattern). Lines shorter than ``min_chars`` never
+    enter the plan (they also never get dropped)."""
+    empty = pa.table(
+        {"lhash": pa.array([], pa.int64()), "packed": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lines = pc.split_pattern(col, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):  # pragma: no cover
+        lines = lines.combine_chunks()
+    offsets = lines.offsets.to_numpy()
+    flat = lines.values
+    counts = np.diff(offsets)
+    if not len(flat):
+        return empty
+    doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), counts
+    )
+    ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = ln >= min_chars
+    if not keep.any():
+        return empty
+    doc, idx = doc[keep], idx[keep]
+    lh = stable_hash64_array(
+        flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    )
+    keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
+    ncnt = counts.astype(np.int64)
+    line_docs = np.unique(doc)
+    if int(ncnt[line_docs].max()) > POS_MOD or int(keys[line_docs].max()) >= (
+        1 << (63 - POS_BITS)
+    ):
+        raise ValueError("line_dedup packing overflow (lines/doc or key width)")
+    return pa.table(
+        {
+            "lhash": pa.array(lh.view(np.int64)),
+            "packed": pa.array(keys[doc] * POS_MOD + idx),
+        }
+    )
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    *,
+    min_chars: int = 1,
+    as_dataset: bool = False,
+) -> pd.DataFrame | ray.data.Dataset:
+    """Corpus-level exact line dedup plan — the C4 rule (Raffel et al.
+    2020 §2.2 discard repeated lines; first occurrence wins): one
+    ``(key, line_idx)`` loser row per line whose exact content already
+    occurred at a smaller (key, idx) anywhere in the corpus.
+
+    Same machinery and bounds as :func:`span_dedup`: skinny
+    (hash, packed) rows, small-input driver fast path, else ONE
+    skew-free coarse-bucket exchange with a vectorized per-bucket
+    first-wins reduce. Default returns the duplicate-bounded driver
+    DataFrame for :func:`apply_line_dedup` to broadcast;
+    ``as_dataset=True`` keeps losers distributed (web boilerplate
+    makes duplicate LINES the common case at crawl scale, so the loser
+    set itself can be corpus-scaled — at that size join the loser
+    rows onto the corpus with ``stages.join.hash_join`` instead of
+    broadcasting).
+
+    ``min_chars`` exempts short lines (empty lines, bullets,
+    separators) from dedup entirely — C4 applies its rule to
+    3-sentence spans for the same reason.
+    """
+    line_rows = ds.map_batches(
+        lambda t: _line_rows(t, text_col, key_col, min_chars),
+        batch_format="pyarrow",
+    ).materialize()
+
+    losers_ds: ray.data.Dataset | None = None
+    if line_rows.count() <= SMALL_INPUT_WINDOW_ROWS:
+        wdf = line_rows.to_pandas()
+        if "lhash" not in wdf.columns:
+            wdf = pd.DataFrame({"lhash": [], "packed": []})
+        lh = wdf["lhash"].to_numpy(dtype=np.int64, copy=False)
+        pk = wdf["packed"].to_numpy(dtype=np.int64, copy=False)
+        order = np.lexsort((pk, lh))
+        lh_s, pk_s = lh[order], pk[order]
+        first = np.r_[True, lh_s[1:] != lh_s[:-1]] if len(lh_s) else np.empty(0, bool)
+        losers = pk_s[~first] if len(lh_s) else pk_s
+    else:
+        n_rows = line_rows.count()
+        n_buckets = max(32, int(n_rows // 2_000_000) + 1)
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            lh = t["lhash"].to_numpy(zero_copy_only=False)
+            b = (lh.view(np.uint64) >> np.uint64(32)) % np.uint64(n_buckets)
+            return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+        def _bucket_losers(group: pa.Table) -> pa.Table:
+            lh = group["lhash"].to_numpy(zero_copy_only=False)
+            pk = group["packed"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((pk, lh))
+            lh_s, pk_s = lh[order], pk[order]
+            first = np.r_[True, lh_s[1:] != lh_s[:-1]]
+            return pa.table({"packed": pa.array(pk_s[~first], type=pa.int64())})
+
+        losers_ds = (
+            line_rows.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_bucket_losers, batch_format="pyarrow")
+        )
+        if not as_dataset:
+            ldf = losers_ds.to_pandas()
+            losers = (
+                ldf["packed"].to_numpy()
+                if "packed" in ldf.columns
+                else np.empty(0, np.int64)
+            )
+
+    def _unpack(packed: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: (packed // POS_MOD).astype(np.int64),
+                "line_idx": (packed % POS_MOD).astype(np.int64),
+            }
+        )
+
+    if not as_dataset:
+        return (
+            _unpack(np.asarray(losers, dtype=np.int64))
+            .sort_values([key_col, "line_idx"])
+            .reset_index(drop=True)
+        )
+    if losers_ds is None:
+        losers_ds = ray.data.from_arrow(
+            pa.table({"packed": pa.array(losers, type=pa.int64())})
+        )
+
+    def _unpack_batch(t: pa.Table) -> pa.Table:
+        pk = t["packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: pa.array(pk // POS_MOD, pa.int64()),
+                "line_idx": pa.array(pk % POS_MOD, pa.int64()),
+            }
+        )
+
+    return losers_ds.map_batches(_unpack_batch, batch_format="pyarrow")
+
+
+def apply_line_dedup(
+    ds: ray.data.Dataset,
+    losers: pd.DataFrame,
+    text_col: str,
+    key_col: str,
+) -> ray.data.Dataset:
+    """Remove the planned loser lines from each document (survivors
+    re-joined with newlines) — broadcast loser table, pure map; the
+    same drop-set contract as ``apply_span_dedup``."""
+    packed = (
+        losers[key_col].to_numpy(dtype=np.int64) * POS_MOD
+        + losers["line_idx"].to_numpy(dtype=np.int64)
+    )
+    packed_ref = ray.put(np.sort(packed))
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        drop = ray.get(packed_ref)
+        out = []
+        for key, text in zip(
+            batch[key_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            if text is None:
+                out.append(text)
+                continue
+            lines = text.split("\n")
+            base = int(key) * POS_MOD
+            lo = np.searchsorted(drop, base)
+            hi = np.searchsorted(drop, base + len(lines))
+            if lo == hi:
+                out.append(text)
+                continue
+            bad = set((drop[lo:hi] - base).tolist())
+            out.append(
+                "\n".join(l for i, l in enumerate(lines) if i not in bad)
+            )
+        return batch.set_column(
+            batch.schema.get_field_index(text_col),
+            text_col,
+            pa.array(out, type=batch[text_col].type),
+        )
+
+    return ds.map_batches(_cut, batch_format="pyarrow")

@@ -146,3 +146,96 @@ def test_span_dedup_as_dataset_identical(ray_session, monkeypatch):
     )
     assert got_small.equals(want)
     assert got_big.equals(want)
+
+
+# -- line_dedup (C4 rule) --------------------------------------------------
+
+
+def _brute_line_losers(texts: dict[int, str], min_chars=1) -> set:
+    seen = set()
+    losers = set()
+    for key in sorted(texts):
+        for i, line in enumerate((texts[key] or "").split("\n")):
+            if len(line) < min_chars:
+                continue
+            if line in seen:
+                losers.add((key, i))
+            else:
+                seen.add(line)
+    return losers
+
+
+def _line_corpus(seed=7, n_docs=40) -> dict[int, str]:
+    rng = np.random.default_rng(seed)
+    boiler = ["© example site", "home | products | about", "follow us"]
+    texts = {}
+    for k in range(n_docs):
+        lines = [f"unique content {k} row {j} {int(rng.integers(1e6))}"
+                 for j in range(int(rng.integers(2, 6)))]
+        for b in boiler:
+            if rng.random() < 0.6:
+                lines.insert(int(rng.integers(0, len(lines))), b)
+        if rng.random() < 0.2:
+            lines.append("")  # empty lines are exempt
+        texts[k] = "\n".join(lines)
+    return texts
+
+
+def test_line_dedup_matches_brute(ray_session):
+    texts = _line_corpus()
+    got = S.line_dedup(_ds(texts), "text", "doc_id")
+    got_set = set(zip(got["doc_id"], got["line_idx"]))
+    assert got_set == _brute_line_losers(texts)
+    assert len(got_set) > 0  # boilerplate repeats by construction
+
+
+def test_line_dedup_paths_identical(ray_session, monkeypatch):
+    texts = _line_corpus(seed=11)
+    want = S.line_dedup(_ds(texts), "text", "doc_id")
+    got_ds = (
+        S.line_dedup(_ds(texts), "text", "doc_id", as_dataset=True)
+        .to_pandas().sort_values(["doc_id", "line_idx"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(S, "SMALL_INPUT_WINDOW_ROWS", 0)
+    got_big = S.line_dedup(_ds(texts), "text", "doc_id")
+    got_big_ds = (
+        S.line_dedup(_ds(texts), "text", "doc_id", as_dataset=True)
+        .to_pandas().sort_values(["doc_id", "line_idx"]).reset_index(drop=True)
+    )
+    assert got_ds.equals(want)
+    assert got_big.equals(want)
+    assert got_big_ds.equals(want)
+
+
+def test_line_dedup_min_chars(ray_session):
+    texts = {0: "aa\n--\nbody one", 1: "aa\n--\nbody two", 2: "--\naa"}
+    # min_chars=3 exempts both "aa" and "--"
+    got = S.line_dedup(_ds(texts), "text", "doc_id", min_chars=3)
+    assert len(got) == 0
+    got1 = S.line_dedup(_ds(texts), "text", "doc_id", min_chars=1)
+    assert set(zip(got1["doc_id"], got1["line_idx"])) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+
+
+def test_apply_line_dedup_first_occurrence_survives(ray_session):
+    texts = _line_corpus(seed=3)
+    losers = S.line_dedup(_ds(texts), "text", "doc_id")
+    cleaned = S.apply_line_dedup(_ds(texts), losers, "text", "doc_id").to_pandas()
+    out = dict(zip(cleaned["doc_id"], cleaned["text"]))
+    # brute-force rewrite
+    loser_set = _brute_line_losers(texts)
+    for k, t in texts.items():
+        keep = [l for i, l in enumerate(t.split("\n")) if (k, i) not in loser_set]
+        assert out[k] == "\n".join(keep)
+    # every dedup-eligible line occurs at most once corpus-wide after
+    all_lines = [l for t in out.values() for l in t.split("\n") if len(l) >= 1]
+    assert len(all_lines) == len(set(all_lines))
+
+
+def test_line_dedup_parallelism_invariant(ray_session):
+    texts = _line_corpus(seed=23)
+    items = [{"doc_id": k, "text": v} for k, v in texts.items()]
+    a = S.line_dedup(
+        ray.data.from_items(items, override_num_blocks=1), "text", "doc_id")
+    b = S.line_dedup(
+        ray.data.from_items(items, override_num_blocks=8), "text", "doc_id")
+    assert a.equals(b)
