@@ -841,7 +841,11 @@ def run_graph_bench() -> dict:
         pages_parquet_files,
     )
     from ocr_dataset_builder_ray.stages.curation import domain_cap
-    from ocr_dataset_builder_ray.stages.graph import extract_links, pagerank
+    from ocr_dataset_builder_ray.stages.graph import (
+        anchor_texts,
+        extract_links,
+        pagerank,
+    )
 
     corpus = generate_pages_corpus(default_corpus_dir(n_pages), n_rows=n_pages)
     files = pages_parquet_files(corpus)
@@ -853,14 +857,22 @@ def run_graph_bench() -> dict:
     extract_links(_pages().limit(2000)).count()
 
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
-    times: dict[str, list[float]] = {"extract_links": [], "pagerank": [], "attach": [], "domain_cap": []}
+    times: dict[str, list[float]] = {
+        "extract_links": [], "pagerank": [], "attach": [],
+        "domain_cap": [], "anchor_texts": [],
+    }
     pr = None
-    n_edges = 0
+    n_edges = n_anchor_rows = 0
     for _ in range(reps):
         t0 = time.monotonic()
         edges = extract_links(_pages()).materialize()
         n_edges = edges.count()
         times["extract_links"].append(time.monotonic() - t0)
+
+        t0 = time.monotonic()
+        edges_t = extract_links(_pages(), with_anchor_text=True)
+        n_anchor_rows = anchor_texts(edges_t, k=10).count()
+        times["anchor_texts"].append(time.monotonic() - t0)
 
         t0 = time.monotonic()
         pr = pagerank(edges, n_iter=n_iter)
@@ -893,6 +905,7 @@ def run_graph_bench() -> dict:
         "iterations": pr.iterations,
         "final_delta": pr.delta,
         "capped_rows": n_capped,
+        "anchor_targets": n_anchor_rows,
         "num_cpus": ncpu,
     }
     ray.shutdown()
@@ -1259,6 +1272,33 @@ def run_curation_bench() -> dict:
 
     _time("profile_columns", _profile)
 
+    def _line_dedup():
+        from ocr_dataset_builder_ray.stages.span_dedup import (
+            apply_line_dedup,
+            line_dedup,
+        )
+
+        # reflow the single-line corpus into ~12-word lines (vectorized,
+        # untimed part of input prep happens inside the timed chain —
+        # the reflow is one RE2 pass, the realistic shape of the input)
+        def _reflow(t):
+            return t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                _pc.replace_substring_regex(
+                    t["text"], pattern=r"((?:\S+ ){11}\S+) ", replacement="\\1\n"
+                ),
+            )
+
+        docs = _read().map_batches(_reflow, batch_format="pyarrow").materialize()
+        losers = line_dedup(docs, "text", "doc_id")
+        cleaned = apply_line_dedup(docs, losers, "text", "doc_id")
+        n = cleaned.count()
+        results.setdefault("line_dedup_detail", {})["loser_lines"] = int(len(losers))
+        return n
+
+    _time("line_dedup_roundtrip", _line_dedup)
+
     def _semantic():
         import numpy as _np
 
@@ -1323,6 +1363,7 @@ _CURATION_OPS = [
     "build_postings",
     "hot_token_postings",
     "profile_columns",
+    "line_dedup_roundtrip",
     "semantic_dedup",
     "span_dedup_roundtrip",
 ]
