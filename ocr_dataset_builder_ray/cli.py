@@ -268,6 +268,28 @@ def _cmd_linkrank(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ingest_docs(args: argparse.Namespace) -> int:
+    """JSONL / CSV / parquet -> canonical documents parquet dir."""
+    _ensure_ray()
+    import ray.data
+
+    from .sources.ingest import normalize_documents, read_any
+
+    ds = read_any(args.input, fmt=args.fmt)
+    out = normalize_documents(
+        ds,
+        text_col=args.text_col,
+        key_col=args.key_col,
+        lang_col=args.lang_col,
+        source_col=args.source_col,
+        min_chars=args.min_chars,
+    )
+    out.write_parquet(args.output)
+    n = ray.data.read_parquet(args.output).count()
+    print(json.dumps({"documents": n, "output": args.output}))
+    return 0
+
+
 def _cmd_ingest_warc(args: argparse.Namespace) -> int:
     """WARC archives -> pages-shaped parquet dir (the extract input).
 
@@ -420,6 +442,20 @@ def build_parser() -> argparse.ArgumentParser:
     lr.add_argument("--damping", type=float, default=0.85)
     lr.add_argument("--top", type=int, default=10)
     lr.set_defaults(fn=_cmd_linkrank)
+
+    ig = sub.add_parser(
+        "ingest-docs",
+        help="normalize jsonl/csv/parquet into the documents shape",
+    )
+    ig.add_argument("--input", required=True)
+    ig.add_argument("--output", required=True)
+    ig.add_argument("--fmt", choices=["json", "csv", "parquet"], default=None)
+    ig.add_argument("--text-col", required=True)
+    ig.add_argument("--key-col", required=True)
+    ig.add_argument("--lang-col", default=None)
+    ig.add_argument("--source-col", default=None)
+    ig.add_argument("--min-chars", type=int, default=1)
+    ig.set_defaults(fn=_cmd_ingest_docs)
 
     w = sub.add_parser(
         "ingest-warc", help="WARC archives -> pages parquet (extract input)"
