@@ -1185,6 +1185,23 @@ def run_curation_bench() -> dict:
 
     _time("unigram_logprob", _logprob)
 
+    def _nb_classifier():
+        """Train-then-score roundtrip: the model is vocab x n_classes
+        (broadcast-sized), both passes are corpus-read-bound."""
+        from ocr_dataset_builder_ray.stages.classify import (
+            nb_classify,
+            train_nb_classifier,
+        )
+
+        model = train_nb_classifier(_read(), label_col="lang")
+        results["nb_classifier_detail"] = {
+            "vocab": int(model.vocab.size),
+            "classes": len(model.classes),
+        }
+        return nb_classify(_read(), model, extra_cols=("lang",)).count()
+
+    _time("nb_classifier", _nb_classifier)
+
     def _postings():
         from ocr_dataset_builder_ray.stages.retrieval import build_postings
 
@@ -1360,6 +1377,7 @@ _CURATION_OPS = [
     "bm25_topk",
     "chunk_documents",
     "unigram_logprob",
+    "nb_classifier",
     "build_postings",
     "hot_token_postings",
     "profile_columns",

@@ -82,31 +82,39 @@ def train_nb_classifier(
     def _partial(batch: pa.Table) -> pa.Table:
         doc, th = _doc_tokens(batch, text_col)
         labels = np.asarray(batch[label_col].to_pylist(), dtype=object)
-        out_lab: list = []
-        out_h: list = []
-        out_c: list = []
-        tok_lab = labels[doc] if th.size else labels[:0]
-        uniq_lab = np.unique(labels) if labels.size else labels[:0]
-        for lab in uniq_lab:
-            m = tok_lab == lab
-            if m.any():
-                uh, cnt = np.unique(th[m], return_counts=True)
-                out_lab.append(np.full(uh.size, lab, dtype=object))
-                out_h.append(uh.view(np.int64))
-                out_c.append(cnt.astype(np.int64))
-            # document-count sentinel (counts ALL docs of the label,
-            # including empty-text ones — priors are doc priors)
-            out_lab.append(np.array([lab], dtype=object))
-            out_h.append(np.array([_DOC_SENTINEL], dtype=np.int64))
-            out_c.append(np.array([int((labels == lab).sum())], dtype=np.int64))
-        if out_h:
-            lab_a = np.concatenate(out_lab)
-            h_a = np.concatenate(out_h)
-            c_a = np.concatenate(out_c)
+        if labels.size:
+            uniq_lab, lab_codes = np.unique(labels, return_inverse=True)
         else:
-            lab_a = np.empty(0, dtype=object)
-            h_a = np.empty(0, dtype=np.int64)
-            c_a = np.empty(0, dtype=np.int64)
+            uniq_lab, lab_codes = labels[:0], np.empty(0, dtype=np.intp)
+        # ONE lexsort over (label-code, hash) int arrays + run-length
+        # reduce — no per-label object-equality scans over the tokens
+        if th.size:
+            h64 = th.view(np.int64)
+            tok_codes = lab_codes[doc]
+            order = np.lexsort((h64, tok_codes))
+            h_s, tc_s = h64[order], tok_codes[order]
+            new = np.empty(h_s.size, dtype=bool)
+            new[0] = True
+            new[1:] = (h_s[1:] != h_s[:-1]) | (tc_s[1:] != tc_s[:-1])
+            starts = np.flatnonzero(new)
+            tok_cnt = np.diff(np.append(starts, h_s.size)).astype(np.int64)
+            tok_h, tok_code = h_s[starts], tc_s[starts]
+        else:
+            tok_h = np.empty(0, dtype=np.int64)
+            tok_code = np.empty(0, dtype=np.intp)
+            tok_cnt = np.empty(0, dtype=np.int64)
+        # document-count sentinel rows (count ALL docs of the label,
+        # including empty-text ones — priors are doc priors)
+        doc_cnt = np.bincount(lab_codes, minlength=uniq_lab.size).astype(
+            np.int64
+        )
+        lab_a = uniq_lab[
+            np.concatenate([tok_code, np.arange(uniq_lab.size, dtype=np.intp)])
+        ]
+        h_a = np.concatenate(
+            [tok_h, np.full(uniq_lab.size, _DOC_SENTINEL, dtype=np.int64)]
+        )
+        c_a = np.concatenate([tok_cnt, doc_cnt])
         bucket = (h_a.view(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
         return pa.table(
             {
