@@ -1316,6 +1316,44 @@ def run_curation_bench() -> dict:
 
     _time("line_dedup_roundtrip", _line_dedup)
 
+    def _boilerplate():
+        """Within-domain boilerplate: 1000 synthetic domains over the
+        reflowed corpus, a per-domain NAVBAR line injected into every
+        even doc (hot at min_docs=10), plan + strip roundtrip."""
+        import numpy as _np
+        import pyarrow as _pa
+
+        from ocr_dataset_builder_ray.stages.boilerplate import (
+            boilerplate_lines,
+            strip_boilerplate,
+        )
+
+        def _prep(t: _pa.Table) -> _pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            dom = _np.char.add(
+                _np.char.add("d", (ids % 1000).astype("U4")), ".com"
+            )
+            reflow = _pc.replace_substring_regex(
+                t["text"],
+                pattern=r"((?:\S+ ){11}\S+) ",
+                replacement="\\1\n",
+            )
+            nav = _pa.array(_np.char.add("NAVBAR menu for ", dom))
+            with_nav = _pc.binary_join_element_wise(nav, reflow, "\n")
+            text = _pc.if_else(
+                _pa.array(ids % 2 == 0), with_nav, reflow
+            )
+            return t.set_column(
+                t.schema.get_field_index("text"), "text", text
+            ).append_column("domain", _pa.array(dom))
+
+        docs = _read().map_batches(_prep, batch_format="pyarrow").materialize()
+        plan = boilerplate_lines(docs, min_docs=10)
+        results["boilerplate_detail"] = {"hot_lines": int(len(plan))}
+        return strip_boilerplate(docs, plan).count()
+
+    _time("boilerplate_roundtrip", _boilerplate)
+
     def _semantic():
         import numpy as _np
 
@@ -1382,6 +1420,7 @@ _CURATION_OPS = [
     "hot_token_postings",
     "profile_columns",
     "line_dedup_roundtrip",
+    "boilerplate_roundtrip",
     "semantic_dedup",
     "span_dedup_roundtrip",
 ]
