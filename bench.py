@@ -426,6 +426,58 @@ def run_dedup_bench() -> dict:
         "vecs_per_sec": round(n_vecs / sec, 1),
         "result_rows": len(res),
     }
+    def _ivfpq():
+        from ocr_dataset_builder_ray.stages.pq import (
+            pq_encode,
+            pq_search,
+            pq_train,
+        )
+
+        t0 = time.monotonic()
+        model = pq_train(
+            _vread(), n_centroids=64, m=8, ks=256, train_sample=4096
+        )
+        train_s = time.monotonic() - t0
+        t0 = time.monotonic()
+        codes = pq_encode(_vread(), model).materialize()
+        encode_s = time.monotonic() - t0
+        # the synthetic corpus is ISOTROPIC random vectors — the
+        # worst case for IVF probing (true neighbors spread uniformly
+        # over lists), so recall here is a floor, not typical; report
+        # the recall/probe-fraction trade-off at two settings
+        want = set(zip(res["query_id"], res["vec_id"]))
+        out = {
+            "train_sec": round(train_s, 2),
+            "encode_sec": round(encode_s, 2),
+            "encode_vecs_per_sec": round(n_vecs / encode_s, 1),
+            "code_bytes_per_vec": int(model.m),
+        }
+        # shortlist scales with probes (the standard IVFADC knob: a
+        # fixed shortlist makes recall NON-monotone in nprobe when
+        # quantization error swamps neighbor gaps, as it does here)
+        for nprobe, rf in ((8, 16), (32, 16)):
+            t0 = time.monotonic()
+            got = pq_search(
+                codes,
+                model,
+                queries_m,
+                k=10,
+                nprobe=nprobe,
+                rerank_ds=_vread(),
+                rerank_factor=rf,
+            )
+            search_s = time.monotonic() - t0
+            have = set(zip(got["query_id"], got["vec_id"]))
+            out[f"nprobe{nprobe}_shortlist{rf * 10}"] = {
+                "search_sec": round(search_s, 2),
+                "recall_vs_bruteforce": round(
+                    len(want & have) / max(1, len(want)), 4
+                ),
+            }
+        return out
+
+    results["ivfpq"] = _ivfpq()
+
     results["hot_bucket"] = _hot_bucket_kernels()
 
     out = {
