@@ -862,6 +862,35 @@ def minhash_lsh_dedup(
     (byte-identical results on every path; "bucket"/"pairs" accepted
     as legacy aliases).
     """
+    verified = _minhash_verified_pairs(
+        ds,
+        text_col,
+        key_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        verify=verify,
+    )
+    drop = resolve_drop_keys(verified, components=components)
+    return drop_keys_filter(ds, key_col, drop)
+
+
+def _minhash_verified_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    verify: str = "auto",
+):
+    """The shared shingle→minhash→band→candidates→verify front half of
+    ``minhash_lsh_dedup`` / ``minhash_clusters`` — returns the verified
+    duplicate pairs (driver DataFrame or Dataset per the verify path),
+    duplicate-bounded either way."""
     if verify in ("bucket", "pairs"):  # round-2 legacy aliases
         verify = "auto" if verify == "bucket" else "distributed"
 
@@ -942,7 +971,7 @@ def minhash_lsh_dedup(
     def _est_jaccard_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return (a == b).mean(axis=1)
 
-    verified = _verify_candidates(
+    return _verify_candidates(
         candidates,
         ds,
         text_col,
@@ -954,8 +983,146 @@ def minhash_lsh_dedup(
         score_pairs_fn=_est_jaccard_pairs,
         sigs=sigs,
     )
-    drop = resolve_drop_keys(verified, components=components)
-    return drop_keys_filter(ds, key_col, drop)
+
+
+def _union_find_labels(pair_iter) -> dict:
+    """(a, b) pair stream → {touched key: component min-key}. The same
+    min-key-root union-find as ``_union_find_drop_keys`` but returning
+    the full (duplicate-bounded) label map."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_iter:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {k: find(k) for k in parent}
+
+
+def clusters_from_pairs(
+    pairs_ds: ray.data.Dataset | pd.DataFrame,
+    ds: ray.data.Dataset,
+    key_col: str,
+    *,
+    components: str = "auto",
+    driver_pair_limit: int = AUTO_DRIVER_PAIR_LIMIT,
+) -> ray.data.Dataset:
+    """Verified duplicate pairs → ``(key, cluster)`` for EVERY input
+    row: cluster = the component's min key; keys touching no pair are
+    their own cluster. The analysis-side sibling of
+    ``resolve_drop_keys`` (stratify / inspect / weight near-dup groups
+    instead of dropping them) with the invariant
+    ``survivors == {key | cluster == key}``.
+
+    Same engine selection and bounds: union-find on the driver up to
+    ``driver_pair_limit`` pairs, min-label propagation beyond; the
+    broadcast label map is duplicate-bounded; the assignment itself is
+    a pure broadcast map over the corpus.
+    """
+    if isinstance(pairs_ds, pd.DataFrame):
+        if components != "distributed":
+            labels = _union_find_labels(zip(pairs_ds["a"], pairs_ds["b"]))
+            keys_arr = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+            roots_arr = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+        else:
+            pairs_ds = ray.data.from_arrow(
+                pa.Table.from_pandas(pairs_ds, preserve_index=False)
+            )
+    if not isinstance(pairs_ds, pd.DataFrame):
+        if components == "auto":
+            pairs_ds = pairs_ds.materialize()
+            components = (
+                "driver"
+                if pairs_ds.count() <= driver_pair_limit
+                else "distributed"
+            )
+        if components == "distributed":
+            from .components import min_label_components
+
+            def _nodes(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])}
+                )
+
+            nodes = (
+                pairs_ds.map_batches(_nodes, batch_format="pyarrow")
+                .groupby("key")
+                .map_groups(lambda t: t.take([0]), batch_format="pyarrow")
+            )
+            lab_df = min_label_components(
+                pairs_ds, nodes, node_col="key"
+            ).to_pandas()
+            if "node" not in lab_df.columns:  # empty loses its schema
+                keys_arr = np.empty(0, np.int64)
+                roots_arr = np.empty(0, np.int64)
+            else:
+                keys_arr = lab_df["node"].to_numpy(dtype=np.int64)
+                roots_arr = lab_df["component"].to_numpy(dtype=np.int64)
+        else:
+            labels = _union_find_labels(
+                (r["a"], r["b"]) for r in pairs_ds.take_all()
+            )
+            keys_arr = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+            roots_arr = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+
+    order = np.argsort(keys_arr)
+    lab_ref = ray.put((keys_arr[order], roots_arr[order]))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        lk, lr = ray.get(lab_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = keys.copy()
+        if lk.size:
+            pos = np.searchsorted(lk, keys)
+            pos_c = np.minimum(pos, lk.size - 1)
+            hit = lk[pos_c] == keys
+            cluster[hit] = lr[pos_c[hit]]
+        kcol = t[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table(
+            {key_col: kcol, "cluster": pa.array(cluster, pa.int64())}
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def minhash_clusters(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    components: str = "auto",
+    verify: str = "auto",
+) -> ray.data.Dataset:
+    """Near-dup CLUSTER ASSIGNMENT: ``(key, cluster)`` for every row,
+    cluster = min key of the MinHash component at estimated Jaccard >=
+    ``threshold`` (singletons map to themselves). The same verified
+    pairs as ``minhash_lsh_dedup`` — a row survives that op iff
+    ``cluster == key`` here."""
+    verified = _minhash_verified_pairs(
+        ds,
+        text_col,
+        key_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        verify=verify,
+    )
+    return clusters_from_pairs(verified, ds, key_col, components=components)
 
 
 # --- simhash ---------------------------------------------------------------
