@@ -614,6 +614,50 @@ def mix_to_proportions(
     ).drop_columns(["__neg_ticket"])
 
 
+def temperature_mix(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.3,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Temperature-based source mixing: derive the target proportions
+    ``p_g ∝ (n_g)^alpha`` from the observed group sizes and mix to them
+    (the multilingual up/down-weighting rule of XLM-R / mT5, Conneau et
+    al. 2020 §3.1, Xue et al. 2021 — public papers; here without
+    upsampling, so flattening means the LARGE groups shrink toward the
+    small ones).
+
+    ``alpha=1`` reproduces the input proportions (no rows dropped);
+    ``alpha=0`` is a uniform mix (every group cut to the smallest).
+    One extra skinny Count pass derives the proportions; selection
+    itself is :func:`mix_to_proportions` (deterministic hash-ticket
+    order statistics, payload never shuffles).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"temperature_mix: alpha must be in [0, 1], got {alpha}")
+    if alpha == 1.0:
+        # identity by definition — short-circuit rather than risk a
+        # float-floor dropping a row through the proportions machinery
+        return ds
+    counts = {
+        r[group_col]: int(r["count()"])
+        for r in ds.select_columns([group_col])
+        .groupby(group_col)
+        .aggregate(Count())
+        .take_all()
+    }
+    if not counts:
+        return ds
+    weights = {g: float(n) ** alpha for g, n in counts.items()}
+    total = sum(weights.values())
+    proportions = {g: w / total for g, w in weights.items()}
+    return mix_to_proportions(
+        ds, group_col, key_col, proportions, n_buckets=n_buckets
+    )
+
+
 def chunk_documents(
     ds: ray.data.Dataset,
     *,

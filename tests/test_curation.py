@@ -299,3 +299,70 @@ def test_mix_to_proportions_exact_and_order_independent(ray_session):
         .reset_index(drop=True)
     )
     assert got["doc_id"].tolist() == got2["doc_id"].tolist()
+
+
+def test_temperature_mix_alpha_one_keeps_everything(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import temperature_mix
+
+    df = _frame(n=800, seed=21)
+    got = temperature_mix(
+        ray.data.from_pandas(df), "lang", "doc_id", alpha=1.0
+    ).to_pandas()
+    # p_g == n_g / N exactly -> every group keeps all rows
+    assert sorted(got["doc_id"]) == sorted(df["doc_id"])
+
+
+def test_temperature_mix_alpha_zero_uniform(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import temperature_mix
+
+    df = _frame(n=800, seed=22)
+    got = temperature_mix(
+        ray.data.from_pandas(df), "lang", "doc_id", alpha=0.0
+    ).to_pandas()
+    sizes = got.groupby("lang").size()
+    n_min = df.groupby("lang").size().min()
+    # uniform proportions, no upsampling: every group cut to the
+    # smallest group's size (modulo the floor in k_g)
+    assert set(sizes) <= {n_min, n_min - 1}
+    assert len(sizes) == df["lang"].nunique()
+
+
+def test_temperature_mix_flattens(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import temperature_mix
+
+    # skewed sources: en dominates
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "lang": ["en"] * 700 + ["de"] * 200 + ["fr"] * 100,
+        }
+    )
+    got = temperature_mix(
+        ray.data.from_pandas(df), "lang", "doc_id", alpha=0.3
+    ).to_pandas()
+    out = got.groupby("lang").size()
+    in_ratio = 700 / 100
+    out_ratio = out["en"] / out["fr"]
+    # flattening: the dominant/smallest ratio shrinks toward
+    # (700/100)^0.3 ~ 1.79
+    assert out_ratio < in_ratio / 2
+    expected = (700 / 100) ** 0.3
+    assert abs(out_ratio - expected) / expected < 0.2
+    # matches the explicit-proportions path exactly
+    from ocr_dataset_builder_ray.stages.curation import mix_to_proportions
+
+    w = {g: n**0.3 for g, n in {"en": 700, "de": 200, "fr": 100}.items()}
+    p = {g: x / sum(w.values()) for g, x in w.items()}
+    via_props = mix_to_proportions(
+        ray.data.from_pandas(df), "lang", "doc_id", p
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(via_props["doc_id"])
+
+
+def test_temperature_mix_rejects_bad_alpha(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import temperature_mix
+
+    df = _frame(n=50)
+    with pytest.raises(ValueError):
+        temperature_mix(ray.data.from_pandas(df), "lang", "doc_id", alpha=1.5)
