@@ -34,6 +34,7 @@ mirroring the SQL oracle's inner join of word stats with bigram stats.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -463,6 +464,72 @@ def unigram_logprob(
         return pa.table(cols)
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def perplexity_buckets(
+    ds: ray.data.Dataset,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    labels: tuple = ("head", "middle", "tail"),
+    n_buckets: int = 64,
+    q_buckets: int = 4096,
+    extra_cols: tuple = (),
+) -> ray.data.Dataset:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3, public
+    paper): per language, bucket documents into perplexity terciles —
+    ``head`` = the most-fluent third (highest ``unigram_logprob``),
+    ``tail`` = the least. Emits ``(key, lang, n_tokens, logprob,
+    bucket)`` (+ ``extra_cols``).
+
+    Composition of two existing exact plans: the vocabulary-bounded
+    :func:`unigram_logprob` scoring pass (materialized once — the
+    quantile and label passes both consume it) and
+    ``curation.group_quantiles``'s no-sort exact order statistics for
+    the per-language 1/3- and 2/3-cutoffs; labeling is then a pure map
+    against the broadcast (language -> cutoffs) table. Boundary ties
+    take the better bucket (``>=`` on the exact quantile_disc value),
+    so bucket sizes are exact thirds only when scores are distinct —
+    the CCNet semantics, deterministic at any parallelism.
+    """
+    if len(labels) != 3:
+        raise ValueError("perplexity_buckets: need exactly 3 labels")
+    from .curation import group_quantiles
+
+    scored = unigram_logprob(
+        ds,
+        text_col=text_col,
+        key_col=key_col,
+        n_buckets=n_buckets,
+        extra_cols=tuple(dict.fromkeys((lang_col, *extra_cols))),
+    ).materialize()
+    qlo, qhi = 1.0 / 3.0, 2.0 / 3.0
+    cuts = group_quantiles(scored, lang_col, "logprob", [qlo, qhi], q_buckets)
+    cut_map = {
+        r[lang_col]: (float(r[f"q{qlo}"]), float(r[f"q{qhi}"]))
+        for r in cuts.to_dict("records")
+    }
+    cuts_ref = ray.put(cut_map)
+
+    def _label(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cuts_ref)
+        lp = batch["logprob"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(
+            pd.Series(batch[lang_col].to_pylist(), dtype=object)
+        )
+        lo = np.array([cm[u][0] for u in uniq], dtype=np.float64)
+        hi = np.array([cm[u][1] for u in uniq], dtype=np.float64)
+        out = np.where(
+            lp >= hi[codes],
+            labels[0],
+            np.where(lp >= lo[codes], labels[1], labels[2]),
+        )
+        return batch.append_column(
+            "bucket", pa.array(out, type=pa.string())
+        )
+
+    return scored.map_batches(_label, batch_format="pyarrow")
 
 
 # RE2-compatible patterns (Arrow's replace_substring_regex and

@@ -3,6 +3,7 @@ distributed k-means (stages/similarity.py) vs brute-force references."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray
 import ray.data
 
@@ -341,3 +342,111 @@ def test_hash_embed_deterministic_and_neardup_cosine(ray_session):
     near = float(vecs[9000] @ vecs[10])
     far = float(vecs[9000] @ vecs[50])
     assert near > 0.9 and near > far
+
+
+# --- perplexity_buckets (CCNet head/middle/tail) ---------------------------
+
+
+def _ppl_corpus(n=300, seed=17):
+    rng = np.random.default_rng(seed)
+    vocab_common = ["the", "a", "of", "and", "to"]
+    vocab_rare = [f"rare{i}" for i in range(400)]
+    rows = []
+    for i in range(n):
+        lang = "en" if i % 3 else "de"
+        # vary the common/rare mix so logprob spreads widely
+        n_common = int(rng.integers(0, 20))
+        n_rare = int(rng.integers(1, 10))
+        words = list(rng.choice(vocab_common, n_common)) + list(
+            rng.choice(vocab_rare, n_rare)
+        )
+        rng.shuffle(words)
+        rows.append((i, lang, " ".join(words)))
+    return pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+
+
+def _disc_quantile(vals, q):
+    """SQL quantile_disc: value at 1-indexed position ceil(q*n)."""
+    import math as _math
+
+    s = np.sort(vals)
+    pos = max(1, int(_math.ceil(q * len(s))))
+    return s[pos - 1]
+
+
+def test_perplexity_buckets_match_reference(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    df = _ppl_corpus()
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = perplexity_buckets(ds).to_pandas()
+    # reference: trusted unigram_logprob output + literal disc-quantile
+    scored = unigram_logprob(
+        ray.data.from_pandas(df), extra_cols=("lang",)
+    ).to_pandas()
+    assert len(got) == len(scored)
+    for lang, sub in scored.groupby("lang"):
+        lo = _disc_quantile(sub["logprob"].to_numpy(), 1 / 3)
+        hi = _disc_quantile(sub["logprob"].to_numpy(), 2 / 3)
+        g = got[got["lang"] == lang].set_index("doc_id")
+        for _, r in sub.iterrows():
+            want = (
+                "head"
+                if r["logprob"] >= hi
+                else ("middle" if r["logprob"] >= lo else "tail")
+            )
+            assert g.loc[r["doc_id"], "bucket"] == want
+    # distinct scores -> terciles within 2 rows of n/3 per language
+    for lang, sub in got.groupby("lang"):
+        sizes = sub.groupby("bucket").size()
+        n = len(sub)
+        if sub["logprob"].nunique() == n:
+            for b in ("head", "middle", "tail"):
+                assert abs(sizes.get(b, 0) - n / 3) <= 2, (lang, dict(sizes))
+
+
+def test_perplexity_buckets_partition_invariant(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import perplexity_buckets
+
+    df = _ppl_corpus(n=200, seed=18)
+    a = (
+        perplexity_buckets(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        perplexity_buckets(ray.data.from_pandas(df).repartition(11))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_perplexity_buckets_all_ties(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import perplexity_buckets
+
+    # identical docs -> identical logprob -> everything is 'head'
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(30, dtype=np.int64),
+            "lang": ["en"] * 30,
+            "text": ["same text here"] * 30,
+        }
+    )
+    got = perplexity_buckets(ray.data.from_pandas(df)).to_pandas()
+    assert (got["bucket"] == "head").all()
+
+
+def test_perplexity_buckets_label_validation(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import perplexity_buckets
+
+    df = _ppl_corpus(n=30)
+    with pytest.raises(ValueError):
+        perplexity_buckets(
+            ray.data.from_pandas(df), labels=("only", "two")
+        )
