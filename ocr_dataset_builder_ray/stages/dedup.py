@@ -876,36 +876,26 @@ def minhash_lsh_dedup(
     return drop_keys_filter(ds, key_col, drop)
 
 
-def _minhash_verified_pairs(
+def minhash_band_rows(
     ds: ray.data.Dataset,
     text_col: str,
     key_col: str,
     *,
-    num_perm: int = 64,
+    mh_a: np.ndarray,
+    mh_b: np.ndarray,
     bands: int = 16,
     shingle_k: int = 5,
-    threshold: float = 0.8,
-    verify: str = "auto",
-):
-    """The shared shingle→minhash→band→candidates→verify front half of
-    ``minhash_lsh_dedup`` / ``minhash_clusters`` — returns the verified
-    duplicate pairs (driver DataFrame or Dataset per the verify path),
-    duplicate-bounded either way."""
-    if verify in ("bucket", "pairs"):  # round-2 legacy aliases
-        verify = "auto" if verify == "bucket" else "distributed"
+) -> ray.data.Dataset:
+    """Shingle → MinHash → skinny band rows ``(key, band_id,
+    band_hash, sig)``. The signature rides along ONCE per doc (packed
+    binary on the doc's first band row, null on the other bands-1
+    rows): num_perm*8 bytes per DOCUMENT, no band fan-out, dropped
+    before every wide op; verification reuses it instead of re-reading
+    every candidate text — at corpus scale that second full payload
+    pass dominated the whole operator. Shared by the one-shot dedup
+    ops and the persistent incremental index
+    (``state/minhash_index.py``)."""
 
-    # stateless task stage, not an actor pool: the only "state" is the
-    # (a, b) permutation params — tiny, deterministic, shipped in the
-    # closure — and a fresh actor pool costs seconds of spawn per call
-    # that warm task workers don't
-    mh_a, mh_b = minhash_params(num_perm)
-
-    # the signature rides along ONCE per doc (packed binary on the
-    # doc's first band row, null on the other bands-1 rows): num_perm*8
-    # bytes per DOCUMENT, no band fan-out, dropped before every wide
-    # op. Verification then reuses it instead of re-reading every
-    # candidate text and recomputing — at corpus scale that second full
-    # payload pass dominated the whole operator
     def _band_batch(batch: pa.Table) -> pa.Table:
         keys, band_ids, band_hashes, sig_bins = [], [], [], []
         for key, text in zip(
@@ -930,7 +920,42 @@ def _minhash_verified_pairs(
             }
         )
 
-    band_rows = ds.map_batches(_band_batch, batch_format="pyarrow").materialize()
+    return ds.map_batches(_band_batch, batch_format="pyarrow")
+
+
+def _minhash_verified_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    key_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    verify: str = "auto",
+):
+    """The shared shingle→minhash→band→candidates→verify front half of
+    ``minhash_lsh_dedup`` / ``minhash_clusters`` — returns the verified
+    duplicate pairs (driver DataFrame or Dataset per the verify path),
+    duplicate-bounded either way."""
+    if verify in ("bucket", "pairs"):  # round-2 legacy aliases
+        verify = "auto" if verify == "bucket" else "distributed"
+
+    # stateless task stage, not an actor pool: the only "state" is the
+    # (a, b) permutation params — tiny, deterministic, shipped in the
+    # closure — and a fresh actor pool costs seconds of spawn per call
+    # that warm task workers don't
+    mh_a, mh_b = minhash_params(num_perm)
+
+    band_rows = minhash_band_rows(
+        ds,
+        text_col,
+        key_col,
+        mh_a=mh_a,
+        mh_b=mh_b,
+        bands=bands,
+        shingle_k=shingle_k,
+    ).materialize()
     if band_rows.count() <= SMALL_INPUT_BAND_ROWS:
         bdf = band_rows.to_pandas()
         candidates = _driver_candidate_pairs(bdf, "band_id", "band_hash")

@@ -1,0 +1,330 @@
+"""Persistent MinHash index for INCREMENTAL near-dup removal across
+passes — the daily-crawl shape: yesterday's corpus is immutable and
+already deduplicated; today's batch must drop (a) near-dups of any
+indexed document (old always wins) and (b) near-dups within itself
+(min key wins), then the survivors join the index.
+
+Semantic anchor: the reference's cross-run checkpoint anti-join
+(ocr_dataset_builder checkpoint_manager semantics — skip work already
+done in a previous run), lifted from exact key identity to MinHash
+near-identity per the standard LSH recipe (Broder 1997; the
+incremental-index formulation is the published streaming-LSH usage,
+e.g. Leskovec-Rajaraman-Ullman, Mining of Massive Datasets ch. 3).
+
+Scale shape — the index is corpus-sized but NOTHING corpus-sized
+moves per pass:
+
+* the index stores the skinny band rows ``(key, band_id, band_hash,
+  sig)`` as append-only partitioned parquet (one directory per pass;
+  a pass failure just re-appends — keys make the merge idempotent);
+* an incremental pass broadcasts the NEW batch's distinct
+  ``(band_id, band_hash)`` mix set (new-batch-bounded) and prunes the
+  index read with it — index rows in untouched LSH buckets never
+  leave storage;
+* candidate pairs / verification / resolution reuse the one-shot
+  machinery (vectorized bucket kernels, carried signatures); old
+  signatures are fetched with a candidate-bounded second filtered
+  read (the sig rides only on a doc's first band row, which the
+  bucket-membership prune may drop);
+* old-old pairs are discarded before verification — the old corpus is
+  immutable by contract, and survivors at sub-threshold similarity
+  must not be re-litigated;
+* resolution is a driver union-find over ``(is_new, key)`` ordered
+  tuples, so any component containing an old document keeps the old
+  one regardless of key order. Pairs are duplicate-bounded (the
+  verified near-dups of ONE batch), the documented driver bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.hashing import (
+    char_shingles,
+    minhash_params,
+    minhash_signature,
+)
+from ..stages.dedup import (
+    SMALL_INPUT_BAND_ROWS,
+    _bucket_mix,
+    _driver_candidate_pairs,
+    _union_find_labels,
+    _verify_candidates,
+    drop_keys_filter,
+    lsh_candidate_pairs_bucketed,
+    minhash_band_rows,
+)
+
+_PARAMS_FILE = "params.json"
+_BANDS_SUBDIR = "bands"
+
+
+def _write_params(index_dir: str, params: dict) -> None:
+    tmp = os.path.join(index_dir, _PARAMS_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(params, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(index_dir, _PARAMS_FILE))
+
+
+def load_index_params(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, _PARAMS_FILE)) as f:
+        return json.load(f)
+
+
+def _bands_dir(index_dir: str, pass_id: int) -> str:
+    return os.path.join(index_dir, _BANDS_SUBDIR, f"pass={pass_id:05d}")
+
+
+def build_minhash_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str,
+    key_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> dict:
+    """Create the index from an initial (already deduplicated) corpus:
+    write its band rows as pass 0 plus the parameter manifest. The
+    LSH parameters are frozen into the index — every later pass must
+    hash identically or candidates are meaningless."""
+    os.makedirs(os.path.join(index_dir, _BANDS_SUBDIR), exist_ok=True)
+    mh_a, mh_b = minhash_params(num_perm)
+    rows = minhash_band_rows(
+        ds, text_col, key_col, mh_a=mh_a, mh_b=mh_b,
+        bands=bands, shingle_k=shingle_k,
+    )
+    rows.write_parquet(_bands_dir(index_dir, 0))
+    params = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "key_col": key_col,
+        "n_passes": 1,
+    }
+    _write_params(index_dir, params)
+    return params
+
+
+def _read_bands(index_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(index_dir, _BANDS_SUBDIR)
+    )
+
+
+def incremental_minhash_dedup(
+    new_ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str,
+    key_col: str,
+    *,
+    threshold: float = 0.8,
+    update: bool = True,
+) -> tuple[ray.data.Dataset, dict]:
+    """One incremental pass: returns ``(survivors of new_ds, report)``
+    and (with ``update=True``) appends the survivors' band rows to the
+    index as the next pass.
+
+    Keys must be globally unique across the index and the new batch —
+    the same contract as every key-addressed operator here. Old
+    documents always win against new near-dups; within the new batch
+    the min key wins (matching ``minhash_lsh_dedup`` exactly, which
+    makes the two paths equivalence-testable)."""
+    params = load_index_params(index_dir)
+    mh_a, mh_b = minhash_params(params["num_perm"])
+    bands, shingle_k = params["bands"], params["shingle_k"]
+
+    new_rows = minhash_band_rows(
+        new_ds, text_col, key_col,
+        mh_a=mh_a, mh_b=mh_b, bands=bands, shingle_k=shingle_k,
+    ).materialize()
+
+    # new-batch-bounded broadcast: the distinct LSH-bucket identities
+    # the new batch touches, as one mixed uint64 per (band_id, hash)
+    ndf = new_rows.select_columns(["key", "band_id", "band_hash"]).to_pandas()
+    if len(ndf) == 0:
+        return new_ds, {
+            "new_docs": 0, "dropped_vs_index": 0,
+            "dropped_within_new": 0, "survivors": 0,
+        }
+    new_mix = np.unique(
+        _bucket_mix(
+            ndf["band_id"].to_numpy(np.int64),
+            ndf["band_hash"].to_numpy(np.int64),
+        )
+    )
+    mix_ref = ray.put(new_mix)
+    new_keys = np.unique(ndf["key"].to_numpy(np.int64))
+    new_keys_ref = ray.put(new_keys)
+
+    def _touched(t: pa.Table) -> pa.Table:
+        mixes = ray.get(mix_ref)
+        m = _bucket_mix(
+            t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["band_hash"].to_numpy(zero_copy_only=False),
+        )
+        pos = np.searchsorted(mixes, m)
+        pos_c = np.minimum(pos, mixes.size - 1)
+        return t.filter(pa.array(mixes[pos_c] == m))
+
+    old_matched = (
+        _read_bands(index_dir)
+        .select_columns(["key", "band_id", "band_hash"])
+        .map_batches(_touched, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # candidate pairs over (new ∪ matched-old) band rows
+    n_total = old_matched.count() + len(ndf)
+    if n_total <= SMALL_INPUT_BAND_ROWS:
+        odf = old_matched.to_pandas()
+        if "key" not in odf.columns:  # empty loses its schema
+            odf = ndf.iloc[:0][["key", "band_id", "band_hash"]]
+        both = pd.concat(
+            [ndf[["key", "band_id", "band_hash"]], odf], ignore_index=True
+        )
+        candidates = _driver_candidate_pairs(both, "band_id", "band_hash")
+    else:
+        both_ds = new_rows.select_columns(
+            ["key", "band_id", "band_hash"]
+        ).union(old_matched)
+        candidates = lsh_candidate_pairs_bucketed(
+            both_ds, "band_id", "band_hash"
+        ).to_pandas()
+        if "a" not in candidates.columns:
+            candidates = pd.DataFrame({"a": [], "b": []})
+
+    # old-old pairs are out of scope by contract
+    a = candidates["a"].to_numpy(np.int64, copy=False)
+    b = candidates["b"].to_numpy(np.int64, copy=False)
+    a_new = np.isin(a, new_keys)
+    b_new = np.isin(b, new_keys)
+    candidates = candidates.loc[a_new | b_new].reset_index(drop=True)
+
+    report = {
+        "new_docs": int(new_keys.size),
+        "dropped_vs_index": 0,
+        "dropped_within_new": 0,
+        "survivors": int(new_keys.size),
+    }
+    drop_new: np.ndarray = np.empty(0, dtype=np.int64)
+    if len(candidates):
+        # signatures: new ones are carried; old ones fetched with a
+        # candidate-bounded filtered read (sig rides on band-0 rows
+        # which the bucket prune may have dropped)
+        cand_keys = np.unique(
+            np.concatenate([candidates["a"], candidates["b"]]).astype(np.int64)
+        )
+        old_cand = np.sort(cand_keys[~np.isin(cand_keys, new_keys)])
+        sig_frames = []
+        nsig = new_rows.to_pandas()
+        nsig = nsig[nsig["sig"].notna()]
+        sig_frames.append(
+            pd.DataFrame(
+                {
+                    "key": nsig["key"].to_numpy(),
+                    "sig": [np.frombuffer(s, np.uint64) for s in nsig["sig"]],
+                }
+            )
+        )
+        if old_cand.size:
+            oc_ref = ray.put(old_cand)
+
+            def _old_sigs(t: pa.Table) -> pa.Table:
+                want = ray.get(oc_ref)
+                t = t.filter(pc.is_valid(t["sig"]))
+                keys = t["key"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(want, keys)
+                pos_c = np.minimum(pos, want.size - 1)
+                return t.filter(pa.array(want[pos_c] == keys))
+
+            osig = (
+                _read_bands(index_dir)
+                .select_columns(["key", "sig"])
+                .map_batches(_old_sigs, batch_format="pyarrow")
+                .to_pandas()
+            )
+            if "key" in osig.columns and len(osig):
+                sig_frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": osig["key"].to_numpy(),
+                            "sig": [
+                                np.frombuffer(s, np.uint64)
+                                for s in osig["sig"]
+                            ],
+                        }
+                    )
+                )
+        sigs = pd.concat(sig_frames, ignore_index=True)
+
+        def _sig(text: str) -> np.ndarray:
+            return minhash_signature(
+                char_shingles(text, shingle_k), mh_a, mh_b
+            )
+
+        verified = _verify_candidates(
+            candidates,
+            new_ds,
+            text_col,
+            key_col,
+            _sig,
+            lambda s0, s1: float(np.mean(s0 == s1)),
+            threshold,
+            "driver",
+            score_pairs_fn=lambda x, y: (x == y).mean(axis=1),
+            sigs=sigs,
+        )
+        if len(verified):
+            nk = set(new_keys.tolist())
+            # (is_new, key) ordering: any old member sorts below every
+            # new one, so the component min — the union-find root — is
+            # an old doc whenever one exists
+            labels = _union_find_labels(
+                ((int(a) in nk, int(a)), (int(b) in nk, int(b)))
+                for a, b in zip(verified["a"], verified["b"])
+            )
+            drops, drops_vs_old = [], 0
+            for (is_new, key), (root_is_new, _) in labels.items():
+                if not is_new:
+                    continue
+                node = (is_new, key)
+                if labels[node] != node:
+                    drops.append(key)
+                    if not root_is_new:
+                        drops_vs_old += 1
+            drop_new = np.array(sorted(drops), dtype=np.int64)
+            report["dropped_vs_index"] = drops_vs_old
+            report["dropped_within_new"] = int(drop_new.size) - drops_vs_old
+            report["survivors"] = int(new_keys.size - drop_new.size)
+
+    survivors = drop_keys_filter(new_ds, key_col, pa.array(drop_new))
+
+    if update:
+        pass_id = params["n_passes"]
+        if drop_new.size:
+            drop_ref = ray.put(np.sort(drop_new))
+
+            def _keep(t: pa.Table) -> pa.Table:
+                d = ray.get(drop_ref)
+                keys = t["key"].to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(d, keys), d.size - 1)
+                return t.filter(pa.array(d[pos] != keys))
+
+            keep_rows = new_rows.map_batches(_keep, batch_format="pyarrow")
+        else:
+            keep_rows = new_rows
+        keep_rows.write_parquet(_bands_dir(index_dir, pass_id))
+        params["n_passes"] = pass_id + 1
+        _write_params(index_dir, params)
+
+    return survivors, report

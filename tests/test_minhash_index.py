@@ -1,0 +1,144 @@
+"""Incremental MinHash index (state/minhash_index.py): old-wins
+semantics, within-batch dedup, batch-equivalence with
+minhash_lsh_dedup, index growth and idempotent re-offer."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+from ocr_dataset_builder_ray.stages.dedup import minhash_lsh_dedup
+from ocr_dataset_builder_ray.state.minhash_index import (
+    build_minhash_index,
+    incremental_minhash_dedup,
+    load_index_params,
+)
+
+
+def _texts(n, seed, vocab_size=5000, words=80):
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(vocab_size)])
+    return [" ".join(rng.choice(vocab, words, replace=False)) for _ in range(n)]
+
+
+def _df(keys, texts):
+    return pd.DataFrame(
+        {"doc_id": np.asarray(keys, dtype=np.int64), "text": texts}
+    )
+
+
+@pytest.fixture()
+def index_env(ray_session, tmp_path):
+    """Index built over corpus A (keys 100..139, all distinct texts)."""
+    a_texts = _texts(40, seed=1)
+    a = _df(range(100, 140), a_texts)
+    idx = str(tmp_path / "mhidx")
+    build_minhash_index(
+        ray.data.from_pandas(a), idx, "text", "doc_id", num_perm=64, bands=16
+    )
+    return idx, a
+
+
+def test_old_wins_even_with_smaller_new_key(index_env):
+    idx, a = index_env
+    # new keys 1..3 are SMALLER than every indexed key: min-key logic
+    # would keep the new doc; old-wins must drop it anyway
+    new = _df(
+        [1, 2, 3],
+        [a["text"][0], a["text"][7], "totally novel document text " + _texts(1, 9)[0]],
+    )
+    surv, rep = incremental_minhash_dedup(
+        ray.data.from_pandas(new), idx, "text", "doc_id", update=False
+    )
+    kept = sorted(surv.to_pandas()["doc_id"])
+    assert kept == [3]
+    assert rep == {
+        "new_docs": 3,
+        "dropped_vs_index": 2,
+        "dropped_within_new": 0,
+        "survivors": 1,
+    }
+
+
+def test_within_batch_and_chain(index_env):
+    idx, a = index_env
+    novel = _texts(1, 33)[0]
+    # 201/205 duplicate each other (min 201 wins); 210 duplicates an
+    # indexed doc AND 211 duplicates 210 -> both drop via the chain
+    new = _df(
+        [201, 205, 210, 211],
+        [novel, novel, a["text"][3], a["text"][3]],
+    )
+    surv, rep = incremental_minhash_dedup(
+        ray.data.from_pandas(new), idx, "text", "doc_id", update=False
+    )
+    assert sorted(surv.to_pandas()["doc_id"]) == [201]
+    assert rep["dropped_vs_index"] == 2  # 210 and 211 root to the old doc
+    assert rep["dropped_within_new"] == 1  # 205 roots to 201
+    assert rep["survivors"] == 1
+
+
+def test_batch_equivalence(ray_session, tmp_path, index_env):
+    idx, a = index_env
+    # when all new keys exceed the indexed keys, incremental == batch
+    # dedup over A ∪ B restricted to B
+    b_texts = _texts(20, seed=2)
+    b_texts[4] = a["text"][10]   # dup vs index
+    b_texts[9] = b_texts[3]      # dup within batch
+    b = _df(range(500, 520), b_texts)
+    surv, _ = incremental_minhash_dedup(
+        ray.data.from_pandas(b), idx, "text", "doc_id", update=False
+    )
+    got = sorted(surv.to_pandas()["doc_id"])
+    batch = minhash_lsh_dedup(
+        ray.data.from_pandas(pd.concat([a, b], ignore_index=True)),
+        "text",
+        "doc_id",
+    ).to_pandas()
+    want = sorted(k for k in batch["doc_id"] if k >= 500)
+    assert got == want
+
+
+def test_update_grows_index_and_rejects_reoffers(index_env):
+    idx, a = index_env
+    novel = _texts(2, seed=44)
+    b = _df([300, 301, 302], [novel[0], novel[1], a["text"][5]])
+    surv, rep = incremental_minhash_dedup(
+        ray.data.from_pandas(b), idx, "text", "doc_id", update=True
+    )
+    assert sorted(surv.to_pandas()["doc_id"]) == [300, 301]
+    assert load_index_params(idx)["n_passes"] == 2
+    # the same content re-offered under fresh keys now dups the INDEX
+    c = _df([400, 401], [novel[0], novel[1]])
+    surv2, rep2 = incremental_minhash_dedup(
+        ray.data.from_pandas(c), idx, "text", "doc_id", update=True
+    )
+    assert len(surv2.to_pandas()) == 0
+    assert rep2["dropped_vs_index"] == 2
+    assert load_index_params(idx)["n_passes"] == 3
+    # a dropped doc's bands were NOT indexed: novel content still passes
+    d = _df([600], [_texts(1, seed=77)[0]])
+    surv3, rep3 = incremental_minhash_dedup(
+        ray.data.from_pandas(d), idx, "text", "doc_id", update=False
+    )
+    assert sorted(surv3.to_pandas()["doc_id"]) == [600]
+
+
+def test_all_novel_batch_unchanged(index_env):
+    idx, _ = index_env
+    b = _df(range(700, 710), _texts(10, seed=55))
+    surv, rep = incremental_minhash_dedup(
+        ray.data.from_pandas(b), idx, "text", "doc_id", update=False
+    )
+    assert sorted(surv.to_pandas()["doc_id"]) == list(range(700, 710))
+    assert rep["dropped_vs_index"] == 0 and rep["dropped_within_new"] == 0
+
+
+def test_empty_batch(index_env):
+    idx, _ = index_env
+    b = _df([], [])
+    surv, rep = incremental_minhash_dedup(
+        ray.data.from_pandas(b), idx, "text", "doc_id", update=False
+    )
+    assert rep["new_docs"] == 0 and rep["survivors"] == 0
