@@ -1368,6 +1368,65 @@ def run_curation_bench() -> dict:
 
     _time("line_dedup_roundtrip", _line_dedup)
 
+    def _mh_index():
+        """Incremental near-dedup: 100k-doc index, then a 10k 'daily'
+        batch (20% dups of indexed docs, 5% internal dups). The timed
+        part is ONE incremental pass; the report shows the
+        new-batch-bounded prune doing its job."""
+        import shutil
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        from ocr_dataset_builder_ray.state.minhash_index import (
+            build_minhash_index,
+            incremental_minhash_dedup,
+        )
+
+        idx = "/tmp/graft_mhidx_bench"
+        shutil.rmtree(idx, ignore_errors=True)
+        os.makedirs(idx)
+        build_minhash_index(_read(), idx, "text", "doc_id")
+
+        n_new = n_docs // 10
+
+        def _mk_batch(t: _pa.Table) -> _pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids < n_new
+            t = t.filter(_pa.array(keep))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            text = t["text"].to_numpy(zero_copy_only=False).copy()
+            # 20% re-offer indexed content verbatim; the rest is
+            # REVERSED text (completely different shingles — a mere
+            # suffix would still be ~0.99 similar and dup the index);
+            # 5% additionally duplicate the previous new doc
+            dup_old = ids % 10 < 2
+            dup_new = ids % 20 == 19
+            base = _np.where(
+                dup_old, text, _np.array([s[::-1] for s in text], dtype=object)
+            )
+            base[dup_new] = base[_np.maximum(0, _np.flatnonzero(dup_new) - 1)]
+            return _pa.table(
+                {
+                    "doc_id": _pa.array(ids + 10_000_000),
+                    "text": _pa.array(base, type=_pa.string()),
+                }
+            )
+
+        batch = _read().map_batches(_mk_batch, batch_format="pyarrow").materialize()
+        t0 = time.monotonic()
+        surv, rep = incremental_minhash_dedup(
+            batch, idx, "text", "doc_id", update=True
+        )
+        n = surv.count()
+        results["minhash_index_detail"] = {
+            "pass_sec": round(time.monotonic() - t0, 2),
+            **rep,
+        }
+        return n
+
+    _time("minhash_index_incremental", _mh_index)
+
     def _boilerplate():
         """Within-domain boilerplate: 1000 synthetic domains over the
         reflowed corpus, a per-domain NAVBAR line injected into every
@@ -1472,6 +1531,7 @@ _CURATION_OPS = [
     "hot_token_postings",
     "profile_columns",
     "line_dedup_roundtrip",
+    "minhash_index_incremental",
     "boilerplate_roundtrip",
     "semantic_dedup",
     "span_dedup_roundtrip",

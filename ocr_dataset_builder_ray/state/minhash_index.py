@@ -19,8 +19,11 @@ moves per pass:
   a pass failure just re-appends — keys make the merge idempotent);
 * an incremental pass broadcasts the NEW batch's distinct
   ``(band_id, band_hash)`` mix set (new-batch-bounded) and prunes the
-  index read with it — index rows in untouched LSH buckets never
-  leave storage;
+  index scan with it: the read is column-pruned to the three skinny
+  int columns (~24 bytes/doc/band — the per-pass floor is one
+  distributed scan of ~4% of the corpus bytes) and rows in untouched
+  LSH buckets are dropped in the first map, so everything after the
+  scan is new-batch-bounded;
 * candidate pairs / verification / resolution reuse the one-shot
   machinery (vectorized bucket kernels, carried signatures); old
   signatures are fetched with a candidate-bounded second filtered
@@ -115,9 +118,12 @@ def build_minhash_index(
     return params
 
 
-def _read_bands(index_dir: str) -> ray.data.Dataset:
+def _read_bands(index_dir: str, columns: list[str]) -> ray.data.Dataset:
+    # explicit columns= so the prune is at the parquet reader (the sig
+    # column is ~70% of the index bytes and only the candidate-bounded
+    # fetch wants it)
     return ray.data.read_parquet(
-        os.path.join(index_dir, _BANDS_SUBDIR)
+        os.path.join(index_dir, _BANDS_SUBDIR), columns=columns
     )
 
 
@@ -177,8 +183,7 @@ def incremental_minhash_dedup(
         return t.filter(pa.array(mixes[pos_c] == m))
 
     old_matched = (
-        _read_bands(index_dir)
-        .select_columns(["key", "band_id", "band_hash"])
+        _read_bands(index_dir, ["key", "band_id", "band_hash"])
         .map_batches(_touched, batch_format="pyarrow")
         .materialize()
     )
@@ -248,8 +253,7 @@ def incremental_minhash_dedup(
                 return t.filter(pa.array(want[pos_c] == keys))
 
             osig = (
-                _read_bands(index_dir)
-                .select_columns(["key", "sig"])
+                _read_bands(index_dir, ["key", "sig"])
                 .map_batches(_old_sigs, batch_format="pyarrow")
                 .to_pandas()
             )
