@@ -192,7 +192,8 @@ def _read_clean(path: str, columns: list[str]):
     if f is not None:
         try:
             schema = pq.read_schema(f).remove_metadata()
-            schema = pa.schema([schema.field(c) for c in columns])
+            if columns is not None:
+                schema = pa.schema([schema.field(c) for c in columns])
         except Exception:
             schema = None
     return ray.data.read_parquet(path, columns=columns, schema=schema)
@@ -209,6 +210,77 @@ def _cmd_search(args: argparse.Namespace) -> int:
         ds, args.terms, text_col=args.text, key_col=args.key, k=args.k
     )
     print(out.to_json(orient="records"))
+    return 0
+
+
+def _cmd_dedup_index(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import json as _json
+
+    from .state.minhash_index import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+
+    ds = _read_clean(args.input, [args.key, args.text])
+    if args.mode == "build":
+        params = build_minhash_index(
+            ds,
+            args.index,
+            args.text,
+            args.key,
+            num_perm=args.num_perm,
+            bands=args.bands,
+        )
+        print(_json.dumps({"built": args.index, **params}))
+        return 0
+    survivors, report = incremental_minhash_dedup(
+        ds, args.index, args.text, args.key, threshold=args.threshold,
+        update=not args.no_update,
+    )
+    if args.output:
+        survivors.write_parquet(args.output)
+    print(_json.dumps(report))
+    return 0
+
+
+def _cmd_classify(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import json as _json
+
+    from .stages.classify import (
+        nb_classify,
+        nb_filter,
+        train_nb_classifier,
+    )
+
+    train_path = args.train_input or args.input
+    train_ds = _read_clean(train_path, [args.key, args.label, args.text])
+    model = train_nb_classifier(
+        train_ds, label_col=args.label, text_col=args.text
+    )
+    ds = _read_clean(args.input, None)
+    if args.keep_label:
+        out = nb_filter(
+            ds, model, keep_label=args.keep_label,
+            min_margin=args.min_margin, text_col=args.text,
+        )
+    else:
+        out = nb_classify(ds, model, text_col=args.text, key_col=args.key)
+    out.write_parquet(args.output)
+    import ray.data
+
+    n = ray.data.read_parquet(args.output).count()
+    print(
+        _json.dumps(
+            {
+                "rows": n,
+                "classes": model.classes,
+                "vocab": int(model.vocab.size),
+                "mode": "filter" if args.keep_label else "score",
+            }
+        )
+    )
     return 0
 
 
@@ -465,6 +537,40 @@ def build_parser() -> argparse.ArgumentParser:
     )
     w.add_argument("--output", required=True, help="pages parquet dir")
     w.set_defaults(fn=_cmd_ingest_warc)
+
+    di = sub.add_parser(
+        "dedup-index",
+        help="persistent incremental MinHash near-dedup index",
+    )
+    di.add_argument("--mode", choices=["build", "pass"], required=True)
+    di.add_argument("--input", required=True, help="documents parquet")
+    di.add_argument("--index", required=True, help="index directory")
+    di.add_argument("--output", default=None,
+                    help="pass mode: write surviving rows here")
+    di.add_argument("--key", default="doc_id")
+    di.add_argument("--text", default="text")
+    di.add_argument("--num-perm", type=int, default=64, dest="num_perm")
+    di.add_argument("--bands", type=int, default=16)
+    di.add_argument("--threshold", type=float, default=0.8)
+    di.add_argument("--no-update", action="store_true",
+                    help="pass mode: don't append survivors to the index")
+    di.set_defaults(fn=_cmd_dedup_index)
+
+    cl = sub.add_parser(
+        "classify",
+        help="train a NB corpus classifier and score or gate a table",
+    )
+    cl.add_argument("--input", required=True, help="table to score/filter")
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--label", required=True, help="label column (training)")
+    cl.add_argument("--train-input", default=None,
+                    help="labeled training table (default: --input)")
+    cl.add_argument("--key", default="doc_id")
+    cl.add_argument("--text", default="text")
+    cl.add_argument("--keep-label", default=None,
+                    help="filter mode: keep only rows scored as this label")
+    cl.add_argument("--min-margin", type=float, default=0.0)
+    cl.set_defaults(fn=_cmd_classify)
 
     g = sub.add_parser("gen", help="generate synthetic pages corpus")
     g.add_argument("--output", required=True)

@@ -142,3 +142,51 @@ def test_empty_batch(index_env):
         ray.data.from_pandas(b), idx, "text", "doc_id", update=False
     )
     assert rep["new_docs"] == 0 and rep["survivors"] == 0
+
+
+def test_cli_dedup_index_and_classify(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_dataset_builder_ray.cli import main
+
+    a = _df(range(0, 30), _texts(30, seed=91))
+    b_texts = _texts(10, seed=92)
+    b_texts[0] = a["text"][4]  # one re-offer
+    b = _df(range(100, 110), b_texts)
+    src_a, src_b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.Table.from_pandas(a, preserve_index=False), src_a)
+    pq.write_table(pa.Table.from_pandas(b, preserve_index=False), src_b)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "surv")
+
+    assert main(["dedup-index", "--mode", "build",
+                 "--input", src_a, "--index", idx]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_passes"] == 1
+    assert main(["dedup-index", "--mode", "pass", "--input", src_b,
+                 "--index", idx, "--output", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["new_docs"] == 10 and rep["dropped_vs_index"] == 1
+    import ray.data
+
+    assert ray.data.read_parquet(out).count() == 9
+
+    # classify: label = parity of a text marker; train & score the
+    # same table, then gate
+    lab = a.copy()
+    lab["label"] = ["even" if i % 2 == 0 else "odd" for i in range(30)]
+    src_l = str(tmp_path / "lab.parquet")
+    pq.write_table(pa.Table.from_pandas(lab, preserve_index=False), src_l)
+    scored = str(tmp_path / "scored")
+    assert main(["classify", "--input", src_l, "--output", scored,
+                 "--label", "label"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["rows"] == 30 and info["classes"] == ["even", "odd"]
+    gated = str(tmp_path / "gated")
+    assert main(["classify", "--input", src_l, "--output", gated,
+                 "--label", "label", "--keep-label", "even"]) == 0
+    info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info2["mode"] == "filter" and 0 < info2["rows"] <= 30
