@@ -1368,6 +1368,55 @@ def run_curation_bench() -> dict:
 
     _time("line_dedup_roundtrip", _line_dedup)
 
+    def _web_chain():
+        """The composed web-curation chain (boilerplate -> line dedup
+        -> repetition -> minhash -> perplexity gate -> temperature
+        mix) over the reflowed 1000-domain corpus — the end-to-end
+        number a user pipelines these stages for."""
+        import numpy as _np
+        import pyarrow as _pa
+
+        from ocr_dataset_builder_ray.pipelines.web_curation import (
+            web_curation_pipeline,
+        )
+
+        def _prep(t: _pa.Table) -> _pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            dom = _np.char.add(
+                _np.char.add("d", (ids % 1000).astype("U4")), ".com"
+            )
+            reflow = _pc.replace_substring_regex(
+                t["text"],
+                pattern=r"((?:\S+ ){11}\S+) ",
+                replacement="\\1\n",
+            )
+            nav = _pa.array(_np.char.add("NAVBAR menu for ", dom))
+            with_nav = _pc.binary_join_element_wise(nav, reflow, "\n")
+            text = _pc.if_else(_pa.array(ids % 2 == 0), with_nav, reflow)
+            lang = t["lang"]
+            if isinstance(lang, _pa.ChunkedArray):
+                lang = lang.combine_chunks()
+            return _pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "lang": lang,
+                    "domain": _pa.array(dom),
+                    "text": text,
+                }
+            )
+
+        docs = _read().map_batches(_prep, batch_format="pyarrow").materialize()
+        out = web_curation_pipeline(
+            docs,
+            boilerplate_min_docs=10,
+            minhash_threshold=0.9,
+            perplexity_keep=("head", "middle"),
+            temperature_alpha=0.3,
+        )
+        return out.count()
+
+    _time("web_curation_chain", _web_chain)
+
     def _mh_index():
         """Incremental near-dedup: 100k-doc index, then a 10k 'daily'
         batch (20% dups of indexed docs, 5% internal dups). The timed
@@ -1531,6 +1580,7 @@ _CURATION_OPS = [
     "hot_token_postings",
     "profile_columns",
     "line_dedup_roundtrip",
+    "web_curation_chain",
     "minhash_index_incremental",
     "boilerplate_roundtrip",
     "semantic_dedup",

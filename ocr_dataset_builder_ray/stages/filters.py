@@ -466,6 +466,111 @@ def unigram_logprob(
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def perplexity_gate(
+    ds: ray.data.Dataset,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    keep: tuple = ("head", "middle"),
+    n_buckets: int = 64,
+    q_buckets: int = 4096,
+    decimals: int = 9,
+) -> ray.data.Dataset:
+    """Keep only the documents whose CCNet perplexity bucket is in
+    ``keep`` — the payload-filtering form of :func:`perplexity_buckets`
+    (CCNet trains on head+middle and drops the tail).
+
+    Scale shape: selecting by bucket through the skinny
+    ``perplexity_buckets`` output would broadcast up to 2/3 of the
+    corpus KEYS; instead the per-language score cutoff implied by
+    ``keep`` is derived once (vocabulary-bounded ``token_counts``
+    exchange + the exact no-sort quantiles) and the payload filter
+    re-scores each document against the same broadcast vocabulary —
+    all broadcast state is vocabulary/language-bounded. Empty
+    documents have no score and never pass, matching
+    ``perplexity_buckets`` (which drops them). Bucket membership is
+    IDENTICAL to ``perplexity_buckets`` (tested as an equality).
+    """
+    keep_set = frozenset(keep)
+    if keep_set not in (
+        frozenset({"head"}),
+        frozenset({"head", "middle"}),
+        frozenset({"head", "middle", "tail"}),
+    ):
+        # a score threshold can only express contiguous-from-head sets
+        raise ValueError(
+            f"perplexity_gate: keep must be a contiguous-from-'head' "
+            f"subset, got {sorted(keep_set)}"
+        )
+
+    hashes, counts, total = token_counts(
+        ds, text_col=text_col, n_buckets=n_buckets
+    )
+    logp = np.log(counts.astype(np.float64) / max(1, total))
+    bcast = ray.put((hashes, logp))
+
+    def _skinny(batch: pa.Table) -> pa.Table:
+        h, lp = ray.get(bcast)
+        doc, th = _doc_tokens(batch, text_col)
+        n_rows = batch.num_rows
+        ntok = np.zeros(n_rows, dtype=np.int64)
+        sums = np.zeros(n_rows, dtype=np.float64)
+        if th.size:
+            np.add.at(ntok, doc, 1)
+            pos = np.minimum(np.searchsorted(h, th.view(np.int64)), max(0, h.size - 1))
+            np.add.at(sums, doc, lp[pos])
+        m = ntok > 0
+        avg = np.round(sums[m] / np.maximum(1, ntok[m]), decimals)
+        mask = pa.array(m)
+        lcol = batch[lang_col]
+        if isinstance(lcol, pa.ChunkedArray):
+            lcol = lcol.combine_chunks()
+        return pa.table(
+            {lang_col: lcol.filter(mask), "logprob": pa.array(avg)}
+        )
+
+    skinny = ds.map_batches(_skinny, batch_format="pyarrow").materialize()
+    from .curation import group_quantiles
+
+    qlo, qhi = 1.0 / 3.0, 2.0 / 3.0
+    cuts = group_quantiles(skinny, lang_col, "logprob", [qlo, qhi], q_buckets)
+    # per-language minimum logprob implied by the keep set; None = no
+    # lower bound (keep everything scored)
+    thr_map = {}
+    for r in cuts.to_dict("records"):
+        if "tail" in keep_set:
+            thr_map[r[lang_col]] = -np.inf
+        elif "middle" in keep_set:
+            thr_map[r[lang_col]] = float(r[f"q{qlo}"])
+        else:  # head only
+            thr_map[r[lang_col]] = float(r[f"q{qhi}"])
+    thr_ref = ray.put(thr_map)
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        h, lp = ray.get(bcast)
+        tm = ray.get(thr_ref)
+        doc, th = _doc_tokens(batch, text_col)
+        n_rows = batch.num_rows
+        ntok = np.zeros(n_rows, dtype=np.int64)
+        sums = np.zeros(n_rows, dtype=np.float64)
+        if th.size:
+            np.add.at(ntok, doc, 1)
+            pos = np.minimum(np.searchsorted(h, th.view(np.int64)), max(0, h.size - 1))
+            np.add.at(sums, doc, lp[pos])
+        avg = np.round(sums / np.maximum(1, ntok), decimals)
+        codes, uniq = pd.factorize(
+            pd.Series(batch[lang_col].to_pylist(), dtype=object)
+        )
+        thr = np.array(
+            [tm.get(u, np.inf) for u in uniq], dtype=np.float64
+        )
+        m = (ntok > 0) & (avg >= thr[codes])
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
 def perplexity_buckets(
     ds: ray.data.Dataset,
     *,

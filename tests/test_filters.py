@@ -450,3 +450,40 @@ def test_perplexity_buckets_label_validation(ray_session):
         perplexity_buckets(
             ray.data.from_pandas(df), labels=("only", "two")
         )
+
+
+def test_perplexity_gate_equals_bucket_selection(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import (
+        perplexity_buckets,
+        perplexity_gate,
+    )
+
+    df = _ppl_corpus(n=240, seed=19)
+    df.loc[5, "text"] = ""  # empty doc: never passes any gate
+    ds = ray.data.from_pandas(df).repartition(4)
+    buckets = perplexity_buckets(ds).to_pandas()
+    for keep in (("head",), ("head", "middle"), ("head", "middle", "tail")):
+        got = set(
+            perplexity_gate(ds, keep=keep).to_pandas()["doc_id"]
+        )
+        want = set(buckets[buckets["bucket"].isin(keep)]["doc_id"])
+        assert got == want, keep
+        assert 5 not in got
+
+
+def test_perplexity_gate_keeps_full_schema(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import perplexity_gate
+
+    df = _ppl_corpus(n=60, seed=20)
+    got = perplexity_gate(ray.data.from_pandas(df)).to_pandas()
+    assert list(got.columns) == ["doc_id", "lang", "text"]
+    assert 0 < len(got) < len(df)
+
+
+def test_perplexity_gate_rejects_non_contiguous(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import perplexity_gate
+
+    df = _ppl_corpus(n=30)
+    for keep in (("middle",), ("tail",), ("head", "tail"), ("nope",)):
+        with pytest.raises(ValueError):
+            perplexity_gate(ray.data.from_pandas(df), keep=keep)
