@@ -614,6 +614,48 @@ def mix_to_proportions(
     ).drop_columns(["__neg_ticket"])
 
 
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fractions: dict[str, float],
+    *,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test split: each row gets the label
+    whose cumulative ticket range its key hashes into — pure map, no
+    seed state, reproducible in any engine with 64-bit arithmetic
+    (the ``sample_ticket`` coin shared by every sampler here).
+
+    ``fractions`` must sum to <= 1; keys hashing past the last
+    boundary get ``None`` (dropped by a downstream filter, or caught
+    by making the fractions sum to 1). A document's split NEVER
+    changes when the corpus grows — the property a by-position split
+    lacks and the reason eval contamination survives repartitioning.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"hash_split: fractions sum to {total} > 1")
+    names = list(fractions)
+    bounds = np.floor(
+        np.cumsum([fractions[n] for n in names]) * TICKET_MOD
+    ).astype(np.uint64)
+
+    def _tag(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tick = sample_ticket(keys)
+        idx = np.searchsorted(bounds, tick, side="right")
+        lab = np.where(
+            idx < len(names),
+            np.array(names + [""], dtype=object)[
+                np.minimum(idx, len(names) - 1)
+            ],
+            None,
+        )
+        return t.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(_tag, batch_format="pyarrow")
+
+
 def temperature_mix(
     ds: ray.data.Dataset,
     group_col: str,

@@ -466,6 +466,71 @@ def unigram_logprob(
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def blockword_filter(
+    ds: ray.data.Dataset,
+    words: list[str] | tuple,
+    *,
+    text_col: str = "text",
+    max_hits: int = 0,
+    case_insensitive: bool = True,
+    count_col: str | None = None,
+) -> ray.data.Dataset:
+    """C4's blocklist rule (Raffel et al. 2020 §2.2: drop any page
+    containing a word from a banned-word list), vectorized: the word
+    list is hashed once and broadcast (list-bounded), each batch
+    tokenizes on whitespace, counts per-document blocklist hits with
+    one ``searchsorted`` + ``bincount``, and keeps documents with at
+    most ``max_hits`` hits (C4 uses 0). ``count_col`` appends the hit
+    count instead of filtering — the audit/report form.
+
+    Matching is whole-token (the C4 rule), lowercased when
+    ``case_insensitive``; punctuation-attached occurrences don't match,
+    exactly as in whitespace-token C4.
+    """
+    from ..functions.hashing import stable_hash64_array
+
+    wl = np.asarray(
+        [w.lower() for w in words] if case_insensitive else list(words),
+        dtype=object,
+    )
+    if wl.size == 0:
+        raise ValueError("blockword_filter: empty word list")
+    wh = np.sort(stable_hash64_array(wl).view(np.int64))
+    wh_ref = ray.put(wh)
+
+    def _hits(batch: pa.Table) -> np.ndarray:
+        bw = ray.get(wh_ref)
+        if case_insensitive:
+            batch = batch.set_column(
+                batch.schema.get_field_index(text_col),
+                text_col,
+                pc.utf8_lower(batch[text_col]),
+            )
+        doc, th = _doc_tokens(batch, text_col)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if th.size:
+            h = th.view(np.int64)
+            pos = np.minimum(np.searchsorted(bw, h), bw.size - 1)
+            m = bw[pos] == h
+            if m.any():
+                np.add.at(hits, doc[m], 1)
+        return hits
+
+    if count_col is not None:
+
+        def _count(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                count_col, pa.array(_hits(batch), pa.int64())
+            )
+
+        return ds.map_batches(_count, batch_format="pyarrow")
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(_hits(batch) <= max_hits))
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
 def perplexity_gate(
     ds: ray.data.Dataset,
     *,

@@ -487,3 +487,90 @@ def test_perplexity_gate_rejects_non_contiguous(ray_session):
     for keep in (("middle",), ("tail",), ("head", "tail"), ("nope",)):
         with pytest.raises(ValueError):
             perplexity_gate(ray.data.from_pandas(df), keep=keep)
+
+
+# --- blockword_filter (C4 banned-word rule) + hash_split -------------------
+
+
+def test_blockword_filter(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import blockword_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "a clean document with plain words",
+                "contains BadWord right here",
+                "badword twice badword here",
+                "punctuation-attached badword, does not match",  # token is 'badword,'
+                "",
+                "BADWORD",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    kept = blockword_filter(ds, ["badword"]).to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 3, 4]
+    # case-sensitive: only exact-case tokens match
+    kept_cs = blockword_filter(
+        ds, ["badword"], case_insensitive=False
+    ).to_pandas()
+    assert sorted(kept_cs["doc_id"]) == [0, 1, 3, 4, 5]
+    # max_hits allows single occurrences
+    kept1 = blockword_filter(ds, ["badword"], max_hits=1).to_pandas()
+    assert sorted(kept1["doc_id"]) == [0, 1, 3, 4, 5]
+    # audit mode counts instead of filtering
+    counts = (
+        blockword_filter(ds, ["badword"], count_col="hits")
+        .to_pandas()
+        .set_index("doc_id")["hits"]
+        .to_dict()
+    )
+    assert counts == {0: 0, 1: 1, 2: 2, 3: 0, 4: 0, 5: 1}
+    with pytest.raises(ValueError):
+        blockword_filter(ds, [])
+
+
+def test_hash_split(ray_session):
+    from ocr_dataset_builder_ray.stages.curation import (
+        TICKET_MOD,
+        hash_split,
+        sample_ticket,
+    )
+
+    n = 2000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64) * 13 + 1,
+         "text": ["x"] * n}
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = (
+        hash_split(ray.data.from_pandas(df).repartition(7), "doc_id", fr)
+        .to_pandas()
+    )
+    sizes = got.groupby("split").size()
+    assert abs(sizes["train"] / n - 0.8) < 0.03
+    assert abs(sizes["val"] / n - 0.1) < 0.02
+    assert got["split"].notna().all()  # fractions sum to 1
+    # exact ticket-range reference
+    tick = sample_ticket(df["doc_id"].to_numpy())
+    b1, b2 = int(0.8 * TICKET_MOD), int(0.9 * TICKET_MOD)
+    want = np.where(tick < b1, "train", np.where(tick < b2, "val", "test"))
+    merged = got.set_index("doc_id")["split"]
+    assert (merged.loc[df["doc_id"]].to_numpy() == want).all()
+    # stability: a row's split is unchanged when the corpus grows
+    bigger = pd.concat(
+        [df, pd.DataFrame({"doc_id": [10_000_001], "text": ["y"]})],
+        ignore_index=True,
+    )
+    got2 = hash_split(
+        ray.data.from_pandas(bigger), "doc_id", fr
+    ).to_pandas().set_index("doc_id")["split"]
+    assert (got2.loc[df["doc_id"]] == merged.loc[df["doc_id"]]).all()
+    # partial fractions leave a None remainder
+    got3 = hash_split(
+        ray.data.from_pandas(df), "doc_id", {"sample": 0.25}
+    ).to_pandas()
+    assert got3["split"].isna().sum() > 0
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_pandas(df), "doc_id", {"a": 0.7, "b": 0.4})
