@@ -1368,6 +1368,20 @@ def run_curation_bench() -> dict:
 
     _time("line_dedup_roundtrip", _line_dedup)
 
+    def _bpe():
+        """BPE train (one histogram exchange + driver merges) then a
+        full encode pass."""
+        from ocr_dataset_builder_ray.stages.bpe import bpe_encode, train_bpe
+
+        model = train_bpe(_read(), n_merges=500, min_count=2)
+        results["bpe_detail"] = {
+            "merges": len(model.merges),
+            "vocab": len(model.vocab),
+        }
+        return bpe_encode(_read(), model).count()
+
+    _time("bpe_train_encode", _bpe)
+
     def _web_chain():
         """The composed web-curation chain (boilerplate -> line dedup
         -> repetition -> minhash -> perplexity gate -> temperature
@@ -1576,6 +1590,7 @@ _CURATION_OPS = [
     "chunk_documents",
     "unigram_logprob",
     "nb_classifier",
+    "bpe_train_encode",
     "build_postings",
     "hot_token_postings",
     "profile_columns",
