@@ -222,8 +222,9 @@ def _cmd_dedup_index(args: argparse.Namespace) -> int:
         incremental_minhash_dedup,
     )
 
-    ds = _read_clean(args.input, [args.key, args.text])
     if args.mode == "build":
+        # band rows only need (key, text) — prune the read
+        ds = _read_clean(args.input, [args.key, args.text])
         params = build_minhash_index(
             ds,
             args.index,
@@ -234,6 +235,9 @@ def _cmd_dedup_index(args: argparse.Namespace) -> int:
         )
         print(_json.dumps({"built": args.index, **params}))
         return 0
+    # pass mode writes the survivors: keep the FULL input schema (lang,
+    # domain, ... must survive into --output)
+    ds = _read_clean(args.input, None)
     survivors, report = incremental_minhash_dedup(
         ds, args.index, args.text, args.key, threshold=args.threshold,
         update=not args.no_update,

@@ -54,6 +54,7 @@ def web_curation_pipeline(
     min_margin: float = 0.0,
     perplexity_keep: tuple | None = None,
     temperature_alpha: float | None = None,
+    checkpoint: bool = True,
     report: dict | None = None,
 ) -> ray.data.Dataset:
     """Run the web-curation chain; any stage is skipped by passing its
@@ -68,7 +69,15 @@ def web_curation_pipeline(
     stats — sees the cleaned text), cheap per-document gates next,
     the near-dup exchange after the corpus has shrunk, model/LM gates
     on the survivors, and the mix LAST so output proportions are
-    exact over what remains."""
+    exact over what remains.
+
+    ``checkpoint=True`` (default) materializes after the text-rewrite
+    block: the downstream multi-pass stages (the MinHash band pass,
+    the perplexity gate's three passes, the mix's count) would
+    otherwise RE-EXECUTE the whole rewrite chain on every pass — Ray
+    datasets are lazy. The cost is object-store residency of the
+    rewritten corpus (spills to disk past memory); disable only when
+    the chain is consumed exactly once downstream."""
 
     def _mark(name: str) -> None:
         if report is not None:
@@ -93,6 +102,11 @@ def web_curation_pipeline(
         if report is not None:
             report["line_dedup_loser_lines"] = int(len(losers))
         _mark("after_line_dedup")
+
+    if checkpoint and (
+        boilerplate_min_docs is not None or line_dedup_min_chars is not None
+    ):
+        ds = ds.materialize()
 
     if max_dup_word_frac is not None or max_top_bigram_frac is not None:
         ds = repetition_filter(

@@ -35,7 +35,16 @@ import ray.data
 
 from ..functions.hashing import stable_hash64_array
 
-EOW = "▁"  # end-of-word sentinel symbol (single char, never in text)
+# End-of-word sentinel symbol. U+2581 DOES occur in real web text
+# (it is SentencePiece's own boundary marker, pasted tokenizer dumps
+# exist in crawls), so both the trainer and the encoder STRIP it from
+# input first — the same reserved-character policy SentencePiece
+# itself applies. The decode roundtrip reproduces the stripped text.
+EOW = "▁"
+
+
+def _strip_sentinel(col):
+    return pc.replace_substring(col, pattern=EOW, replacement="")
 
 
 def word_counts(
@@ -55,7 +64,7 @@ def word_counts(
     ``min_count`` when the tail matters)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
+        col = _strip_sentinel(batch[text_col])
         if lowercase:
             col = pc.utf8_lower(col)
         toks = pc.list_flatten(pc.utf8_split_whitespace(col))
@@ -243,7 +252,7 @@ def bpe_encode(
     def _encode(batch: pa.Table) -> pa.Table:
         merges, vocab = ray.get(bcast)
         ranks = {pair: i for i, pair in enumerate(merges)}
-        col = batch[text_col]
+        col = _strip_sentinel(batch[text_col])
         if lowercase:
             col = pc.utf8_lower(col)
         lists = pc.utf8_split_whitespace(col)

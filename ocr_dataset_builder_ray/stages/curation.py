@@ -639,6 +639,11 @@ def hash_split(
     bounds = np.floor(
         np.cumsum([fractions[n] for n in names]) * TICKET_MOD
     ).astype(np.uint64)
+    if abs(total - 1.0) < 1e-9:
+        # fractions meant to cover everything: float cumsum error
+        # (0.7+0.1+0.2 = 0.9999999999999999) must not leave the top
+        # ticket values split-less
+        bounds[-1] = TICKET_MOD
 
     def _tag(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -398,6 +398,39 @@ def token_counts(
     return hashes[order], counts[order], int(counts.sum())
 
 
+def _mean_logprob(
+    batch: pa.Table,
+    text_col: str,
+    h: np.ndarray,
+    lp: np.ndarray,
+    decimals: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (token count, mean token logprob) against the broadcast
+    sorted (hash, logprob) vocabulary — THE single scoring kernel
+    shared by ``unigram_logprob``/``perplexity_gate`` so the variants
+    can't drift. Raises when a token is absent from the vocabulary
+    (both passes read the same dataset; a miss means the upstream
+    changed between passes and a silent neighbor-score would be
+    wrong)."""
+    doc, th = _doc_tokens(batch, text_col)
+    n_rows = batch.num_rows
+    ntok = np.zeros(n_rows, dtype=np.int64)
+    sums = np.zeros(n_rows, dtype=np.float64)
+    if th.size:
+        np.add.at(ntok, doc, 1)
+        pos = np.minimum(
+            np.searchsorted(h, th.view(np.int64)), max(0, h.size - 1)
+        )
+        if h.size == 0 or not (h[pos] == th.view(np.int64)).all():
+            raise ValueError(
+                "unigram scoring: token absent from the vocabulary "
+                "broadcast (input changed between passes?)"
+            )
+        np.add.at(sums, doc, lp[pos])
+    avg = np.round(sums / np.maximum(1, ntok), decimals)
+    return ntok, avg
+
+
 def unigram_logprob(
     ds: ray.data.Dataset,
     *,
@@ -430,27 +463,10 @@ def unigram_logprob(
 
     def _score(batch: pa.Table) -> pa.Table:
         h, lp = ray.get(bcast)
-        doc, th = _doc_tokens(batch, text_col)
-        n_rows = batch.num_rows
-        ntok = np.zeros(n_rows, dtype=np.int64)
-        sums = np.zeros(n_rows, dtype=np.float64)
-        if th.size:
-            np.add.at(ntok, doc, 1)
-            pos = np.searchsorted(h, th.view(np.int64))
-            # both passes read the same dataset, so every token is in
-            # the vocab — but guard the lookup like tfidf_top_terms
-            # does rather than index out of bounds / mis-score on a
-            # diverging upstream
-            pos = np.minimum(pos, max(0, h.size - 1))
-            if h.size == 0 or not (h[pos] == th.view(np.int64)).all():
-                raise ValueError(
-                    "unigram_logprob: token absent from the vocabulary "
-                    "broadcast (input changed between passes?)"
-                )
-            np.add.at(sums, doc, lp[pos])
+        ntok, avg_all = _mean_logprob(batch, text_col, h, lp, decimals)
         keep = ntok > 0
         keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)[keep]
-        avg = np.round(sums[keep] / ntok[keep], decimals)
+        avg = avg_all[keep]
         mask = pa.array(keep)
         cols = {
             key_col: pa.array(keys),
@@ -577,22 +593,17 @@ def perplexity_gate(
 
     def _skinny(batch: pa.Table) -> pa.Table:
         h, lp = ray.get(bcast)
-        doc, th = _doc_tokens(batch, text_col)
-        n_rows = batch.num_rows
-        ntok = np.zeros(n_rows, dtype=np.int64)
-        sums = np.zeros(n_rows, dtype=np.float64)
-        if th.size:
-            np.add.at(ntok, doc, 1)
-            pos = np.minimum(np.searchsorted(h, th.view(np.int64)), max(0, h.size - 1))
-            np.add.at(sums, doc, lp[pos])
-        m = ntok > 0
-        avg = np.round(sums[m] / np.maximum(1, ntok[m]), decimals)
-        mask = pa.array(m)
+        ntok, avg = _mean_logprob(batch, text_col, h, lp, decimals)
         lcol = batch[lang_col]
         if isinstance(lcol, pa.ChunkedArray):
             lcol = lcol.combine_chunks()
+        # null-lang rows are 'tail' by fiat (see _gate) — their cutoffs
+        # are never consulted, and a null group would break the
+        # quantile pass
+        m = (ntok > 0) & pc.is_valid(lcol).to_numpy(zero_copy_only=False)
+        mask = pa.array(m)
         return pa.table(
-            {lang_col: lcol.filter(mask), "logprob": pa.array(avg)}
+            {lang_col: lcol.filter(mask), "logprob": pa.array(avg[m])}
         )
 
     skinny = ds.map_batches(_skinny, batch_format="pyarrow").materialize()
@@ -615,20 +626,19 @@ def perplexity_gate(
     def _gate(batch: pa.Table) -> pa.Table:
         h, lp = ray.get(bcast)
         tm = ray.get(thr_ref)
-        doc, th = _doc_tokens(batch, text_col)
-        n_rows = batch.num_rows
-        ntok = np.zeros(n_rows, dtype=np.int64)
-        sums = np.zeros(n_rows, dtype=np.float64)
-        if th.size:
-            np.add.at(ntok, doc, 1)
-            pos = np.minimum(np.searchsorted(h, th.view(np.int64)), max(0, h.size - 1))
-            np.add.at(sums, doc, lp[pos])
-        avg = np.round(sums / np.maximum(1, ntok), decimals)
+        ntok, avg = _mean_logprob(batch, text_col, h, lp, decimals)
         codes, uniq = pd.factorize(
             pd.Series(batch[lang_col].to_pylist(), dtype=object)
         )
+        # factorize maps null lang to code -1; append a sentinel row
+        # that numpy's -1 indexing hits, so null-lang docs behave
+        # deterministically (they are 'tail' in perplexity_buckets:
+        # kept only when tail is kept) instead of wrapping to whichever
+        # language happens to be last in this batch
+        null_thr = -np.inf if "tail" in keep_set else np.inf
         thr = np.array(
-            [tm.get(u, np.inf) for u in uniq], dtype=np.float64
+            [tm.get(u, np.inf) for u in uniq] + [null_thr],
+            dtype=np.float64,
         )
         m = (ntok > 0) & (avg >= thr[codes])
         return batch.filter(pa.array(m))
@@ -675,7 +685,14 @@ def perplexity_buckets(
         extra_cols=tuple(dict.fromkeys((lang_col, *extra_cols))),
     ).materialize()
     qlo, qhi = 1.0 / 3.0, 2.0 / 3.0
-    cuts = group_quantiles(scored, lang_col, "logprob", [qlo, qhi], q_buckets)
+    # null-lang rows label 'tail' by fiat in _label; exclude them from
+    # the quantile pass (a null group would break it and its cutoffs
+    # are never read)
+    nonnull = scored.map_batches(
+        lambda t: t.filter(pc.is_valid(t[lang_col])),
+        batch_format="pyarrow",
+    )
+    cuts = group_quantiles(nonnull, lang_col, "logprob", [qlo, qhi], q_buckets)
     cut_map = {
         r[lang_col]: (float(r[f"q{qlo}"]), float(r[f"q{qhi}"]))
         for r in cuts.to_dict("records")
@@ -688,8 +705,17 @@ def perplexity_buckets(
         codes, uniq = pd.factorize(
             pd.Series(batch[lang_col].to_pylist(), dtype=object)
         )
-        lo = np.array([cm[u][0] for u in uniq], dtype=np.float64)
-        hi = np.array([cm[u][1] for u in uniq], dtype=np.float64)
+        # +inf sentinel rows so factorize's -1 (null lang) indexes the
+        # appended element and deterministically labels 'tail' instead
+        # of wrapping to an arbitrary language's cutoffs
+        lo = np.array(
+            [cm.get(u, (np.inf, np.inf))[0] for u in uniq] + [np.inf],
+            dtype=np.float64,
+        )
+        hi = np.array(
+            [cm.get(u, (np.inf, np.inf))[1] for u in uniq] + [np.inf],
+            dtype=np.float64,
+        )
         out = np.where(
             lp >= hi[codes],
             labels[0],

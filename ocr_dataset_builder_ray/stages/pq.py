@@ -241,7 +241,10 @@ def pq_search(
                 lut = luts_l[(qi, int(c))]
                 d2 = lut[jj[:, None], codes[rows].T].sum(axis=0)
                 top = min(shortlist, rows.size)
-                idx = np.argpartition(d2, top - 1)[:top]
+                # rounded lexsort, not argpartition: ties (duplicate
+                # vectors) straddling the cut must resolve by key or
+                # the per-batch survivors vary with partitioning
+                idx = np.lexsort((keys[rows], np.round(d2, 12)))[:top]
                 out_q.append(np.full(top, qi, dtype=np.int64))
                 out_k.append(keys[rows[idx]])
                 out_d.append(d2[idx])
@@ -278,8 +281,11 @@ def pq_search(
     if rerank_ds is None:
         return approx[approx["rank"] <= k].reset_index(drop=True)
 
-    # exact re-rank: candidate-bounded membership prefilter, then the
-    # brute-force kernel on the shortlist only
+    # exact re-rank: one candidate-bounded membership pass fetches the
+    # shortlisted vectors, then each query re-scores ONLY ITS OWN
+    # candidates on the driver (a shared brute-force top-k over the
+    # candidate union lets another query's closer candidates crowd a
+    # query's allowed keys out of the cut and silently return < k rows)
     cand = np.unique(approx[key_col].to_numpy())
     cand_ref = ray.put(np.sort(cand))
 
@@ -287,24 +293,24 @@ def pq_search(
         keep = np.isin(df[key_col].to_numpy(), ray.get(cand_ref))
         return df.loc[keep]
 
-    subset = rerank_ds.map_batches(
+    cand_rows = rerank_ds.map_batches(
         _member, batch_format="pandas", batch_size=4096
+    ).to_pandas()  # shortlist-bounded: <= nq * shortlist rows
+    cand_mat = _normalize(_as_matrix(cand_rows[vec_col]))
+    cand_keys = cand_rows[key_col].to_numpy()
+    key_pos = {int(kk): i for i, kk in enumerate(cand_keys)}
+    out = []
+    for qi in range(q.shape[0]):
+        mine = approx[approx["query_id"] == qi][key_col].to_numpy()
+        idx = np.array([key_pos[int(kk)] for kk in mine], dtype=np.int64)
+        if not idx.size:
+            continue
+        cos = cand_mat[idx] @ q[qi]
+        order = np.lexsort((cand_keys[idx], -np.round(cos, 12)))[:k]
+        for rank, oi in enumerate(order):
+            out.append(
+                (qi, cand_keys[idx][oi], float(cos[oi]), rank + 1)
+            )
+    return pd.DataFrame(
+        out, columns=["query_id", key_col, "cosine", "rank"]
     )
-    # ask for the full shortlist so filtering other queries' candidates
-    # out below can never leave a query short of k allowed rows
-    exact = knn_bruteforce(
-        subset, q, vec_col=vec_col, key_col=key_col, k=shortlist
-    )
-    # keep only keys this query actually shortlisted (a candidate from
-    # another query's probe set must not leak into the exact top-k)
-    allowed = {
-        (r.query_id, getattr(r, key_col))
-        for r in approx.itertuples(index=False)
-    }
-    mask = [
-        (r.query_id, getattr(r, key_col)) in allowed
-        for r in exact.itertuples(index=False)
-    ]
-    exact = exact.loc[mask].copy()
-    exact["rank"] = exact.groupby("query_id").cumcount() + 1
-    return exact[exact["rank"] <= k].reset_index(drop=True)

@@ -69,6 +69,11 @@ from ..stages.dedup import (
 _PARAMS_FILE = "params.json"
 _BANDS_SUBDIR = "bands"
 
+# verification + resolution run on the driver by design (one daily
+# batch's duplicates); this bound turns a degenerate quadratic batch
+# into a loud error instead of an OOM
+_DRIVER_CANDIDATE_LIMIT = 5_000_000
+
 
 def _write_params(index_dir: str, params: dict) -> None:
     tmp = os.path.join(index_dir, _PARAMS_FILE + ".tmp")
@@ -202,11 +207,31 @@ def incremental_minhash_dedup(
         both_ds = new_rows.select_columns(
             ["key", "band_id", "band_hash"]
         ).union(old_matched)
-        candidates = lsh_candidate_pairs_bucketed(
+        cand_ds = lsh_candidate_pairs_bucketed(
             both_ds, "band_id", "band_hash"
-        ).to_pandas()
+        ).materialize()
+        # verification/resolution here is driver-side by design (the
+        # pair volume of ONE daily batch); a degenerate batch — many
+        # docs sharing one signature, e.g. thousands of empty
+        # documents — is hot-bucket-quadratic and must fail loudly
+        # before the collect, not OOM the driver
+        n_cand = cand_ds.count()
+        if n_cand > _DRIVER_CANDIDATE_LIMIT:
+            raise ValueError(
+                f"incremental_minhash_dedup: {n_cand} candidate pairs "
+                f"exceed the driver bound ({_DRIVER_CANDIDATE_LIMIT}); "
+                "the batch likely contains a mass of near-identical "
+                "(e.g. empty) documents — exact-dedup/gate the batch "
+                "first, or split it"
+            )
+        candidates = cand_ds.to_pandas()
         if "a" not in candidates.columns:
             candidates = pd.DataFrame({"a": [], "b": []})
+    if len(candidates) > _DRIVER_CANDIDATE_LIMIT:
+        raise ValueError(
+            f"incremental_minhash_dedup: {len(candidates)} candidate "
+            f"pairs exceed the driver bound ({_DRIVER_CANDIDATE_LIMIT})"
+        )
 
     # old-old pairs are out of scope by contract
     a = candidates["a"].to_numpy(np.int64, copy=False)
@@ -230,9 +255,28 @@ def incremental_minhash_dedup(
             np.concatenate([candidates["a"], candidates["b"]]).astype(np.int64)
         )
         old_cand = np.sort(cand_keys[~np.isin(cand_keys, new_keys)])
+        new_cand = np.sort(cand_keys[np.isin(cand_keys, new_keys)])
         sig_frames = []
-        nsig = new_rows.to_pandas()
-        nsig = nsig[nsig["sig"].notna()]
+        nc_ref = ray.put(new_cand)
+
+        def _new_sigs(t: pa.Table) -> pa.Table:
+            # candidate-bounded: only candidate docs' band-0 sig rows
+            # reach the driver, not bands x batch rows
+            want = ray.get(nc_ref)
+            t = t.filter(pc.is_valid(t["sig"]))
+            if want.size == 0 or t.num_rows == 0:
+                return t.slice(0, 0)
+            keys = t["key"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(want, keys), want.size - 1)
+            return t.filter(pa.array(want[pos] == keys))
+
+        nsig = (
+            new_rows.select_columns(["key", "sig"])
+            .map_batches(_new_sigs, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if "key" not in nsig.columns:
+            nsig = pd.DataFrame({"key": [], "sig": []})
         sig_frames.append(
             pd.DataFrame(
                 {

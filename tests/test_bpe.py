@@ -144,3 +144,24 @@ def test_unknown_chars_encode_as_unk(ray_session):
     # the known word still decodes
     known = "".join(inv[i] for i in ids if i >= 0)
     assert "abc" in known
+
+
+def test_sentinel_char_in_input_is_stripped(ray_session):
+    from ocr_dataset_builder_ray.stages.bpe import _strip_sentinel  # noqa: F401
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["▁hello world", "plain words here"]}
+    )
+    ds = ray.data.from_pandas(df)
+    model = train_bpe(ds, n_merges=10)
+    assert EOW not in {ch for w in ("hello", "world") for ch in w}
+    # no training symbol contains an embedded sentinel except as the
+    # trailing end-of-word marker
+    for s in model.vocab:
+        assert EOW not in s or s.endswith(EOW)
+    got = bpe_encode(ds, model).to_pandas().set_index("doc_id")
+    inv = {i: s for s, i in model.vocab.items()}
+    decoded = "".join(inv[i] for i in got.loc[0, "bpe_ids"]).replace(
+        EOW, " "
+    ).strip()
+    assert decoded == "hello world"  # the pasted marker is gone

@@ -574,3 +574,34 @@ def test_hash_split(ray_session):
     assert got3["split"].isna().sum() > 0
     with pytest.raises(ValueError):
         hash_split(ray.data.from_pandas(df), "doc_id", {"a": 0.7, "b": 0.4})
+
+
+def test_perplexity_null_lang_deterministic(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import (
+        perplexity_buckets,
+        perplexity_gate,
+    )
+
+    df = _ppl_corpus(n=90, seed=21)
+    df.loc[[3, 40], "lang"] = None
+    ds = ray.data.from_pandas(df)
+    buckets = perplexity_buckets(ds).to_pandas().set_index("doc_id")
+    assert (buckets.loc[[3, 40], "bucket"] == "tail").all()
+    # partition-invariant (the old -1 wraparound was batch-dependent)
+    b2 = (
+        perplexity_buckets(ray.data.from_pandas(df).repartition(9))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (buckets["bucket"].sort_index() == b2["bucket"].sort_index()).all()
+    # gate: null-lang docs drop with head+middle, pass when tail kept
+    kept = set(
+        perplexity_gate(ds, keep=("head", "middle")).to_pandas()["doc_id"]
+    )
+    assert not {3, 40} & kept
+    kept_all = set(
+        perplexity_gate(
+            ds, keep=("head", "middle", "tail")
+        ).to_pandas()["doc_id"]
+    )
+    assert {3, 40} <= kept_all

@@ -183,3 +183,29 @@ def test_compression_ratio(ray_session, vecs):
     model = pq_train(ds, n_centroids=12, m=M, ks=64)
     raw_bytes = D * 4
     assert M / raw_bytes <= 0.0625  # 16x+ compression at m=8, 32-d f32
+
+
+def test_tied_duplicate_vectors_partition_invariant(ray_session):
+    # >shortlist exact-duplicate vectors in one cluster: the per-batch
+    # cut must resolve ties by key or survivors vary with partitioning
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=D)
+    n_dup = 120
+    vecs = pd.DataFrame(
+        {
+            "vec_id": np.arange(n_dup + 50, dtype=np.int64),
+            "embedding": [base.astype(np.float32)] * n_dup
+            + [rng.normal(size=D).astype(np.float32) for _ in range(50)],
+        }
+    )
+    ds = ray.data.from_pandas(vecs)
+    model = pq_train(ds, n_centroids=4, m=M, ks=16, train_sample=200)
+    q = base[None, :] * 1.0
+    results = []
+    for parts in (1, 7, 13):
+        codes = pq_encode(ds.repartition(parts), model).materialize()
+        got = pq_search(codes, model, q, k=10, nprobe=2)
+        results.append(got["vec_id"].tolist())
+    assert results[0] == results[1] == results[2]
+    # ties resolve to the smallest keys
+    assert results[0] == sorted(results[0])
