@@ -213,6 +213,25 @@ def _cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_report(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    import json as _json
+
+    from .pipelines.metrics import corpus_report
+
+    ds = _read_clean(args.input, None)
+    rep = corpus_report(
+        ds,
+        text_col=args.text,
+        key_col=args.key,
+        lang_col=args.lang,
+        domain_col=args.domain,
+        top_k=args.top,
+    )
+    print(_json.dumps(rep))
+    return 0
+
+
 def _cmd_dedup_index(args: argparse.Namespace) -> int:
     _ensure_ray()
     import json as _json
@@ -541,6 +560,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     w.add_argument("--output", required=True, help="pages parquet dir")
     w.set_defaults(fn=_cmd_ingest_warc)
+
+    rp = sub.add_parser(
+        "report", help="one-call corpus card (counts, dup rate, distributions)"
+    )
+    rp.add_argument("--input", required=True)
+    rp.add_argument("--key", default="doc_id")
+    rp.add_argument("--text", default="text")
+    rp.add_argument("--lang", default=None)
+    rp.add_argument("--domain", default=None)
+    rp.add_argument("--top", type=int, default=20)
+    rp.set_defaults(fn=_cmd_report)
 
     di = sub.add_parser(
         "dedup-index",

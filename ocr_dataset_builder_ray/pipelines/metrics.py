@@ -254,3 +254,111 @@ def group_histogram(
     )
     out["n"] = out["n"].astype("int64")
     return out.sort_values([group_col, "bin"]).reset_index(drop=True)
+
+
+def corpus_report(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    lang_col: str | None = None,
+    domain_col: str | None = None,
+    top_k: int = 20,
+) -> dict:
+    """One-call corpus card: document/char/token counts and ranges,
+    an exact-duplicate-rate estimate (HyperLogLog over the content
+    hash — 16 KiB of sketch, never the hashes), the per-language
+    distribution, the top domains, and the top tokens. Everything is
+    JSON-serializable.
+
+    Scale shape: ONE skinny pass computes (lang, domain, n_chars,
+    n_tokens, content-hash) per doc and materializes it; every
+    aggregate below reads that projection, not the payload — the
+    payload is read exactly twice (skinny pass + top_tokens). Driver
+    state is language/top-k/sketch-bounded; the domain ranking is a
+    distributed sort+limit, so a 10M-domain corpus never collects its
+    domain table.
+    """
+    import numpy as np
+
+    from ..functions.hashing import stable_hash64_array
+    from ..functions.hll import HyperLogLog
+    from ..stages.curation import top_tokens
+
+    keep = [c for c in (lang_col, domain_col) if c]
+
+    def _skinny(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        toks = pc.utf8_split_whitespace(filled)
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        h = stable_hash64_array(
+            filled.to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        cols = {
+            "n_chars": pc.cast(pc.utf8_length(filled), pa.int64()),
+            "n_tokens": n_tokens,
+            "content_hash64": pa.array(h),
+        }
+        for c in keep:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    skinny = ds.map_batches(_skinny, batch_format="pyarrow").materialize()
+    n_docs = skinny.count()
+    report: dict = {"n_docs": int(n_docs)}
+    if n_docs == 0:
+        return report
+
+    prof = profile_columns(skinny, ["n_chars", "n_tokens"])
+    for _, r in prof.iterrows():
+        report[r["col"]] = {
+            "min": int(r["min_val"]),
+            "max": int(r["max_val"]),
+            "mean": round(r["sum_cents"] / 100.0 / max(1, r["n_rows"]), 2),
+            "total": int(round(r["sum_cents"] / 100.0)),
+        }
+
+    # duplicate-rate estimate: one mergeable sketch per block
+    def _sketch(t: pa.Table) -> pa.Table:
+        hll = HyperLogLog().add_array(
+            t["content_hash64"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"sketch": pa.array([hll.to_bytes()], pa.binary())})
+
+    acc = None
+    for row in skinny.map_batches(
+        _sketch, batch_format="pyarrow"
+    ).take_all():
+        s = HyperLogLog.from_bytes(row["sketch"])
+        acc = s if acc is None else acc.merge(s)
+    distinct = min(float(n_docs), acc.estimate())
+    report["approx_distinct_texts"] = int(round(distinct))
+    report["approx_exact_dup_rate"] = round(1.0 - distinct / n_docs, 4)
+
+    if lang_col:
+        report["languages"] = {
+            (r[lang_col] if r[lang_col] is not None else "<null>"): int(
+                r["count()"]
+            )
+            for r in skinny.groupby(lang_col).count().take_all()
+        }
+    if domain_col:
+        top = (
+            skinny.groupby(domain_col)
+            .count()
+            .sort("count()", descending=True)
+            .limit(top_k)
+            .take_all()
+        )
+        report["top_domains"] = [
+            {"domain": r[domain_col], "docs": int(r["count()"])} for r in top
+        ]
+
+    report["top_tokens"] = [
+        {"token": r["token"], "n": int(r["n"])}
+        for r in top_tokens(ds, text_col, k=top_k).take_all()
+    ]
+    return report
