@@ -132,6 +132,85 @@ def _read_bands(index_dir: str, columns: list[str]) -> ray.data.Dataset:
     )
 
 
+# new nodes are encoded as key + 2^62 so that in min-label component
+# resolution ANY old node is smaller than EVERY new node: the
+# component root is an old doc whenever one exists (old-wins), else
+# the minimum new key — identical semantics to the driver union-find
+# over (is_new, key) tuples
+_OLD_WINS_OFFSET = np.int64(1) << np.int64(62)
+
+
+def _resolve_distributed(
+    verified: ray.data.Dataset, new_keys: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Distributed old-wins resolution over verified pairs: returns
+    (sorted new keys to drop, how many dropped against an old doc).
+    Only the duplicate-bounded drop set reaches the driver."""
+    from ..stages.components import min_label_components
+
+    verified = verified.materialize()
+    if verified.count() == 0:
+        return np.empty(0, dtype=np.int64), 0
+    nk_ref = ray.put(new_keys)
+
+    def _encode(t: pa.Table) -> pa.Table:
+        nk = ray.get(nk_ref)
+        av = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if av.size and max(av.max(), bv.max()) >= _OLD_WINS_OFFSET:
+            raise ValueError(
+                "incremental_minhash_dedup: keys must be < 2^62 for "
+                "the distributed old-wins encoding"
+            )
+
+        def _enc(v: np.ndarray) -> np.ndarray:
+            if nk.size == 0:
+                return v
+            pos = np.minimum(np.searchsorted(nk, v), nk.size - 1)
+            return v + _OLD_WINS_OFFSET * (nk[pos] == v)
+
+        return pa.table(
+            {"a": pa.array(_enc(av)), "b": pa.array(_enc(bv))}
+        )
+
+    enc = verified.map_batches(_encode, batch_format="pyarrow").materialize()
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        a = t["a"]
+        b = t["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({"key": pa.concat_arrays([a, b])})
+
+    nodes = (
+        enc.map_batches(_nodes, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(lambda t: t.take([0]), batch_format="pyarrow")
+    )
+    labels = min_label_components(enc, nodes, node_col="key")
+
+    def _drops(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        comp = t["component"].to_numpy(zero_copy_only=False)
+        m = (node >= _OLD_WINS_OFFSET) & (comp != node)
+        return pa.table(
+            {
+                "key": pa.array((node[m] - _OLD_WINS_OFFSET)),
+                "vs_old": pa.array(comp[m] < _OLD_WINS_OFFSET),
+            }
+        )
+
+    ddf = labels.map_batches(_drops, batch_format="pyarrow").to_pandas()
+    if "key" not in ddf.columns or not len(ddf):
+        return np.empty(0, dtype=np.int64), 0
+    return (
+        np.sort(ddf["key"].to_numpy(np.int64)),
+        int(ddf["vs_old"].sum()),
+    )
+
+
 def incremental_minhash_dedup(
     new_ds: ray.data.Dataset,
     index_dir: str,
@@ -140,6 +219,7 @@ def incremental_minhash_dedup(
     *,
     threshold: float = 0.8,
     update: bool = True,
+    engine: str = "auto",
 ) -> tuple[ray.data.Dataset, dict]:
     """One incremental pass: returns ``(survivors of new_ds, report)``
     and (with ``update=True``) appends the survivors' band rows to the
@@ -149,7 +229,17 @@ def incremental_minhash_dedup(
     the same contract as every key-addressed operator here. Old
     documents always win against new near-dups; within the new batch
     the min key wins (matching ``minhash_lsh_dedup`` exactly, which
-    makes the two paths equivalence-testable)."""
+    makes the two paths equivalence-testable).
+
+    ``engine``: ``"driver"`` verifies and resolves on the driver (the
+    normal daily-batch regime — pairs are batch-duplicate-bounded);
+    ``"distributed"`` keeps pairs, signatures and components
+    distributed end-to-end (old-wins encoded as ``key + 2^62`` for new
+    nodes so the min-label component root is an old doc whenever one
+    exists); ``"auto"`` (default) escalates to distributed when the
+    candidate count exceeds the driver bound — a degenerate batch
+    (mass near-identical documents) stays off the driver instead of
+    failing. Identical results on both engines (tested)."""
     params = load_index_params(index_dir)
     mh_a, mh_b = minhash_params(params["num_perm"])
     bands, shingle_k = params["bands"], params["shingle_k"]
@@ -193,9 +283,13 @@ def incremental_minhash_dedup(
         .materialize()
     )
 
+    if engine not in ("auto", "driver", "distributed"):
+        raise ValueError(f"incremental_minhash_dedup: unknown engine {engine!r}")
+
     # candidate pairs over (new ∪ matched-old) band rows
+    candidates: pd.DataFrame | ray.data.Dataset
     n_total = old_matched.count() + len(ndf)
-    if n_total <= SMALL_INPUT_BAND_ROWS:
+    if n_total <= SMALL_INPUT_BAND_ROWS and engine != "distributed":
         odf = old_matched.to_pandas()
         if "key" not in odf.columns:  # empty loses its schema
             odf = ndf.iloc[:0][["key", "band_id", "band_hash"]]
@@ -203,6 +297,19 @@ def incremental_minhash_dedup(
             [ndf[["key", "band_id", "band_hash"]], odf], ignore_index=True
         )
         candidates = _driver_candidate_pairs(both, "band_id", "band_hash")
+        if engine == "driver" and len(candidates) > _DRIVER_CANDIDATE_LIMIT:
+            raise ValueError(
+                f"incremental_minhash_dedup: {len(candidates)} candidate "
+                f"pairs exceed the driver bound ({_DRIVER_CANDIDATE_LIMIT}); "
+                "use engine='auto'/'distributed'"
+            )
+        if len(candidates) > _DRIVER_CANDIDATE_LIMIT:  # auto escalation
+            engine = "distributed"
+            candidates = ray.data.from_arrow(
+                pa.Table.from_pandas(candidates, preserve_index=False)
+            )
+        else:
+            engine = "driver"
     else:
         both_ds = new_rows.select_columns(
             ["key", "band_id", "band_hash"]
@@ -210,35 +317,51 @@ def incremental_minhash_dedup(
         cand_ds = lsh_candidate_pairs_bucketed(
             both_ds, "band_id", "band_hash"
         ).materialize()
-        # verification/resolution here is driver-side by design (the
-        # pair volume of ONE daily batch); a degenerate batch — many
-        # docs sharing one signature, e.g. thousands of empty
-        # documents — is hot-bucket-quadratic and must fail loudly
-        # before the collect, not OOM the driver
         n_cand = cand_ds.count()
-        if n_cand > _DRIVER_CANDIDATE_LIMIT:
-            raise ValueError(
-                f"incremental_minhash_dedup: {n_cand} candidate pairs "
-                f"exceed the driver bound ({_DRIVER_CANDIDATE_LIMIT}); "
-                "the batch likely contains a mass of near-identical "
-                "(e.g. empty) documents — exact-dedup/gate the batch "
-                "first, or split it"
-            )
-        candidates = cand_ds.to_pandas()
-        if "a" not in candidates.columns:
-            candidates = pd.DataFrame({"a": [], "b": []})
-    if len(candidates) > _DRIVER_CANDIDATE_LIMIT:
-        raise ValueError(
-            f"incremental_minhash_dedup: {len(candidates)} candidate "
-            f"pairs exceed the driver bound ({_DRIVER_CANDIDATE_LIMIT})"
-        )
+        if engine == "distributed" or n_cand > _DRIVER_CANDIDATE_LIMIT:
+            # a degenerate batch (many docs sharing one signature —
+            # e.g. thousands of empty documents) is hot-bucket-
+            # quadratic: stay distributed instead of OOMing the driver
+            if engine == "driver":
+                raise ValueError(
+                    f"incremental_minhash_dedup: {n_cand} candidate "
+                    f"pairs exceed the driver bound "
+                    f"({_DRIVER_CANDIDATE_LIMIT}); use engine='auto'"
+                )
+            engine = "distributed"
+            candidates = cand_ds
+        else:
+            engine = "driver"
+            candidates = cand_ds.to_pandas()
+            if "a" not in candidates.columns:
+                candidates = pd.DataFrame({"a": [], "b": []})
 
     # old-old pairs are out of scope by contract
-    a = candidates["a"].to_numpy(np.int64, copy=False)
-    b = candidates["b"].to_numpy(np.int64, copy=False)
-    a_new = np.isin(a, new_keys)
-    b_new = np.isin(b, new_keys)
-    candidates = candidates.loc[a_new | b_new].reset_index(drop=True)
+    if isinstance(candidates, pd.DataFrame):
+        a = candidates["a"].to_numpy(np.int64, copy=False)
+        b = candidates["b"].to_numpy(np.int64, copy=False)
+        a_new = np.isin(a, new_keys)
+        b_new = np.isin(b, new_keys)
+        candidates = candidates.loc[a_new | b_new].reset_index(drop=True)
+        n_cand_rows = len(candidates)
+    else:
+        nk_ref_f = ray.put(new_keys)
+
+        def _drop_old_old(t: pa.Table) -> pa.Table:
+            nk = ray.get(nk_ref_f)
+            if t.num_rows == 0 or nk.size == 0:
+                return t.slice(0, 0) if nk.size == 0 else t
+            av = t["a"].to_numpy(zero_copy_only=False)
+            bv = t["b"].to_numpy(zero_copy_only=False)
+            pa_pos = np.minimum(np.searchsorted(nk, av), nk.size - 1)
+            pb_pos = np.minimum(np.searchsorted(nk, bv), nk.size - 1)
+            keep = (nk[pa_pos] == av) | (nk[pb_pos] == bv)
+            return t.filter(pa.array(keep))
+
+        candidates = candidates.map_batches(
+            _drop_old_old, batch_format="pyarrow"
+        ).materialize()
+        n_cand_rows = candidates.count()
 
     report = {
         "new_docs": int(new_keys.size),
@@ -247,73 +370,117 @@ def incremental_minhash_dedup(
         "survivors": int(new_keys.size),
     }
     drop_new: np.ndarray = np.empty(0, dtype=np.int64)
-    if len(candidates):
+    drops_vs_old = 0
+    if n_cand_rows:
         # signatures: new ones are carried; old ones fetched with a
         # candidate-bounded filtered read (sig rides on band-0 rows
         # which the bucket prune may have dropped)
-        cand_keys = np.unique(
-            np.concatenate([candidates["a"], candidates["b"]]).astype(np.int64)
-        )
+        if isinstance(candidates, pd.DataFrame):
+            cand_keys = np.unique(
+                np.concatenate(
+                    [candidates["a"], candidates["b"]]
+                ).astype(np.int64)
+            )
+        else:
+            # distinct pair-touched keys: bounded by DOCS (new batch +
+            # matched old), never by the pair count
+            def _pair_keys(t: pa.Table) -> pa.Table:
+                u = np.unique(
+                    np.concatenate(
+                        [
+                            t["a"].to_numpy(zero_copy_only=False),
+                            t["b"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+                return pa.table({"key": pa.array(u.astype(np.int64))})
+
+            kdf = candidates.map_batches(
+                _pair_keys, batch_format="pyarrow"
+            ).to_pandas()
+            cand_keys = (
+                np.unique(kdf["key"].to_numpy(np.int64))
+                if "key" in kdf.columns
+                else np.empty(0, np.int64)
+            )
         old_cand = np.sort(cand_keys[~np.isin(cand_keys, new_keys)])
         new_cand = np.sort(cand_keys[np.isin(cand_keys, new_keys)])
-        sig_frames = []
-        nc_ref = ray.put(new_cand)
 
-        def _new_sigs(t: pa.Table) -> pa.Table:
-            # candidate-bounded: only candidate docs' band-0 sig rows
-            # reach the driver, not bands x batch rows
-            want = ray.get(nc_ref)
-            t = t.filter(pc.is_valid(t["sig"]))
-            if want.size == 0 or t.num_rows == 0:
-                return t.slice(0, 0)
-            keys = t["key"].to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(want, keys), want.size - 1)
-            return t.filter(pa.array(want[pos] == keys))
+        def _sig_filter_fn(want_arr: np.ndarray):
+            ref = ray.put(want_arr)
 
-        nsig = (
-            new_rows.select_columns(["key", "sig"])
-            .map_batches(_new_sigs, batch_format="pyarrow")
-            .to_pandas()
-        )
-        if "key" not in nsig.columns:
-            nsig = pd.DataFrame({"key": [], "sig": []})
-        sig_frames.append(
-            pd.DataFrame(
-                {
-                    "key": nsig["key"].to_numpy(),
-                    "sig": [np.frombuffer(s, np.uint64) for s in nsig["sig"]],
-                }
-            )
-        )
-        if old_cand.size:
-            oc_ref = ray.put(old_cand)
-
-            def _old_sigs(t: pa.Table) -> pa.Table:
-                want = ray.get(oc_ref)
+            def _f(t: pa.Table) -> pa.Table:
+                # candidate-bounded: only candidate docs' band-0 sig
+                # rows move, not bands x batch rows
+                want = ray.get(ref)
                 t = t.filter(pc.is_valid(t["sig"]))
+                if want.size == 0 or t.num_rows == 0:
+                    return t.slice(0, 0)
                 keys = t["key"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(want, keys)
-                pos_c = np.minimum(pos, want.size - 1)
-                return t.filter(pa.array(want[pos_c] == keys))
+                pos = np.minimum(
+                    np.searchsorted(want, keys), want.size - 1
+                )
+                return t.filter(pa.array(want[pos] == keys))
 
-            osig = (
-                _read_bands(index_dir, ["key", "sig"])
-                .map_batches(_old_sigs, batch_format="pyarrow")
-                .to_pandas()
+            return _f
+
+        new_sig_ds = new_rows.select_columns(["key", "sig"]).map_batches(
+            _sig_filter_fn(new_cand), batch_format="pyarrow"
+        )
+        old_sig_ds = (
+            _read_bands(index_dir, ["key", "sig"]).map_batches(
+                _sig_filter_fn(old_cand), batch_format="pyarrow"
             )
-            if "key" in osig.columns and len(osig):
+            if old_cand.size
+            else None
+        )
+
+        if engine == "driver":
+            sig_frames = []
+            for sds in (new_sig_ds, old_sig_ds):
+                if sds is None:
+                    continue
+                sdf = sds.to_pandas()
+                if "key" not in sdf.columns or not len(sdf):
+                    continue
                 sig_frames.append(
                     pd.DataFrame(
                         {
-                            "key": osig["key"].to_numpy(),
+                            "key": sdf["key"].to_numpy(),
                             "sig": [
                                 np.frombuffer(s, np.uint64)
-                                for s in osig["sig"]
+                                for s in sdf["sig"]
                             ],
                         }
                     )
                 )
-        sigs = pd.concat(sig_frames, ignore_index=True)
+            sigs = (
+                pd.concat(sig_frames, ignore_index=True)
+                if sig_frames
+                else pd.DataFrame({"key": [], "sig": []})
+            )
+        else:
+
+            def _unpack(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "key": t["key"],
+                        "sig": pa.array(
+                            [
+                                np.frombuffer(s, np.uint64).tolist()
+                                for s in t["sig"].to_pylist()
+                            ],
+                            pa.list_(pa.uint64()),
+                        ),
+                    }
+                )
+
+            sig_union = (
+                new_sig_ds.union(old_sig_ds)
+                if old_sig_ds is not None
+                else new_sig_ds
+            )
+            sigs = sig_union.map_batches(_unpack, batch_format="pyarrow")
 
         def _sig(text: str) -> np.ndarray:
             return minhash_signature(
@@ -328,29 +495,35 @@ def incremental_minhash_dedup(
             _sig,
             lambda s0, s1: float(np.mean(s0 == s1)),
             threshold,
-            "driver",
+            engine,
             score_pairs_fn=lambda x, y: (x == y).mean(axis=1),
             sigs=sigs,
         )
-        if len(verified):
-            nk = set(new_keys.tolist())
-            # (is_new, key) ordering: any old member sorts below every
-            # new one, so the component min — the union-find root — is
-            # an old doc whenever one exists
-            labels = _union_find_labels(
-                ((int(a) in nk, int(a)), (int(b) in nk, int(b)))
-                for a, b in zip(verified["a"], verified["b"])
+        if engine == "driver":
+            if len(verified):
+                nk = set(new_keys.tolist())
+                # (is_new, key) ordering: any old member sorts below
+                # every new one, so the component min — the union-find
+                # root — is an old doc whenever one exists
+                labels = _union_find_labels(
+                    ((int(a) in nk, int(a)), (int(b) in nk, int(b)))
+                    for a, b in zip(verified["a"], verified["b"])
+                )
+                drops = []
+                for (is_new, key), (root_is_new, _) in labels.items():
+                    if not is_new:
+                        continue
+                    node = (is_new, key)
+                    if labels[node] != node:
+                        drops.append(key)
+                        if not root_is_new:
+                            drops_vs_old += 1
+                drop_new = np.array(sorted(drops), dtype=np.int64)
+        else:
+            drop_new, drops_vs_old = _resolve_distributed(
+                verified, new_keys
             )
-            drops, drops_vs_old = [], 0
-            for (is_new, key), (root_is_new, _) in labels.items():
-                if not is_new:
-                    continue
-                node = (is_new, key)
-                if labels[node] != node:
-                    drops.append(key)
-                    if not root_is_new:
-                        drops_vs_old += 1
-            drop_new = np.array(sorted(drops), dtype=np.int64)
+        if drop_new.size:
             report["dropped_vs_index"] = drops_vs_old
             report["dropped_within_new"] = int(drop_new.size) - drops_vs_old
             report["survivors"] = int(new_keys.size - drop_new.size)

@@ -190,3 +190,50 @@ def test_cli_dedup_index_and_classify(ray_session, tmp_path, capsys):
                  "--label", "label", "--keep-label", "even"]) == 0
     info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info2["mode"] == "filter" and 0 < info2["rows"] <= 30
+
+
+def test_distributed_engine_equals_driver(index_env):
+    idx, a = index_env
+    novel = _texts(1, 63)[0]
+    new = _df(
+        [1, 205, 210, 211, 300],
+        [a["text"][0], novel, a["text"][3], a["text"][3], novel],
+    )
+    ds = ray.data.from_pandas(new)
+    s_drv, r_drv = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="driver"
+    )
+    s_dist, r_dist = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="distributed"
+    )
+    assert sorted(s_drv.to_pandas()["doc_id"]) == sorted(
+        s_dist.to_pandas()["doc_id"]
+    )
+    assert r_drv == r_dist
+    # old-wins held in the distributed encoding: key 1 < every old key
+    # yet drops against the index
+    assert 1 not in set(s_dist.to_pandas()["doc_id"])
+
+
+def test_auto_escalates_past_driver_bound(index_env, monkeypatch):
+    import ocr_dataset_builder_ray.state.minhash_index as mhi
+
+    idx, a = index_env
+    new = _df([400, 401, 402], [a["text"][0], a["text"][1], _texts(1, 71)[0]])
+    ds = ray.data.from_pandas(new)
+    want_s, want_r = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="driver"
+    )
+    monkeypatch.setattr(mhi, "_DRIVER_CANDIDATE_LIMIT", 0)
+    got_s, got_r = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="auto"
+    )
+    assert sorted(got_s.to_pandas()["doc_id"]) == sorted(
+        want_s.to_pandas()["doc_id"]
+    )
+    assert got_r == want_r
+    # explicit driver engine refuses instead of collecting
+    with pytest.raises(ValueError):
+        incremental_minhash_dedup(
+            ds, idx, "text", "doc_id", update=False, engine="driver"
+        )
