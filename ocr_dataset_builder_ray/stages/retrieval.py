@@ -232,16 +232,27 @@ def build_postings(
         keep = toks != ""
         doc, toks = doc[keep], toks[keep]
         if doc.size:
-            df_pairs = pd.DataFrame({"token": toks, key_col: doc})
-            df_pairs = df_pairs.drop_duplicates()
-            th = stable_hash64_array(df_pairs["token"].to_numpy())
-            seg = df_pairs[key_col].to_numpy() // key_span
+            # distinct (doc, token) via ONE lexsort over int hashes —
+            # pandas drop_duplicates hashes every string in Python and
+            # dominated this map; a same-doc 64-bit collision dropping
+            # one true pair is the repo-wide accepted hash contract
+            # (the emitted token STRINGS are exact)
+            th_all = stable_hash64_array(toks)
+            order = np.lexsort((th_all, doc))
+            doc_s, th_s = doc[order], th_all[order]
+            first = np.empty(doc_s.size, dtype=bool)
+            first[0] = True
+            first[1:] = (doc_s[1:] != doc_s[:-1]) | (th_s[1:] != th_s[:-1])
+            kept = order[first]
+            th = th_all[kept]
+            keys_k = doc[kept]
+            seg = keys_k // key_span
             mixed = th + seg.astype(np.uint64) * _SEG_MIX
             bucket = (mixed % np.uint64(n_buckets)).astype(np.int32)
             return pa.table(
                 {
-                    "token": pa.array(df_pairs["token"].to_numpy(), pa.string()),
-                    key_col: pa.array(df_pairs[key_col].to_numpy()),
+                    "token": pa.array(toks[kept], pa.string()),
+                    key_col: pa.array(keys_k),
                     "seg_id": pa.array(seg.astype(np.int64)),
                     "bucket": pa.array(bucket),
                 }
@@ -271,18 +282,18 @@ def build_postings(
         starts[1:] = (toks_s[1:] != toks_s[:-1]) | (segs_s[1:] != segs_s[:-1])
         idx = np.flatnonzero(starts)
         ends = np.append(idx[1:], toks_s.size)
-        out_t, out_seg, out_df, out_p = [], [], [], []
-        for s, e in zip(idx, ends):
-            out_t.append(toks_s[s])
-            out_seg.append(int(segs_s[s]))
-            out_df.append(int(e - s))
-            out_p.append(",".join(map(str, keys_s[s:e])))
+        # postings strings via Arrow list offsets + binary_join — no
+        # per-group Python join over the (previously dominant) output
+        vals = pc.cast(pa.array(keys_s, pa.int64()), pa.string())
+        offsets = np.append(idx, toks_s.size).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        postings = pc.binary_join(lists, ",")
         return pa.table(
             {
-                "token": pa.array(out_t, pa.string()),
-                "seg_id": pa.array(out_seg, pa.int64()),
-                "df_seg": pa.array(out_df, pa.int64()),
-                "postings": pa.array(out_p, pa.string()),
+                "token": pa.array(toks_s[idx], pa.string()),
+                "seg_id": pa.array(segs_s[idx], pa.int64()),
+                "df_seg": pa.array((ends - idx).astype(np.int64)),
+                "postings": postings,
             }
         )
 
