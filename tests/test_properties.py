@@ -136,3 +136,64 @@ def test_nearest_resize_bounds_and_aspect(dims, max_dim):
         scale = max_dim / max(h, w)
         assert (oh, ow) == (max(1, int(h * scale)), max(1, int(w * scale)))
     assert oh <= h and ow <= w  # never upscales
+
+
+# --- BPE trainer/encoder invariants (driver kernels, stages/bpe.py) --------
+
+from ocr_dataset_builder_ray.stages.bpe import (  # noqa: E402
+    EOW,
+    _learn_merges,
+    encode_word,
+)
+
+_WORD = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=104), # a-h
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    st.lists(_WORD, min_size=1, max_size=40, unique=True),
+    st.integers(min_value=0, max_value=30),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_encode_reproduces_training_segmentation(words, n_merges, rnd):
+    counts = [rnd.randint(1, 20) for _ in words]
+    merges = _learn_merges(list(words), counts, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    # replay the merges naively to get each word's final segmentation
+    syms = [list(w) + [EOW] for w in words]
+    for a, b in merges:
+        new = a + b
+        for i, s in enumerate(syms):
+            out, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(new)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[i] = out
+    for w, s in zip(words, syms):
+        enc = encode_word(w, ranks)
+        # greedy lowest-rank application lands on the training result
+        assert enc == s, (w, enc, s)
+        # and always reconstructs the word exactly
+        assert "".join(enc) == w + EOW
+
+
+@given(st.lists(_WORD, min_size=1, max_size=30, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_bpe_merge_count_monotone(words):
+    counts = [1] * len(words)
+    total = lambda ms: sum(  # noqa: E731
+        len(encode_word(w, {p: i for i, p in enumerate(ms)})) for w in words
+    )
+    m5 = _learn_merges(list(words), counts, 5)
+    m20 = _learn_merges(list(words), counts, 20)
+    # merge lists are prefix-consistent and more merges never lengthen
+    assert m20[: len(m5)] == m5
+    assert total(m20) <= total(m5)
