@@ -344,3 +344,45 @@ def test_hash_nodes_roundtrip_determinism():
     a = hash_nodes_int64(["x", "y", "x"])
     assert a.dtype == np.int64
     assert a[0] == a[2] != a[1]
+
+
+# --- url_filter (crawl-policy gate) ----------------------------------------
+
+
+def test_url_filter(ray_session):
+    import pandas as pd
+
+    from ocr_dataset_builder_ray.functions.urltools import url_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(7)),
+            "url": [
+                "http://good.example.com/page",
+                "https://spam.bad.net/x",
+                "http://sub.good.example.com/other",
+                "http://tracker.io/click?utm_source=a",
+                "http://good.example.com/ads/banner",
+                "http://neutral.org/fine",
+                "http://GOOD.example.com/casing",
+            ],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    # block a domain
+    got = url_filter(ds, block_domains=["bad.net"]).to_pandas()
+    assert 1 not in set(got["doc_id"]) and len(got) == 6
+    # allow-list keeps only matching registrable domains (subdomains
+    # and casing included)
+    got2 = url_filter(ds, allow_domains=["example.com"]).to_pandas()
+    assert set(got2["doc_id"]) == {0, 2, 4, 6}
+    # RE2 pattern on the canonical form
+    got3 = url_filter(
+        ds, block_url_patterns=[r"/ads/", r"^https?://tracker\."]
+    ).to_pandas()
+    assert set(got3["doc_id"]) == {0, 1, 2, 5, 6}
+    # composition: allow + pattern
+    got4 = url_filter(
+        ds, allow_domains=["example.com"], block_url_patterns=[r"/ads/"]
+    ).to_pandas()
+    assert set(got4["doc_id"]) == {0, 2, 6}
