@@ -346,10 +346,12 @@ def corpus_report(
             for r in skinny.groupby(lang_col).count().take_all()
         }
     if domain_col:
+        # tie-break by domain so the top-k cut is deterministic when
+        # counts tie across it (ADVICE r4)
         top = (
             skinny.groupby(domain_col)
             .count()
-            .sort("count()", descending=True)
+            .sort(["count()", domain_col], descending=[True, False])
             .limit(top_k)
             .take_all()
         )

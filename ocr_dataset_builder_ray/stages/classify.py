@@ -81,6 +81,15 @@ def train_nb_classifier(
 
     def _partial(batch: pa.Table) -> pa.Table:
         doc, th = _doc_tokens(batch, text_col)
+        if batch.num_rows and batch[label_col].null_count:
+            # web-crawl label columns plausibly carry nulls; np.unique
+            # over mixed None/str dies with an opaque TypeError, so
+            # fail loudly here instead (drop/impute upstream)
+            raise ValueError(
+                f"train_nb_classifier: column {label_col!r} contains "
+                f"{batch[label_col].null_count} null labels in a batch; "
+                "filter or impute null-labeled rows before training"
+            )
         labels = np.asarray(batch[label_col].to_pylist(), dtype=object)
         if labels.size:
             uniq_lab, lab_codes = np.unique(labels, return_inverse=True)

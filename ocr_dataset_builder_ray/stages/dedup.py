@@ -396,6 +396,30 @@ def drop_singleton_buckets(
     return band_rows.map_batches(_filter, batch_format="pyarrow").materialize()
 
 
+def _bucket_pair_count(
+    bdf: pd.DataFrame, id_col: str, hash_col: str
+) -> int:
+    """Upper bound on the pair rows ``_driver_candidate_pairs`` would
+    materialize: sum of C(m, 2) over buckets, m = distinct keys per
+    bucket. One vectorized pass over the skinny frame — callers use it
+    to refuse/escalate a degenerate batch BEFORE the quadratic
+    expansion allocates anything."""
+    if not len(bdf):
+        return 0
+    ids = bdf[id_col].to_numpy()
+    hs = bdf[hash_col].to_numpy()
+    keys = bdf["key"].to_numpy()
+    order = np.lexsort((keys, hs, ids))
+    ids_s, hs_s, keys_s = ids[order], hs[order], keys[order]
+    new_bucket = np.r_[
+        True, (ids_s[1:] != ids_s[:-1]) | (hs_s[1:] != hs_s[:-1])
+    ]
+    distinct_key = new_bucket | np.r_[True, keys_s[1:] != keys_s[:-1]]
+    starts = np.flatnonzero(new_bucket)
+    m = np.add.reduceat(distinct_key.astype(np.int64), starts)
+    return int((m * (m - 1) // 2).sum())
+
+
 def _driver_candidate_pairs(
     bdf: pd.DataFrame, id_col: str, hash_col: str
 ) -> pd.DataFrame:

@@ -58,6 +58,7 @@ from ..functions.hashing import (
 from ..stages.dedup import (
     SMALL_INPUT_BAND_ROWS,
     _bucket_mix,
+    _bucket_pair_count,
     _driver_candidate_pairs,
     _union_find_labels,
     _verify_candidates,
@@ -132,45 +133,58 @@ def _read_bands(index_dir: str, columns: list[str]) -> ray.data.Dataset:
     )
 
 
-# new nodes are encoded as key + 2^62 so that in min-label component
-# resolution ANY old node is smaller than EVERY new node: the
-# component root is an old doc whenever one exists (old-wins), else
-# the minimum new key — identical semantics to the driver union-find
-# over (is_new, key) tuples
-_OLD_WINS_OFFSET = np.int64(1) << np.int64(62)
-
-
 def _resolve_distributed(
-    verified: ray.data.Dataset, new_keys: np.ndarray
+    verified: ray.data.Dataset,
+    new_cand: np.ndarray,
+    old_cand: np.ndarray,
 ) -> tuple[np.ndarray, int]:
     """Distributed old-wins resolution over verified pairs: returns
     (sorted new keys to drop, how many dropped against an old doc).
-    Only the duplicate-bounded drop set reaches the driver."""
+    Only the duplicate-bounded drop set reaches the driver.
+
+    Old-wins encoding: every pair endpoint is one of the
+    candidate-touched keys (``old_cand`` / ``new_cand``, both sorted,
+    doc-bounded, already driver-held by the caller), so nodes are
+    rank-encoded as ``searchsorted(old_cand, k)`` for old keys and
+    ``len(old_cand) + searchsorted(new_cand, k)`` for new ones. Every
+    old rank is below every new rank and ranks ascend with the key
+    within each class, so the min-label component root IS the
+    ``(is_new, key)`` tuple minimum — exact for the full signed int64
+    key range (an additive 2^62 offset is not: hash-derived keys are
+    negative half the time, ADVICE r4)."""
     from ..stages.components import min_label_components
 
     verified = verified.materialize()
     if verified.count() == 0:
         return np.empty(0, dtype=np.int64), 0
-    nk_ref = ray.put(new_keys)
+    n_old = int(old_cand.size)
+    old_ref = ray.put(old_cand)
+    new_ref = ray.put(new_cand)
+
+    def _rank(v: np.ndarray, old: np.ndarray, new: np.ndarray) -> np.ndarray:
+        pos_n = np.searchsorted(new, v)
+        pos_nc = np.minimum(pos_n, max(new.size - 1, 0))
+        is_new = (new.size > 0) & (new[pos_nc] == v) if new.size else np.zeros(v.shape, bool)
+        pos_o = np.searchsorted(old, v)
+        pos_oc = np.minimum(pos_o, max(old.size - 1, 0))
+        is_old = (old.size > 0) & (old[pos_oc] == v) if old.size else np.zeros(v.shape, bool)
+        if not bool(np.all(is_new | is_old)):
+            raise ValueError(
+                "incremental_minhash_dedup: verified pair endpoint not "
+                "in the candidate key set"
+            )
+        return np.where(is_new, old.size + pos_n, pos_o).astype(np.int64)
 
     def _encode(t: pa.Table) -> pa.Table:
-        nk = ray.get(nk_ref)
+        old = ray.get(old_ref)
+        new = ray.get(new_ref)
         av = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         bv = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if av.size and max(av.max(), bv.max()) >= _OLD_WINS_OFFSET:
-            raise ValueError(
-                "incremental_minhash_dedup: keys must be < 2^62 for "
-                "the distributed old-wins encoding"
-            )
-
-        def _enc(v: np.ndarray) -> np.ndarray:
-            if nk.size == 0:
-                return v
-            pos = np.minimum(np.searchsorted(nk, v), nk.size - 1)
-            return v + _OLD_WINS_OFFSET * (nk[pos] == v)
-
         return pa.table(
-            {"a": pa.array(_enc(av)), "b": pa.array(_enc(bv))}
+            {
+                "a": pa.array(_rank(av, old, new)),
+                "b": pa.array(_rank(bv, old, new)),
+            }
         )
 
     enc = verified.map_batches(_encode, batch_format="pyarrow").materialize()
@@ -192,13 +206,14 @@ def _resolve_distributed(
     labels = min_label_components(enc, nodes, node_col="key")
 
     def _drops(t: pa.Table) -> pa.Table:
+        new = ray.get(new_ref)
         node = t["node"].to_numpy(zero_copy_only=False)
         comp = t["component"].to_numpy(zero_copy_only=False)
-        m = (node >= _OLD_WINS_OFFSET) & (comp != node)
+        m = (node >= n_old) & (comp != node)
         return pa.table(
             {
-                "key": pa.array((node[m] - _OLD_WINS_OFFSET)),
-                "vs_old": pa.array(comp[m] < _OLD_WINS_OFFSET),
+                "key": pa.array(new[node[m] - n_old]),
+                "vs_old": pa.array(comp[m] < n_old),
             }
         )
 
@@ -234,10 +249,12 @@ def incremental_minhash_dedup(
     ``engine``: ``"driver"`` verifies and resolves on the driver (the
     normal daily-batch regime — pairs are batch-duplicate-bounded);
     ``"distributed"`` keeps pairs, signatures and components
-    distributed end-to-end (old-wins encoded as ``key + 2^62`` for new
-    nodes so the min-label component root is an old doc whenever one
-    exists); ``"auto"`` (default) escalates to distributed when the
-    candidate count exceeds the driver bound — a degenerate batch
+    distributed end-to-end (old-wins via rank-encoding over the sorted
+    candidate key arrays — old ranks below new ranks — so the
+    min-label component root is an old doc whenever one exists, exact
+    for the full signed int64 key range); ``"auto"`` (default)
+    escalates to distributed when the candidate count exceeds the
+    driver bound — a degenerate batch
     (mass near-identical documents) stays off the driver instead of
     failing. Identical results on both engines (tested)."""
     params = load_index_params(index_dir)
@@ -287,7 +304,7 @@ def incremental_minhash_dedup(
         raise ValueError(f"incremental_minhash_dedup: unknown engine {engine!r}")
 
     # candidate pairs over (new ∪ matched-old) band rows
-    candidates: pd.DataFrame | ray.data.Dataset
+    candidates: pd.DataFrame | ray.data.Dataset | None = None
     n_total = old_matched.count() + len(ndf)
     if n_total <= SMALL_INPUT_BAND_ROWS and engine != "distributed":
         odf = old_matched.to_pandas()
@@ -296,21 +313,23 @@ def incremental_minhash_dedup(
         both = pd.concat(
             [ndf[["key", "band_id", "band_hash"]], odf], ignore_index=True
         )
-        candidates = _driver_candidate_pairs(both, "band_id", "band_hash")
-        if engine == "driver" and len(candidates) > _DRIVER_CANDIDATE_LIMIT:
-            raise ValueError(
-                f"incremental_minhash_dedup: {len(candidates)} candidate "
-                f"pairs exceed the driver bound ({_DRIVER_CANDIDATE_LIMIT}); "
-                "use engine='auto'/'distributed'"
-            )
-        if len(candidates) > _DRIVER_CANDIDATE_LIMIT:  # auto escalation
-            engine = "distributed"
-            candidates = ray.data.from_arrow(
-                pa.Table.from_pandas(candidates, preserve_index=False)
-            )
+        # pre-expansion guard (ADVICE r4): sum of C(m,2) over buckets
+        # on the SKINNY frame, so a fully-degenerate sub-200k-row batch
+        # escalates/raises BEFORE ~n^2/2 pair rows allocate driver-side
+        est_pairs = _bucket_pair_count(both, "band_id", "band_hash")
+        if est_pairs > _DRIVER_CANDIDATE_LIMIT:
+            if engine == "driver":
+                raise ValueError(
+                    f"incremental_minhash_dedup: ~{est_pairs} bucket "
+                    f"pairs exceed the driver bound "
+                    f"({_DRIVER_CANDIDATE_LIMIT}); use "
+                    "engine='auto'/'distributed'"
+                )
+            engine = "distributed"  # candidates built distributed below
         else:
+            candidates = _driver_candidate_pairs(both, "band_id", "band_hash")
             engine = "driver"
-    else:
+    if candidates is None:
         both_ds = new_rows.select_columns(
             ["key", "band_id", "band_hash"]
         ).union(old_matched)
@@ -521,7 +540,7 @@ def incremental_minhash_dedup(
                 drop_new = np.array(sorted(drops), dtype=np.int64)
         else:
             drop_new, drops_vs_old = _resolve_distributed(
-                verified, new_keys
+                verified, new_cand, old_cand
             )
         if drop_new.size:
             report["dropped_vs_index"] = drops_vs_old

@@ -199,3 +199,18 @@ def test_empty_input_raises(ray_session):
                        "text": pd.Series([], dtype=str)})
     with pytest.raises(ValueError):
         train_nb_classifier(ray.data.from_pandas(df), label_col="label")
+
+
+def test_null_label_raises_clearly(ray_session):
+    # ADVICE r4: null labels used to die inside np.unique with an
+    # opaque TypeError; the trainer must name the column and the fix
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "label": ["a", None, "b", "a"],
+            "text": ["x y", "y z", "z", "x"],
+        }
+    )
+    # Ray wraps the task-side ValueError in RayTaskError/UserCodeException
+    with pytest.raises(Exception, match="null label"):
+        train_nb_classifier(ray.data.from_pandas(df), label_col="label")

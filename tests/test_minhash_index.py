@@ -215,6 +215,102 @@ def test_distributed_engine_equals_driver(index_env):
     assert 1 not in set(s_dist.to_pandas()["doc_id"])
 
 
+def test_negative_keys_engine_equality(index_env):
+    # ADVICE r4 (high): hash-derived int64 keys are negative half the
+    # time; the old +2^62 offset encoding silently classified negative
+    # new keys as old and never dropped them. Rank encoding must give
+    # identical results on both engines across the full signed range.
+    idx, a = index_env
+    novel = _texts(1, 83)[0]
+    new = _df(
+        [-5, -4, -3, -2, 7],
+        [a["text"][0], a["text"][1], a["text"][2], novel, novel],
+    )
+    ds = ray.data.from_pandas(new)
+    s_drv, r_drv = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="driver"
+    )
+    s_dist, r_dist = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="distributed"
+    )
+    got_drv = sorted(s_drv.to_pandas()["doc_id"])
+    got_dist = sorted(s_dist.to_pandas()["doc_id"])
+    assert got_drv == got_dist == [-2]
+    assert r_drv == r_dist
+    assert r_drv["dropped_vs_index"] == 3
+    assert r_drv["dropped_within_new"] == 1  # 7 roots to -2
+
+
+def test_negative_old_keys_distributed(ray_session, tmp_path):
+    # index itself holds negative keys; a mixed-sign batch must still
+    # resolve old-wins correctly on the distributed engine
+    a_texts = _texts(10, seed=5)
+    a = _df(range(-10, 0), a_texts)
+    idx = str(tmp_path / "negidx")
+    build_minhash_index(
+        ray.data.from_pandas(a), idx, "text", "doc_id", num_perm=64, bands=16
+    )
+    new = _df([-100, 50], [a_texts[0], a_texts[9]])
+    for engine in ("driver", "distributed"):
+        surv, rep = incremental_minhash_dedup(
+            ray.data.from_pandas(new), idx, "text", "doc_id",
+            update=False, engine=engine,
+        )
+        assert len(surv.to_pandas()) == 0, engine
+        assert rep["dropped_vs_index"] == 2, engine
+
+
+def test_degenerate_small_batch_guard(index_env, monkeypatch):
+    # ADVICE r4 (low): the sub-200k-row small path must refuse/escalate
+    # on the SKINNY bucket-size estimate, before expanding pairs
+    import ocr_dataset_builder_ray.state.minhash_index as mhi
+    from ocr_dataset_builder_ray.stages import dedup as dd
+
+    idx, a = index_env
+    same = _texts(1, 99)[0]
+    new = _df(range(1000, 1012), [same] * 12)  # fully degenerate batch
+    ds = ray.data.from_pandas(new)
+    monkeypatch.setattr(mhi, "_DRIVER_CANDIDATE_LIMIT", 10)
+
+    def _boom(*args, **kwargs):
+        raise AssertionError("pairs expanded on the driver despite guard")
+
+    monkeypatch.setattr(mhi, "_driver_candidate_pairs", _boom)
+    with pytest.raises(ValueError, match="driver bound"):
+        incremental_minhash_dedup(
+            ds, idx, "text", "doc_id", update=False, engine="driver"
+        )
+    surv, rep = incremental_minhash_dedup(
+        ds, idx, "text", "doc_id", update=False, engine="auto"
+    )
+    assert sorted(surv.to_pandas()["doc_id"]) == [1000]
+    assert rep["dropped_within_new"] == 11
+
+
+def test_bucket_pair_count_matches_expansion():
+    import pandas as pd
+
+    from ocr_dataset_builder_ray.stages.dedup import (
+        _bucket_pair_count,
+        _driver_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    bdf = pd.DataFrame(
+        {
+            "key": rng.integers(-50, 50, 400),
+            "band_id": rng.integers(0, 4, 400),
+            "band_hash": rng.integers(0, 12, 400),
+        }
+    )
+    est = _bucket_pair_count(bdf, "band_id", "band_hash")
+    got = len(_driver_candidate_pairs(bdf, "band_id", "band_hash"))
+    # upper bound (distinct pairs can repeat across buckets), tight
+    # enough to act as the memory guard
+    assert est >= got > 0
+    assert _bucket_pair_count(bdf.iloc[:0], "band_id", "band_hash") == 0
+
+
 def test_auto_escalates_past_driver_bound(index_env, monkeypatch):
     import ocr_dataset_builder_ray.state.minhash_index as mhi
 
