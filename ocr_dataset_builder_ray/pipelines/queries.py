@@ -1530,6 +1530,274 @@ def q65_bloom_semijoin(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def q66_nb_classify(sf_dir: str) -> pd.DataFrame:
+    """Distributed multinomial Naive Bayes, trained and scored over the
+    documents table with ``lang`` as the label. The oracle recomputes
+    the full model in SQL — per-(label, token) counts, add-1 smoothing
+    over ``V + 1`` events, document log-priors — and the per-document
+    posterior argmax (ties to the smaller label). Scores/margins are
+    rounded to 6 decimals on BOTH sides (q56 rule; min margin at the
+    gate scale is 7.6e-3, four orders above the boundary)."""
+    from ..stages.classify import nb_classify, train_nb_classifier
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    model = train_nb_classifier(ds, label_col="lang")
+    out = nb_classify(ds, model, decimals=6).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _boilerplate_aug(batch: pa.Table) -> pa.Table:
+    """Deterministic multi-line augmentation shared by the q67 engine
+    side and (re-derived) its SQL oracle — the q63 pattern: the
+    synthetic corpus is single-line, so both sides wrap each document
+    in a nav/extra/copyright frame. NAV/COPYRIGHT repeat across the
+    whole domain (always boilerplate at min_docs=3); EXTRA repeats in
+    2-3 documents per domain, straddling the threshold."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    dom = [f"site{i % 7}" for i in ids]
+    aug = [
+        f"NAV site{i % 7}\n{t or ''}\nEXTRA e{(i // 7) % 25}\nCOPYRIGHT site{i % 7}"
+        for i, t in zip(ids, texts)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "domain": pa.array(dom, pa.string()),
+            "text": pa.array(aug, pa.string()),
+        }
+    )
+
+
+def q67_strip_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """Within-domain line-DF boilerplate removal (nav/footer strip):
+    plan the >= min_docs lines per domain with one skinny exchange,
+    then broadcast the hot set and rebuild survivors. The oracle
+    recomputes the line document frequencies and the rebuild in SQL."""
+    from ..stages.boilerplate import boilerplate_lines, strip_boilerplate
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _boilerplate_aug, batch_format="pyarrow"
+    )
+    hot = boilerplate_lines(ds, min_docs=3)
+    out = strip_boilerplate(ds, hot).to_pandas()[["doc_id", "text"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q68_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4 exact-line dedup (Raffel et al. 2020 §2.2): first occurrence
+    of every exact line wins corpus-wide, ordered by (doc_id,
+    line_idx). Documents are augmented with shared FOOTER/QUOTE lines
+    on both sides so the rule is exercised non-degenerately; duplicate
+    body texts in the synthetic corpus dedup too."""
+    from ..stages.span_dedup import apply_line_dedup, line_dedup
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        aug = [
+            f"{t or ''}\nFOOTER f{i % 11}\nQUOTE q{i % 3}"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(aug, pa.string())}
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _aug, batch_format="pyarrow"
+    )
+    plan = line_dedup(ds, "text", "doc_id")
+    out = apply_line_dedup(ds, plan, "text", "doc_id").to_pandas()[
+        ["doc_id", "text"]
+    ]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PAGERANK_ITERS = 5
+
+
+def _q69_pagerank(sf_dir: str):
+    """Shared engine run for q69/q70: PageRank over the bipartite
+    (l_orderkey -> l_partkey) int-node graph — node ids pass through
+    ``_edge_id_projection`` unhashed, so the SQL oracle can name them.
+    Parts have no out-edges, exercising dangling redistribution."""
+    from ..stages.graph import pagerank
+
+    edges = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return pagerank(
+        edges,
+        src_col="l_orderkey",
+        dst_col="l_partkey",
+        damping=0.85,
+        n_iter=_PAGERANK_ITERS,
+    )
+
+
+def q69_pagerank_topk(sf_dir: str) -> pd.DataFrame:
+    """Top-20 PageRank nodes. The oracle unrolls the identical power
+    iteration (uniform teleport + dangling-mass redistribution) as
+    chained SQL CTEs; ranks round to 9 decimals BEFORE the cut on both
+    sides (q56 rule), ties break by node id."""
+    pr = _q69_pagerank(sf_dir)
+    out = pr.top_k(20)
+    out["rank"] = out["rank"].round(9)
+    return out.reset_index(drop=True)
+
+
+def q70_pagerank_attach(sf_dir: str) -> pd.DataFrame:
+    """Broadcast rank attach onto the orders table (never a shuffle
+    join): orders absent from the graph score the 0.0 default."""
+    pr = _q69_pagerank(sf_dir)
+    orders = _t(sf_dir, "orders", ["o_orderkey"])
+    out = pr.attach(orders, "o_orderkey").to_pandas()
+    out["pagerank"] = out["pagerank"].round(9)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q71_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based source mixing (XLM-R/mT5 alpha-sampling,
+    alpha=0.5): target proportions p_g ∝ sqrt(n_g), binding group kept
+    whole, every other group keeps its floor(p_g * n_target) smallest
+    hash tickets. sqrt is IEEE-exact so the SQL recomputation of the
+    quotas is bit-identical; all floor arguments sit >= 0.02 from an
+    integer at the gate scale (verified)."""
+    from ..stages.curation import temperature_mix
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = temperature_mix(ds, "lang", "doc_id", alpha=0.5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q72_bpe_encode(sf_dir: str) -> pd.DataFrame:
+    """BPE train (200 merges, one histogram exchange + driver merge
+    loop) + broadcast encode of every document. Training is greedy
+    iterative (not SQL-expressible) — committed-golden oracle; the
+    independent checks are the Sennrich-example pins and the
+    greedy-encode==training-segmentation property tests."""
+    from ..stages.bpe import bpe_encode, train_bpe
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    model = train_bpe(ds, n_merges=200)
+    enc = bpe_encode(ds, model).to_pandas()
+
+    ids = [
+        ",".join(str(int(i)) for i in row) if row is not None else ""
+        for row in enc["bpe_ids"]
+    ]
+    return (
+        pd.DataFrame(
+            {
+                "doc_id": enc["doc_id"].to_numpy(np.int64),
+                "n_ids": np.array([len(r) if r is not None else 0 for r in enc["bpe_ids"]], np.int64),
+                "ids": ids,
+            }
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q73_anchor_texts(sf_dir: str) -> pd.DataFrame:
+    """Inbound anchor-text aggregation over a deterministic synthetic
+    link graph (each doc links its site page to one of 15 hubs with a
+    cyclic anchor label; 7 distinct anchors per hub > k=5, so the
+    ticket cut bites). Anchor selection ranks blake2b src tickets —
+    not SQL-derivable — so the oracle is a committed golden; the
+    independent checks are the batch-split fuzz tests in
+    tests/test_graph.py."""
+    from ..stages.graph import anchor_texts
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = [f"https://site{i % 20}.com/p/{i}" for i in ids]
+        dst = [f"https://hub{i % 15}.com/" for i in ids]
+        anchor = [
+            "" if i % 10 == 0 else f"anchor {i % 7}" for i in ids
+        ]
+        return pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+                "anchor": pa.array(anchor, pa.string()),
+            }
+        )
+
+    edges = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        _edges, batch_format="pyarrow"
+    )
+    out = anchor_texts(edges, k=5).to_pandas()
+    out["n_inlinks"] = out["n_inlinks"].astype("int64")
+    return out.sort_values("dst").reset_index(drop=True)
+
+
+def q74_url_filter(sf_dir: str) -> pd.DataFrame:
+    """Crawl-policy URL gate: registrable-domain allow/deny lists plus
+    an RE2 pattern block over the canonicalized url. URLs are
+    synthesized deterministically (mixed-case host, default port,
+    tracking param, unsorted query, fragment, trailing slash) so the
+    oracle can re-derive the canonical form structurally and apply the
+    same policy in SQL — an independent recomputation, not a pin."""
+    from ..functions.urltools import url_filter
+
+    def _with_url(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://WWW.Site{i % 20}.com:443/p/{i}/?b=2&utm_source=tw&a=1#frag"
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        _with_url, batch_format="pyarrow"
+    )
+    out = url_filter(
+        ds,
+        allow_domains=[f"site{k}.com" for k in range(10)],
+        block_domains=["site3.com"],
+        block_url_patterns=[r"/p/\d*7\?"],
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _pagerank_sql_prefix(n_iter: int = _PAGERANK_ITERS, d: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain ending in ``r{n_iter}`` —
+    recursive CTEs cannot both aggregate contributions and read the
+    dangling mass from one recursive reference, so the fixed iteration
+    count is unrolled instead (exactly what the engine runs)."""
+    head = """
+WITH edges AS (
+    SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+), nodes AS (
+    SELECT DISTINCT s AS id FROM edges UNION SELECT DISTINCT t FROM edges
+), meta AS (
+    SELECT count(*)::DOUBLE AS n FROM nodes
+), deg AS (
+    SELECT n.id, coalesce(e.c, 0)::DOUBLE AS outdeg
+    FROM nodes n
+    LEFT JOIN (SELECT s, count(*) AS c FROM edges GROUP BY s) e ON e.s = n.id
+), r0 AS (
+    SELECT id, 1.0 / (SELECT n FROM meta) AS r FROM nodes
+)"""
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""", c{i} AS (
+    SELECT e.t AS id, sum(r.r / dg.outdeg) AS c
+    FROM edges e JOIN r{p} r ON r.id = e.s JOIN deg dg ON dg.id = e.s
+    GROUP BY e.t
+), dang{i} AS (
+    SELECT coalesce(sum(r.r), 0) AS dm
+    FROM r{p} r JOIN deg dg ON dg.id = r.id WHERE dg.outdeg = 0
+), r{i} AS (
+    SELECT n.id,
+           (1 - {d}) / m.n + {d} * (coalesce(c.c, 0) + (SELECT dm FROM dang{i}) / m.n) AS r
+    FROM nodes n CROSS JOIN meta m LEFT JOIN c{i} c ON c.id = n.id
+)""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1600,6 +1868,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q63_redact_pii": q63_redact_pii,
     "q64_price_histogram": q64_price_histogram,
     "q65_bloom_semijoin": q65_bloom_semijoin,
+    "q66_nb_classify": q66_nb_classify,
+    "q67_strip_boilerplate": q67_strip_boilerplate,
+    "q68_line_dedup": q68_line_dedup,
+    "q69_pagerank_topk": q69_pagerank_topk,
+    "q70_pagerank_attach": q70_pagerank_attach,
+    "q71_temperature_mix": q71_temperature_mix,
+    "q72_bpe_encode": q72_bpe_encode,
+    "q73_anchor_texts": q73_anchor_texts,
+    "q74_url_filter": q74_url_filter,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2502,6 +2779,175 @@ ORACLE_SQL: dict[str, str] = {
         )
         ORDER BY o.o_orderkey
     """,
+    # full NB model recomputation: per-(label, token) counts, add-1
+    # smoothing over V+1 events (V vocab tokens + the OOV event), doc
+    # log-priors, posterior argmax with label-asc tie-break — scores
+    # and margins rounded to 6dp on both sides (q56 rule)
+    "q66_nb_classify": r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), vb AS (
+            SELECT count(DISTINCT tok)::DOUBLE AS v FROM toks
+        ), cls AS (
+            SELECT lang AS label, count(*)::DOUBLE AS docs
+            FROM documents GROUP BY 1
+        ), nd AS (
+            SELECT sum(docs) AS n FROM cls
+        ), cnt AS (
+            SELECT lang AS label, tok, count(*)::DOUBLE AS c
+            FROM toks GROUP BY 1, 2
+        ), tot AS (
+            SELECT label, sum(c) AS t FROM cnt GROUP BY 1
+        ), dtok AS (
+            SELECT doc_id, tok, count(*)::DOUBLE AS m FROM toks GROUP BY 1, 2
+        ), scored AS (
+            SELECT d.doc_id, c.label,
+                   ln(c.docs / nd.n)
+                   + coalesce(sum(dt.m * ln((coalesce(k.c, 0) + 1.0)
+                                            / (coalesce(t.t, 0) + vb.v + 1.0))),
+                              0.0) AS s
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN cls c
+            CROSS JOIN nd CROSS JOIN vb
+            LEFT JOIN tot t ON t.label = c.label
+            LEFT JOIN dtok dt ON dt.doc_id = d.doc_id
+            LEFT JOIN cnt k ON k.label = c.label AND k.tok = dt.tok
+            GROUP BY d.doc_id, c.label, c.docs, nd.n, t.t, vb.v
+        ), ranked AS (
+            SELECT doc_id, label, s,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, label ASC
+                   ) AS rn,
+                   lead(s) OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, label ASC
+                   ) AS s2
+            FROM scored
+        )
+        SELECT doc_id, label AS pred_label, round(s, 6) AS score,
+               round(s - s2, 6) AS margin
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    # the q67 engine augmentation re-derived structurally, then the
+    # line-DF rule: a line is boilerplate when >= 3 distinct documents
+    # of its domain contain it (empty lines exempt, min_chars=1)
+    "q67_strip_boilerplate": """
+        WITH base AS (
+            SELECT doc_id, 'site' || (doc_id % 7) AS domain,
+                   'NAV site' || (doc_id % 7) || chr(10) || coalesce(text, '')
+                   || chr(10) || 'EXTRA e' || ((doc_id // 7) % 25)
+                   || chr(10) || 'COPYRIGHT site' || (doc_id % 7) AS aug
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, domain,
+                   unnest(string_split(aug, chr(10))) AS line,
+                   unnest(generate_series(1, len(string_split(aug, chr(10))))) AS idx
+            FROM base
+        ), hot AS (
+            SELECT domain, line FROM lines
+            WHERE length(line) >= 1
+            GROUP BY domain, line HAVING count(DISTINCT doc_id) >= 3
+        )
+        SELECT b.doc_id,
+               coalesce(string_agg(l.line, chr(10) ORDER BY l.idx), '') AS text
+        FROM base b
+        LEFT JOIN (
+            SELECT l.* FROM lines l
+            ANTI JOIN hot h
+              ON l.domain = h.domain AND l.line = h.line AND length(l.line) >= 1
+        ) l ON l.doc_id = b.doc_id
+        GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    # C4 exact-line rule: first (doc_id, line_idx) occurrence of each
+    # exact line wins corpus-wide; empty lines exempt (min_chars=1)
+    "q68_line_dedup": """
+        WITH base AS (
+            SELECT doc_id,
+                   coalesce(text, '') || chr(10) || 'FOOTER f' || (doc_id % 11)
+                   || chr(10) || 'QUOTE q' || (doc_id % 3) AS aug
+            FROM documents
+        ), lines AS (
+            SELECT doc_id,
+                   unnest(string_split(aug, chr(10))) AS line,
+                   unnest(generate_series(1, len(string_split(aug, chr(10))))) AS idx
+            FROM base
+        ), kept AS (
+            SELECT doc_id, line, idx FROM (
+                SELECT doc_id, line, idx,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, idx
+                       ) AS rn
+                FROM lines WHERE length(line) >= 1
+            ) WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, line, idx FROM lines WHERE length(line) < 1
+        )
+        SELECT b.doc_id,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.idx), '') AS text
+        FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+        GROUP BY b.doc_id ORDER BY b.doc_id
+    """,
+    "q69_pagerank_topk": _pagerank_sql_prefix() + """
+        SELECT id AS node_id, round(r, 9) AS rank FROM r5
+        ORDER BY round(r, 9) DESC, id LIMIT 20
+    """,
+    "q70_pagerank_attach": _pagerank_sql_prefix() + """
+        SELECT o.o_orderkey, round(coalesce(r.r, 0.0), 9) AS pagerank
+        FROM orders o LEFT JOIN r5 r ON r.id = o.o_orderkey
+        ORDER BY o.o_orderkey
+    """,
+    # alpha-sampling quotas: p_g ∝ sqrt(n_g) (IEEE-exact), binding
+    # group kept whole, k smallest Knuth tickets per group otherwise
+    "q71_temperature_mix": """
+        WITH c AS (
+            SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        ), w AS (
+            SELECT lang, n, sqrt(n::DOUBLE) AS w FROM c
+        ), tot AS (
+            SELECT sum(w) AS tw FROM w
+        ), p AS (
+            SELECT lang, n, w / tot.tw AS p FROM w CROSS JOIN tot
+        ), tgt AS (
+            SELECT min(CAST(floor(n / p) AS BIGINT)) AS nt FROM p
+        ), k AS (
+            SELECT lang, CAST(floor(p * tgt.nt) AS BIGINT) AS k
+            FROM p CROSS JOIN tgt
+        ), t AS (
+            SELECT doc_id, lang, n_chars,
+                   (doc_id * 2654435761) % 4294967296 AS ticket
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT t.doc_id, t.lang, t.n_chars, k.k,
+                   row_number() OVER (
+                       PARTITION BY t.lang ORDER BY t.ticket, t.doc_id
+                   ) AS rn
+            FROM t JOIN k USING (lang)
+        ) q WHERE rn <= k
+        ORDER BY doc_id
+    """,
+    # q74: the synthetic url structure re-derived in SQL — canonical
+    # form built from the same doc_id arithmetic, policy re-applied as
+    # set membership + RE2 regexp_matches (DuckDB and Arrow both RE2)
+    "q74_url_filter": r"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://WWW.Site' || (doc_id % 20) || '.com:443/p/' || doc_id
+                   || '/?b=2&utm_source=tw&a=1#frag' AS url,
+                   'https://www.site' || (doc_id % 20) || '.com/p/' || doc_id
+                   || '?a=1&b=2' AS canon,
+                   'site' || (doc_id % 20) || '.com' AS dom
+            FROM documents
+        )
+        SELECT doc_id, url FROM u
+        WHERE dom IN ('site0.com','site1.com','site2.com','site3.com',
+                      'site4.com','site5.com','site6.com','site7.com',
+                      'site8.com','site9.com')
+          AND dom <> 'site3.com'
+          AND NOT regexp_matches(canon, '/p/\d*7\?')
+        ORDER BY doc_id
+    """,
 }
 
 # ---------------------------------------------------------------------------
@@ -2531,6 +2977,11 @@ GOLDEN_SF01_ORACLES = [
     "q35_augmented_docs",
     "q36_training_view",
     "q41_hll_distinct_users",
+    # round-5 additions (registry deliberately unfrozen in session 1,
+    # VERDICT r4 #2): BPE training is greedy-iterative, anchor-text
+    # selection ranks blake2b tickets — neither is SQL-derivable
+    "q72_bpe_encode",
+    "q73_anchor_texts",
 ]
 
 # genuine-SQL oracles whose equality contract is nevertheless

@@ -698,7 +698,9 @@ def temperature_mix(
     if not counts:
         return ds
     weights = {g: float(n) ** alpha for g, n in counts.items()}
-    total = sum(weights.values())
+    # sum in sorted-group order: take_all()'s row order is not
+    # guaranteed, and the float total must not depend on it
+    total = sum(weights[g] for g in sorted(weights, key=str))
     proportions = {g: w / total for g, w in weights.items()}
     return mix_to_proportions(
         ds, group_col, key_col, proportions, n_buckets=n_buckets
