@@ -386,3 +386,109 @@ def test_url_filter(ray_session):
         ds, allow_domains=["example.com"], block_url_patterns=[r"/ads/"]
     ).to_pandas()
     assert set(got4["doc_id"]) == {0, 2, 6}
+
+
+# -- rank-exchange (distributed) PageRank engine --------------------------
+
+
+def _dist_ranks_aligned(dpr, nodes):
+    """Rank array for `nodes` (canonical node order) from the
+    distributed result's Dataset, via the same hash-id convention."""
+    ids = hash_nodes_int64(list(nodes))
+    df = dpr.ranks.to_pandas()
+    lut = dict(zip(df["node_id"], df["rank"]))
+    return np.array([lut.get(i, 0.0) for i in ids])
+
+
+def test_pagerank_engine_equality(ray_session):
+    # string urls -> hash ids exercise the negative-id half of the
+    # int64 range through bucketing and the exchange schema
+    rng = np.random.default_rng(23)
+    edges = [
+        (f"http://n{int(a)}.example/", f"http://n{int(b)}.example/")
+        for a, b in rng.integers(0, 80, size=(500, 2))
+        if a != b
+    ]
+    nodes_ref, r_ref = _dense_pagerank(edges, n_iter=12)
+    pr_b = pagerank(_edges_ds(edges), n_iter=12, engine="driver")
+    pr_d = pagerank(_edges_ds(edges), n_iter=12, engine="distributed")
+    assert pr_d.n_nodes == pr_b.n_nodes == len(nodes_ref)
+    assert pr_d.n_edges == pr_b.n_edges == len(edges)
+    got_d = _dist_ranks_aligned(pr_d, nodes_ref)
+    # both engines match the dense reference and each other
+    assert np.allclose(got_d, r_ref, rtol=1e-9, atol=1e-12)
+    assert np.allclose(got_d, pr_b.rank_of(nodes_ref), rtol=1e-9, atol=1e-12)
+    assert abs(got_d.sum() - 1.0) < 1e-9
+    # identical rounded top-k selection (node ids differ in type:
+    # broadcast result keys by hash id too, so compare directly)
+    tk_b = pr_b.top_k(12).reset_index(drop=True)
+    tk_d = pr_d.top_k(12).reset_index(drop=True)
+    assert list(tk_b["node_id"]) == list(tk_d["node_id"])
+    assert np.allclose(tk_b["rank"], tk_d["rank"], rtol=1e-9)
+
+
+def test_pagerank_distributed_parallelism_invariant(ray_session):
+    rng = np.random.default_rng(29)
+    edges = [
+        (f"u{int(a)}", f"u{int(b)}")
+        for a, b in rng.integers(0, 50, size=(400, 2))
+    ]
+    d1 = pagerank(_edges_ds(edges, parallelism=1), n_iter=7,
+                  engine="distributed")
+    d8 = pagerank(_edges_ds(edges, parallelism=8), n_iter=7,
+                  engine="distributed")
+    f1 = d1.ranks.to_pandas().sort_values("node_id").reset_index(drop=True)
+    f8 = d8.ranks.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert np.array_equal(f1["node_id"], f8["node_id"])
+    # bit-identical: every reduce is a pure function of its multiset
+    assert np.array_equal(f1["rank"].to_numpy(), f8["rank"].to_numpy())
+    assert d1.delta == d8.delta
+
+
+def test_pagerank_auto_escalation_and_driver_refusal(ray_session):
+    from ocr_dataset_builder_ray.stages.graph import DistributedPageRankResult
+
+    edges = [(f"a{i}", f"b{i % 7}") for i in range(40)]
+    # auto with a tiny bound escalates to the exchange engine
+    pr = pagerank(_edges_ds(edges), n_iter=8, engine="auto",
+                  driver_node_limit=10)
+    assert isinstance(pr, DistributedPageRankResult)
+    # driver engine refuses loudly past the bound instead of collecting
+    with pytest.raises(ValueError, match="driver broadcast bound"):
+        pagerank(_edges_ds(edges), n_iter=8, engine="driver",
+                 driver_node_limit=10)
+    # under the bound, auto stays on the broadcast path
+    pr_small = pagerank(_edges_ds(edges), n_iter=8, engine="auto")
+    assert not isinstance(pr_small, DistributedPageRankResult)
+    # equality auto-escalated vs broadcast
+    nodes_ref, r_ref = _dense_pagerank(edges, n_iter=8)
+    assert np.allclose(_dist_ranks_aligned(pr, nodes_ref), r_ref, rtol=1e-9)
+
+
+def test_pagerank_distributed_attach_and_empty(ray_session):
+    pages = ray.data.from_items(
+        [
+            {"url": "http://s1.example/",
+             "html": b'<a href="http://s2.example/">x</a>'},
+            {"url": "http://s2.example/",
+             "html": b'<a href="http://s1.example/">y</a>'},
+            {"url": "http://s3.example/", "html": None},
+        ]
+    )
+    edges = extract_links(pages)
+    pr_b = pagerank(edges, n_iter=10, engine="driver")
+    pr_d = pagerank(edges, n_iter=10, engine="distributed")
+    sb = pr_b.attach(pages, "url", out_col="pagerank").to_pandas()
+    sd = pr_d.attach(pages, "url", out_col="pagerank").to_pandas()
+    mb = dict(zip(sb["url"], sb["pagerank"]))
+    md = dict(zip(sd["url"], sd["pagerank"]))
+    assert set(mb) == set(md)
+    for u in mb:
+        assert md[u] == pytest.approx(mb[u], rel=1e-9, abs=1e-15)
+    assert md["http://s3.example/"] == 0.0
+    assert set(sd.columns) == set(sb.columns)
+    # empty edge sets produce an empty but well-formed result
+    pr0 = pagerank(_edges_ds([("a", "b")]).filter(lambda r: False),
+                   n_iter=5, engine="distributed")
+    assert pr0.n_nodes == 0 and pr0.n_edges == 0
+    assert len(pr0.top_k(3)) == 0
