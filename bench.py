@@ -225,6 +225,14 @@ def _run_bench_multiproc(
         DataContext.get_current().enable_progress_bars = False
         from ocr_dataset_builder_ray.pipelines.queries import QUERIES
 
+        # untimed warm-up: the flagship reps ran in subprocesses, so
+        # this session is fresh and the first timed query would absorb
+        # Ray worker spawn (~3-4 s), making q01 incomparable across
+        # rounds (VERDICT r4 "what's wrong" #3)
+        res = QUERIES[BENCH_QUERIES[0]](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+
         for name in BENCH_QUERIES:
             tq = time.monotonic()
             res = QUERIES[name](sf_dir)
@@ -964,6 +972,89 @@ def run_graph_bench() -> dict:
     return result
 
 
+def run_pagerank_scale_bench() -> dict:
+    """Rank-exchange PageRank engine at node counts the broadcast path
+    refuses (VERDICT r4 #1 "Done ="). Synthesizes an int64 edge table
+    above the driver bound, asserts engine='driver' refuses, then runs
+    engine='auto' (which escalates to the exchange engine) and reports
+    per-iteration wall time and edge throughput. Knobs:
+    GRAFT_PR_NODES (default 12M), GRAFT_PR_EDGES (30M),
+    GRAFT_PR_ITERS (3), GRAFT_PR_LIMIT (5M driver bound)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_nodes = int(os.environ.get("GRAFT_PR_NODES", 12_000_000))
+    n_edges = int(os.environ.get("GRAFT_PR_EDGES", 30_000_000))
+    n_iter = int(os.environ.get("GRAFT_PR_ITERS", "3"))
+    limit = int(os.environ.get("GRAFT_PR_LIMIT", 5_000_000))
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ocr_dataset_builder_ray.stages.graph import pagerank
+
+    def _gen(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = i % n_nodes
+        # Knuth-hash spread plus a 10% hot tail (every 10th edge points
+        # into the first 1k ids) so the exchange sees in-degree skew
+        dst = (i * np.int64(2654435761) + np.int64(12345)) % n_nodes
+        hot = i % 10 == 0
+        dst = np.where(hot, dst % 1000, dst)
+        dst = np.where(dst == src, (dst + 1) % n_nodes, dst)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    t0 = time.monotonic()
+    edges = (
+        ray.data.range(n_edges, override_num_blocks=64)
+        .map_batches(_gen, batch_format="pyarrow")
+        .materialize()
+    )
+    gen_s = time.monotonic() - t0
+
+    refused = False
+    try:
+        pagerank(edges, n_iter=1, engine="driver", driver_node_limit=limit)
+    except ValueError:
+        refused = True
+
+    t0 = time.monotonic()
+    pr = pagerank(edges, n_iter=n_iter, engine="auto", driver_node_limit=limit)
+    n_ranked = pr.ranks.count()
+    wall = time.monotonic() - t0
+
+    result = {
+        "metric": "rank-exchange pagerank at %.0fM nodes / %.0fM edges"
+        % (n_nodes / 1e6, n_edges / 1e6),
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_nodes": n_ranked,
+        "n_edges": n_edges,
+        "iterations": pr.iterations,
+        "sec_per_iteration": round(wall / max(1, pr.iterations), 3),
+        "edges_per_sec_per_iter": round(
+            n_edges * pr.iterations / wall, 1
+        ),
+        "gen_sec": round(gen_s, 3),
+        "driver_path_refused": refused,
+        "driver_node_limit": limit,
+        "num_cpus": ncpu,
+    }
+    ray.shutdown()
+    return result
+
+
 def run_skew_bench() -> dict:
     """Heavy-tailed corpus: the standard pages corpus plus a shard of
     multi-MB html blobs (a few giant template pages), run through the
@@ -1661,6 +1752,8 @@ if __name__ == "__main__":
         print(json.dumps(run_warc_bench()))
     elif "--graph" in sys.argv:
         print(json.dumps(run_graph_bench()))
+    elif "--pagerank-scale" in sys.argv:
+        print(json.dumps(run_pagerank_scale_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:
