@@ -333,3 +333,72 @@ def test_auto_escalates_past_driver_bound(index_env, monkeypatch):
         incremental_minhash_dedup(
             ds, idx, "text", "doc_id", update=False, engine="driver"
         )
+
+
+def test_compaction_preserves_pass_results_and_bounds_files(index_env, tmp_path):
+    from ocr_dataset_builder_ray.state.minhash_index import (
+        compact_minhash_index,
+    )
+
+    idx, a = index_env
+    # N simulated daily passes, each appending a pass directory
+    n_passes = 6
+    for p in range(n_passes):
+        batch = _df(
+            range(1000 + 10 * p, 1000 + 10 * p + 10), _texts(10, seed=50 + p)
+        )
+        incremental_minhash_dedup(
+            ray.data.from_pandas(batch), idx, "text", "doc_id", update=True
+        )
+    assert load_index_params(idx)["n_passes"] == 1 + n_passes
+
+    # the probe batch: one dup-of-index, one fresh doc
+    probe = _df([7001, 7002], [a["text"][5], _texts(1, seed=99)[0]])
+
+    def _run_probe():
+        surv, rep = incremental_minhash_dedup(
+            ray.data.from_pandas(probe), idx, "text", "doc_id", update=False
+        )
+        return sorted(surv.to_pandas()["doc_id"]), rep
+
+    before_kept, before_rep = _run_probe()
+
+    import os
+
+    bands_root = os.path.join(idx, "bands")
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(bands_root)
+    )
+    stats = compact_minhash_index(idx)
+    assert stats["files_before"] == files_before
+    assert stats["passes_before"] == 1 + n_passes
+    # bounded file count: all rows fit one target file here
+    assert stats["files_after"] < files_before
+    assert stats["files_after"] <= max(
+        1, -(-stats["rows"] // 4_000_000)
+    ) + 0  # ceil(rows / target)
+    # one pass directory remains; params reset
+    assert sorted(os.listdir(bands_root)) == ["pass=00000"]
+    assert load_index_params(idx)["n_passes"] == 1
+
+    # identical pass result on the compacted index
+    after_kept, after_rep = _run_probe()
+    assert after_kept == before_kept == [7002]
+    assert after_rep == before_rep
+
+    # row multiset preserved verbatim
+    import duckdb
+
+    n_rows = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{bands_root}/pass=00000/*.parquet')"
+    ).fetchone()[0]
+    assert n_rows == stats["rows"]
+
+    # the index still accepts new passes after compaction
+    nxt = _df([8001], [_texts(1, seed=123)[0]])
+    surv, rep = incremental_minhash_dedup(
+        ray.data.from_pandas(nxt), idx, "text", "doc_id", update=True
+    )
+    assert sorted(surv.to_pandas()["doc_id"]) == [8001]
+    assert load_index_params(idx)["n_passes"] == 2
