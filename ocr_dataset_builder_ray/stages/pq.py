@@ -38,6 +38,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -265,18 +266,29 @@ def pq_search(
         )
 
     parts = codes_ds.map_batches(_scan, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for qi in range(q.shape[0]):
-        sub = parts[parts["query_id"] == qi]
-        if len(sub) == 0:
-            continue
-        d2 = np.round(sub["d2"].to_numpy(), 12)
-        keys = sub[key_col].to_numpy()
-        order = np.lexsort((keys, d2))[:shortlist]
-        for rank, i in enumerate(order):
-            out_rows.append((qi, keys[i], 1.0 - d2[i] / 2.0, rank + 1))
+    # one lexsort over (query_id, rounded d2, key) replaces the
+    # per-query selection loop; rank-within-query falls out of group
+    # start offsets
+    qid_p = parts["query_id"].to_numpy()
+    d2r_p = np.round(parts["d2"].to_numpy(), 12)
+    keys_p = parts[key_col].to_numpy()
+    order_p = np.lexsort((keys_p, d2r_p, qid_p))
+    qs, d2s, ks = qid_p[order_p], d2r_p[order_p], keys_p[order_p]
+    if len(qs):
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        grp_start = np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+        rank_p = np.arange(len(qs)) - grp_start + 1
+        keep = rank_p <= shortlist
+    else:
+        rank_p = np.empty(0, np.int64)
+        keep = np.empty(0, bool)
     approx = pd.DataFrame(
-        out_rows, columns=["query_id", key_col, "approx_cosine", "rank"]
+        {
+            "query_id": qs[keep],
+            key_col: ks[keep],
+            "approx_cosine": 1.0 - d2s[keep] / 2.0,
+            "rank": rank_p[keep],
+        }
     )
     if rerank_ds is None:
         return approx[approx["rank"] <= k].reset_index(drop=True)
@@ -289,28 +301,40 @@ def pq_search(
     cand = np.unique(approx[key_col].to_numpy())
     cand_ref = ray.put(np.sort(cand))
 
-    def _member(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(df[key_col].to_numpy(), ray.get(cand_ref))
-        return df.loc[keep]
+    def _member(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t[key_col], value_set=pa.array(ray.get(cand_ref)))
+        )
 
     cand_rows = rerank_ds.map_batches(
-        _member, batch_format="pandas", batch_size=4096
+        _member, batch_format="pyarrow", batch_size=4096
     ).to_pandas()  # shortlist-bounded: <= nq * shortlist rows
     cand_mat = _normalize(_as_matrix(cand_rows[vec_col]))
     cand_keys = cand_rows[key_col].to_numpy()
-    key_pos = {int(kk): i for i, kk in enumerate(cand_keys)}
-    out = []
-    for qi in range(q.shape[0]):
-        mine = approx[approx["query_id"] == qi][key_col].to_numpy()
-        idx = np.array([key_pos[int(kk)] for kk in mine], dtype=np.int64)
-        if not idx.size:
-            continue
-        cos = cand_mat[idx] @ q[qi]
-        order = np.lexsort((cand_keys[idx], -np.round(cos, 12)))[:k]
-        for rank, oi in enumerate(order):
-            out.append(
-                (qi, cand_keys[idx][oi], float(cos[oi]), rank + 1)
-            )
+    if not len(approx):
+        return pd.DataFrame(
+            columns=["query_id", key_col, "cosine", "rank"]
+        )
+    # every (query, candidate) pair re-scored in one row-wise einsum;
+    # key -> matrix-row lookup via searchsorted over the sorted keys
+    qid_a = approx["query_id"].to_numpy()
+    keys_a = approx[key_col].to_numpy()
+    sort_i = np.argsort(cand_keys, kind="stable")
+    pos = sort_i[np.searchsorted(cand_keys[sort_i], keys_a)]
+    cos_a = np.einsum("ij,ij->i", cand_mat[pos], q[qid_a])
+    order_a = np.lexsort((keys_a, -np.round(cos_a, 12), qid_a))
+    qs_a, ks_a, cs_a = qid_a[order_a], keys_a[order_a], cos_a[order_a]
+    starts_a = np.flatnonzero(np.r_[True, qs_a[1:] != qs_a[:-1]])
+    grp_start_a = np.repeat(
+        starts_a, np.diff(np.r_[starts_a, len(qs_a)])
+    )
+    rank_a = np.arange(len(qs_a)) - grp_start_a + 1
+    keep_a = rank_a <= k
     return pd.DataFrame(
-        out, columns=["query_id", key_col, "cosine", "rank"]
+        {
+            "query_id": qs_a[keep_a],
+            key_col: ks_a[keep_a],
+            "cosine": cs_a[keep_a],
+            "rank": rank_a[keep_a],
+        }
     )
