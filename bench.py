@@ -1055,6 +1055,346 @@ def run_pagerank_scale_bench() -> dict:
     return result
 
 
+def _e2e_warc_corpus(n_pages: int) -> str:
+    """Member-gzip WARC archives for the e2e chain — same generator,
+    naming and cache marker as run_warc_bench, so --warc and --e2e
+    share the converted corpus."""
+    import ray
+
+    from ocr_dataset_builder_ray.sources.pages import (
+        default_corpus_dir,
+        generate_pages_corpus,
+        pages_parquet_files,
+    )
+
+    corpus = generate_pages_corpus(default_corpus_dir(n_pages), n_rows=n_pages)
+    files = pages_parquet_files(corpus)
+    warc_dir = f"/tmp/graft_warc_v1_{n_pages}"
+    done = os.path.join(warc_dir, "_DONE")
+    if os.path.exists(done):
+        return warc_dir
+    os.makedirs(warc_dir, exist_ok=True)
+
+    @ray.remote
+    def _convert(src: str, dst: str) -> int:
+        import pyarrow.parquet as pq
+
+        from ocr_dataset_builder_ray.sources.warc import write_warc
+
+        t = pq.read_table(src, columns=["url", "warc_ts", "html"])
+        recs = [
+            {
+                "url": u,
+                "date": ts.isoformat() + "Z",
+                "payload": h or b"",
+                "rid": str(i),
+            }
+            for i, (u, ts, h) in enumerate(
+                zip(
+                    t["url"].to_pylist(),
+                    t["warc_ts"].to_pylist(),
+                    t["html"].to_pylist(),
+                )
+            )
+        ]
+        write_warc(dst, recs, compress="member")
+        return len(recs)
+
+    ray.get(
+        [
+            _convert.remote(
+                f,
+                os.path.join(
+                    warc_dir,
+                    os.path.basename(f).replace(".parquet", ".warc.gz"),
+                ),
+            )
+            for f in files
+        ]
+    )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return warc_dir
+
+
+def run_e2e_driver() -> dict:
+    """One driver run of the full WARC -> curated-corpus chain
+    (VERDICT r4 #6): ingest-warc -> partitioned resumable extraction ->
+    web_curation_pipeline -> export_training_shards. Reads its working
+    dirs from env (GRAFT_E2E_WARC, GRAFT_E2E_ROOT) so the orchestrator
+    can re-run it against the same dirs after a kill -9. Extraction is
+    the resumable stage (per-partition manifests); ingest is
+    marker-idempotent; curate+export restart from the extracted table
+    (they are cheap relative to extraction and export must not append
+    into a half-written shard tree)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    warc_dir = os.environ["GRAFT_E2E_WARC"]
+    root = os.environ["GRAFT_E2E_ROOT"]
+    n_parts = int(os.environ.get("GRAFT_E2E_PARTS", "16"))
+    n_shards = int(os.environ.get("GRAFT_E2E_SHARDS", "32"))
+
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ocr_dataset_builder_ray.pipelines.export import (
+        export_training_shards,
+    )
+    from ocr_dataset_builder_ray.pipelines.extraction import (
+        read_extracted,
+        run_partitioned_extraction,
+    )
+    from ocr_dataset_builder_ray.pipelines.web_curation import (
+        web_curation_pipeline,
+    )
+    from ocr_dataset_builder_ray.sources.warc import read_warc, warc_pages
+    from ocr_dataset_builder_ray.stages.curation import add_domain_column
+
+    pages_dir = os.path.join(root, "pages")
+    extract_dir = os.path.join(root, "extract")
+    export_dir = os.path.join(root, "export")
+    phases: dict[str, float] = {}
+
+    # 1) ingest: WARC -> pages parquet (idempotent via marker — a
+    #    re-run must not append duplicate files)
+    ingest_done = os.path.join(pages_dir, "_DONE")
+    t0 = time.monotonic()
+    if not os.path.exists(ingest_done):
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        warc_pages(read_warc(warc_dir)).write_parquet(pages_dir)
+        with open(ingest_done, "w") as fh:
+            fh.write("ok")
+    phases["ingest"] = round(time.monotonic() - t0, 3)
+    print("PHASE_DONE ingest", flush=True)
+
+    # 2) resumable partitioned extraction (the kill -9 target)
+    t0 = time.monotonic()
+    summary = run_partitioned_extraction(
+        pages_dir,
+        extract_dir,
+        num_partitions=n_parts,
+        on_partition_done=lambda pid: print(
+            f"PARTITION_DONE {pid}", flush=True
+        ),
+    )
+    phases["extract"] = round(time.monotonic() - t0, 3)
+    print("PHASE_DONE extract", flush=True)
+
+    # 3) curation over the extracted text (model/LM gates off — the
+    #    statistical chain is the volume path)
+    t0 = time.monotonic()
+    ds = read_extracted(extract_dir).select_columns(
+        ["url", "lang", "extracted_text", "status", "url_hash"]
+    )
+
+    def _docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["status"], pa.scalar("ok")))
+        # line_dedup packs (key, line_idx) into one int64, so doc keys
+        # must fit the documented 63-POS_BITS=41-bit width: fold the
+        # 64-bit url hash to its top 41 bits (uniform, deterministic,
+        # collision p ~ n^2/2^42)
+        h = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc_id = (h >> np.uint64(23)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "url": t["url"],
+                "lang": t["lang"],
+                "text": t["extracted_text"],
+            }
+        )
+
+    docs = add_domain_column(
+        ds.map_batches(_docs, batch_format="pyarrow"), url_col="url"
+    )
+    # the synthetic generator's small vocabulary gives most pages a
+    # dup-word fraction above the published 0.55 default, which would
+    # starve every later stage (196 of 5k survive); calibrate the gate
+    # to the corpus so the near-dedup exchange — the expensive stage —
+    # runs at full volume
+    curated = web_curation_pipeline(
+        docs,
+        max_dup_word_frac=0.9,
+        max_top_bigram_frac=0.2,
+        quality_model=None,
+        perplexity_keep=None,
+        temperature_alpha=None,
+    )
+    phases["curate"] = round(time.monotonic() - t0, 3)
+    print("PHASE_DONE curate", flush=True)
+
+    # 4) sharded training export (fresh tree each attempt)
+    t0 = time.monotonic()
+    shutil.rmtree(export_dir, ignore_errors=True)
+    exp = export_training_shards(
+        curated, export_dir, n_shards, key_col="url"
+    )
+    phases["export"] = round(time.monotonic() - t0, 3)
+    print("PHASE_DONE export", flush=True)
+
+    # order-insensitive checksum over the exported (url, text) rows —
+    # the byte-equality witness across parallelism levels and resumes
+    import duckdb
+
+    n_rows, checksum = duckdb.sql(
+        "SELECT count(*), "
+        "COALESCE(sum(CAST(hash(url, text) % 2147483647 AS BIGINT)), 0) "
+        f"FROM read_parquet('{export_dir}/shard=*/*.parquet', "
+        "hive_partitioning=0)"
+    ).fetchone()
+
+    result = {
+        "phases": phases,
+        "value": round(sum(phases.values()), 3),
+        "unit": "sec",
+        "extract_summary": {
+            k: summary[k]
+            for k in ("rows", "ran_partitions", "skipped_partitions")
+        },
+        "curated_rows": int(n_rows),
+        "shards": len(exp["shards"]) if "shards" in exp else n_shards,
+        "output_checksum": int(checksum),
+        "num_cpus": ncpu,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_e2e_bench() -> dict:
+    """Scale rehearsal of the full chain (VERDICT r4 #6): run the e2e
+    driver fresh at two parallelism levels (same-checksum assertion =
+    the chain is deterministic under parallelism), then kill -9 a third
+    run mid-extraction and resume it (same checksum again, with the
+    manifest skip observed). One JSON line."""
+    import shutil
+    import signal
+
+    n_pages = int(os.environ.get("GRAFT_E2E_PAGES", "60000"))
+    ncpu_hi = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ncpu_lo = int(os.environ.get("GRAFT_E2E_CPUS_LO", "8"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    warc_dir = _e2e_warc_corpus(n_pages)
+    ray.shutdown()
+    warc_bytes = sum(
+        os.path.getsize(os.path.join(warc_dir, f))
+        for f in os.listdir(warc_dir)
+        if f.endswith(".warc.gz")
+    )
+
+    def _drive(root: str, ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            GRAFT_E2E_WARC=warc_dir,
+            GRAFT_E2E_ROOT=root,
+            RAY_GRAFT_CPUS=str(ncpu),
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--e2e-driver"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"e2e driver failed (exit {proc.returncode}):\n"
+                + proc.stderr[-4000:]
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    root_hi = "/tmp/graft_e2e_hi"
+    root_lo = "/tmp/graft_e2e_lo"
+    root_k9 = "/tmp/graft_e2e_k9"
+    for r in (root_hi, root_lo, root_k9):
+        shutil.rmtree(r, ignore_errors=True)
+
+    r_hi = _drive(root_hi, ncpu_hi)
+    r_lo = _drive(root_lo, ncpu_lo)
+
+    # kill -9 mid-extraction, then resume against the same dirs
+    env = dict(
+        os.environ,
+        GRAFT_E2E_WARC=warc_dir,
+        GRAFT_E2E_ROOT=root_k9,
+        RAY_GRAFT_CPUS=str(ncpu_hi),
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--e2e-driver"],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    committed = 0
+    deadline = time.time() + 900
+    for line in proc.stdout:
+        if line.startswith("PARTITION_DONE"):
+            committed += 1
+            if committed >= 3:
+                proc.send_signal(signal.SIGKILL)
+                break
+        if time.time() > deadline:
+            proc.kill()
+            raise RuntimeError("e2e kill9 leg: no partitions committed")
+    proc.wait(timeout=120)
+    r_k9 = _drive(root_k9, ncpu_hi)  # resume
+
+    checks = {r_hi["output_checksum"], r_lo["output_checksum"],
+              r_k9["output_checksum"]}
+    rows = {r_hi["curated_rows"], r_lo["curated_rows"],
+            r_k9["curated_rows"]}
+    return {
+        "metric": "e2e chain: warc ingest -> resumable extract -> "
+        "curation -> sharded export at %dk pages" % (n_pages // 1000),
+        "value": r_hi["value"],
+        "unit": "sec",
+        "phases": r_hi["phases"],
+        "curated_rows": r_hi["curated_rows"],
+        "warc_gz_mb": round(warc_bytes / 1e6, 1),
+        "pages_per_sec": round(n_pages / r_hi["value"], 1),
+        "lo_cpus": {"num_cpus": ncpu_lo, "value": r_lo["value"],
+                    "phases": r_lo["phases"]},
+        "checksums_identical": len(checks) == 1,
+        "rows_identical": len(rows) == 1,
+        "output_checksum": r_hi["output_checksum"],
+        "kill9": {
+            "killed_after_partitions": committed,
+            "resume_ran_partitions": r_k9["extract_summary"][
+                "ran_partitions"
+            ],
+            "resume_skipped_partitions": r_k9["extract_summary"][
+                "skipped_partitions"
+            ],
+        },
+        "num_cpus": ncpu_hi,
+    }
+
+
 def run_skew_bench() -> dict:
     """Heavy-tailed corpus: the standard pages corpus plus a shard of
     multi-MB html blobs (a few giant template pages), run through the
@@ -1754,6 +2094,10 @@ if __name__ == "__main__":
         print(json.dumps(run_graph_bench()))
     elif "--pagerank-scale" in sys.argv:
         print(json.dumps(run_pagerank_scale_bench()))
+    elif "--e2e-driver" in sys.argv:
+        print(json.dumps(run_e2e_driver()))
+    elif "--e2e" in sys.argv:
+        print(json.dumps(run_e2e_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:

@@ -321,7 +321,16 @@ def strip_boilerplate(
         lists = pa.ListArray.from_arrays(
             pa.array(new_offsets, pa.int32()).cast(pa.int32()), kept_vals
         )
-        joined = pc.binary_join(lists, "\n")
+        # separator type must match the list value type: a parquet
+        # round-trip yields large_string columns, and binary_join has
+        # no (list<large_string>, string) kernel
+        sep = pa.scalar(
+            "\n",
+            pa.large_string()
+            if pa.types.is_large_string(kept_vals.type)
+            else pa.string(),
+        )
+        joined = pc.binary_join(lists, sep)
         # null texts stay null
         orig = batch[text_col]
         if isinstance(orig, pa.ChunkedArray):

@@ -791,6 +791,13 @@ def _verify_candidates(
     if verify == "auto":
         verify = "driver" if n_cand <= driver_limit else "distributed"
     if verify == "distributed":
+        if cand_pdf is not None and isinstance(candidates, pd.DataFrame):
+            # small-input fast path handed us a driver frame but auto
+            # escalated on candidate count — lift it into a Dataset the
+            # same way the explicit-"distributed" entry branch does
+            candidates = ray.data.from_arrow(
+                pa.Table.from_pandas(cand_pdf, preserve_index=False)
+            )
         if sigs_ds is None:  # driver-side sig frame but distributed verify forced
             keep = pc.is_in(pa.array(sig_pdf["key"]), value_set=_cand_keys())
             kept = sig_pdf[keep.to_numpy(zero_copy_only=False)]

@@ -194,3 +194,31 @@ def test_strip_after_big_path(ray_session, corpus, monkeypatch):
         .to_dict()
     )
     assert got == _ref_strip(corpus, _ref_plan(corpus, 4))
+
+
+def test_strip_large_string_columns(ray_session, corpus, tmp_path):
+    """A parquet round-trip yields large_string text columns;
+    strip_boilerplate's binary_join separator must match that value
+    type (regression: no (list<large_string>, string) kernel)."""
+    import pyarrow as pa
+
+    tbl = pa.Table.from_pandas(corpus, preserve_index=False)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"),
+        "text",
+        tbl["text"].cast(pa.large_string()),
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("domain"),
+        "domain",
+        tbl["domain"].cast(pa.large_string()),
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    plan = boilerplate_lines(ds, min_docs=4)
+    got = (
+        strip_boilerplate(ds, plan)
+        .to_pandas()
+        .set_index("doc_id")["text"]
+        .to_dict()
+    )
+    assert got == _ref_strip(corpus, _ref_plan(corpus, 4))

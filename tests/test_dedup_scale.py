@@ -165,3 +165,49 @@ def test_embedding_dedup_auto_buckets_survivors(ray_session, n_buckets):
     ids = sorted(kept.to_pandas()["vec_id"])
     expect = sorted(set(range(n)) - {2 * i + 1 for i in range(60)})
     assert ids == expect
+
+
+def test_auto_escalation_from_driver_candidate_frame(ray_session):
+    """Regression (r5): the small-input fast path hands
+    ``_verify_candidates`` a driver-side candidate DataFrame; when
+    ``verify="auto"`` escalates on candidate count the frame must be
+    lifted into a Dataset before the distributed pair-join (previously
+    crashed with 'DataFrame has no attribute map_batches')."""
+    import ray.data
+
+    from ocr_dataset_builder_ray.functions.hashing import (
+        char_shingles,
+        minhash_params,
+        minhash_signature,
+    )
+    from ocr_dataset_builder_ray.stages.dedup import _verify_candidates
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and again",
+        3: "entirely different content with no overlap whatsoever here",
+    }
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"key": list(texts), "text": list(texts.values())})
+    )
+    cand = pd.DataFrame({"a": [1, 1], "b": [2, 3]})
+    mh_a, mh_b = minhash_params(32)
+
+    def _sig(text):
+        return minhash_signature(char_shingles(text, 5), mh_a, mh_b)
+
+    def _score(s0, s1):
+        return float(np.mean(s0 == s1))
+
+    results = {}
+    for mode, limit in (("driver", 10**9), ("auto", 1)):
+        got = _verify_candidates(
+            cand, ds, "text", "key", _sig, _score, 0.8,
+            verify=mode, driver_limit=limit,
+        )
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        results[mode] = set(
+            zip(got["a"].astype(int), got["b"].astype(int))
+        )
+    assert results["auto"] == results["driver"] == {(1, 2)}
