@@ -38,6 +38,7 @@ import re
 from dataclasses import dataclass, field
 from html import unescape
 
+from .charset import decode_payload
 from .textnorm import STATUS_EMPTY_HTML, STATUS_OK, clean_text, nfc, status_exception
 
 # Tags whose text content is never document text.
@@ -354,7 +355,11 @@ def extract_document(html: bytes | None) -> dict:
             "n_spans": 0,
         }
     try:
-        doc = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+        # charset-sniffed decode (WHATWG order: BOM > declaration >
+        # utf-8 validity > windows-1252). Valid-UTF-8 undeclared
+        # payloads decode byte-identically to the previous plain
+        # utf-8 path, so the flagship checksum is unchanged.
+        doc = decode_payload(html)[0] if isinstance(html, bytes) else html
         parser = _BlockParser()
         parser.feed(doc)
         parser.close()

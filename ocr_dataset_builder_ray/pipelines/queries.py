@@ -1761,6 +1761,77 @@ def q74_url_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q75_charset_sniff(sf_dir: str) -> pd.DataFrame:
+    """Charset sniff + transcode roundtrip: each document's text is
+    encoded into one of six byte encodings (chosen by ``doc_id % 6``)
+    inside an HTML wrapper carrying the matching declaration (meta,
+    http-equiv, XML declaration, BOM, or nothing); the engine sniffs
+    the encoding (WHATWG order) and must recover the original text
+    byte-exactly. The oracle re-derives the expected encoding/source
+    from ``doc_id % 6`` and the expected text from the table itself —
+    a genuine independent check (documents text is pure ASCII at every
+    scale factor, so all six codecs roundtrip losslessly)."""
+    import codecs as _codecs
+
+    from ..stages.transcode import transcode_to_utf8
+
+    def _encode_pages(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for i, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            body = f"<p>{text}</p>".encode("ascii")
+            k = i % 6
+            if k == 0:  # undeclared, valid utf-8
+                payloads.append(body)
+            elif k == 1:
+                payloads.append(
+                    b'<meta charset="windows-1252">' + body
+                )
+            elif k == 2:
+                payloads.append(
+                    b'<meta http-equiv="Content-Type" content="text/html;'
+                    b' charset=Shift_JIS">' + body
+                )
+            elif k == 3:
+                payloads.append(
+                    _codecs.BOM_UTF16_LE
+                    + body.decode("ascii").encode("utf-16-le")
+                )
+            elif k == 4:
+                payloads.append(
+                    b'<?xml version="1.0" encoding="ISO-8859-2"?>' + body
+                )
+            else:
+                payloads.append(b"<meta charset=GB2312>" + body)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    def _recover(batch: pa.Table) -> pa.Table:
+        texts = [
+            v.decode("utf-8").split("<p>", 1)[1].rsplit("</p>", 1)[0]
+            for v in batch["html"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "encoding": batch["encoding"],
+                "encoding_source": batch["encoding_source"],
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _encode_pages, batch_format="pyarrow"
+    )
+    out = transcode_to_utf8(ds).map_batches(_recover, batch_format="pyarrow")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _pagerank_sql_prefix(n_iter: int = _PAGERANK_ITERS, d: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain ending in ``r{n_iter}`` —
     recursive CTEs cannot both aggregate contributions and read the
@@ -1877,6 +1948,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q72_bpe_encode": q72_bpe_encode,
     "q73_anchor_texts": q73_anchor_texts,
     "q74_url_filter": q74_url_filter,
+    "q75_charset_sniff": q75_charset_sniff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2946,6 +3018,26 @@ ORACLE_SQL: dict[str, str] = {
                       'site8.com','site9.com')
           AND dom <> 'site3.com'
           AND NOT regexp_matches(canon, '/p/\d*7\?')
+        ORDER BY doc_id
+    """,
+    "q75_charset_sniff": """
+        SELECT doc_id,
+               CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'utf-8'
+                   WHEN 1 THEN 'windows-1252'
+                   WHEN 2 THEN 'shift_jis'
+                   WHEN 3 THEN 'utf-16le'
+                   WHEN 4 THEN 'iso-8859-2'
+                   ELSE 'gbk'
+               END AS encoding,
+               CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'utf-8-valid'
+                   WHEN 3 THEN 'bom'
+                   WHEN 4 THEN 'xml-decl'
+                   ELSE 'meta'
+               END AS encoding_source,
+               text
+        FROM documents
         ORDER BY doc_id
     """,
 }
