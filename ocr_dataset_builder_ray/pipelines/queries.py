@@ -1832,6 +1832,84 @@ def q75_charset_sniff(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q76_blockword_audit(sf_dir: str) -> pd.DataFrame:
+    """C4 banned-word rule in audit mode: per-document blocklist hit
+    counts (whole-token, lowercased) over every document, plus the kept
+    flag the filter form would apply at max_hits=0. The oracle
+    recomputes hits with DuckDB list kernels over the same
+    whitespace tokenization."""
+    from ..stages.filters import blockword_filter
+
+    out = blockword_filter(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        ["merge", "join", "scan"],
+        count_col="block_hits",
+    ).to_pandas()
+    out["kept"] = out["block_hits"] == 0
+    return (
+        out[["doc_id", "block_hits", "kept"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q77_crawl_delta(sf_dir: str) -> pd.DataFrame:
+    """Two-snapshot crawl delta: the old snapshot is every document,
+    the new one drops ``doc_id % 10 == 0`` (-> removed), rewrites the
+    body of ``doc_id % 7 == 0`` survivors (-> modified), and adds a
+    ``/new/`` url per ``doc_id % 13 == 0`` (-> added). The oracle
+    rebuilds both snapshots in SQL and classifies with a genuine FULL
+    OUTER JOIN — an independent recomputation (DuckDB md5 == hashlib
+    md5)."""
+    import hashlib
+
+    from ..stages.delta import crawl_delta
+
+    def _old(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://ex.com/{i}" for i in ids], pa.string()
+                ),
+                "content_hash": pa.array(
+                    [
+                        hashlib.md5(t.encode()).hexdigest()
+                        for t in batch["text"].to_pylist()
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def _new(batch: pa.Table) -> pa.Table:
+        urls, hashes = [], []
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if i % 10 != 0:
+                urls.append(f"https://ex.com/{i}")
+                body = t + ("-v2" if i % 7 == 0 else "")
+                hashes.append(hashlib.md5(body.encode()).hexdigest())
+            if i % 13 == 0:
+                urls.append(f"https://ex.com/new/{i}")
+                hashes.append(hashlib.md5(f"fresh-{i}".encode()).hexdigest())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "content_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = crawl_delta(
+        docs.map_batches(_old, batch_format="pyarrow"),
+        docs.map_batches(_new, batch_format="pyarrow"),
+        num_partitions=8,
+    ).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _pagerank_sql_prefix(n_iter: int = _PAGERANK_ITERS, d: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain ending in ``r{n_iter}`` —
     recursive CTEs cannot both aggregate contributions and read the
@@ -1949,6 +2027,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q73_anchor_texts": q73_anchor_texts,
     "q74_url_filter": q74_url_filter,
     "q75_charset_sniff": q75_charset_sniff,
+    "q76_blockword_audit": q76_blockword_audit,
+    "q77_crawl_delta": q77_crawl_delta,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3039,6 +3119,46 @@ ORACLE_SQL: dict[str, str] = {
                text
         FROM documents
         ORDER BY doc_id
+    """,
+    "q76_blockword_audit": r"""
+        SELECT doc_id,
+               len(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   tok -> tok IN ('merge', 'join', 'scan')
+               )) AS block_hits,
+               len(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   tok -> tok IN ('merge', 'join', 'scan')
+               )) = 0 AS kept
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "q77_crawl_delta": """
+        WITH old_snap AS (
+            SELECT 'https://ex.com/' || doc_id AS url,
+                   md5(text) AS content_hash
+            FROM documents
+        ), new_snap AS (
+            SELECT 'https://ex.com/' || doc_id AS url,
+                   md5(text || CASE WHEN doc_id % 7 = 0 THEN '-v2' ELSE '' END)
+                       AS content_hash
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT 'https://ex.com/new/' || doc_id AS url,
+                   md5('fresh-' || doc_id) AS content_hash
+            FROM documents WHERE doc_id % 13 = 0
+        )
+        SELECT coalesce(o.url, n.url) AS url,
+               o.content_hash AS old_content_hash,
+               n.content_hash AS new_content_hash,
+               CASE
+                   WHEN o.url IS NULL THEN 'added'
+                   WHEN n.url IS NULL THEN 'removed'
+                   WHEN o.content_hash = n.content_hash THEN 'unchanged'
+                   ELSE 'modified'
+               END AS change
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.url = n.url
+        ORDER BY url
     """,
 }
 

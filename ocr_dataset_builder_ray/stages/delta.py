@@ -1,0 +1,139 @@
+"""Crawl-snapshot delta: classify urls between two crawl passes.
+
+A recurring web-pipeline step the incremental machinery
+(``pipelines/extraction.incremental_pass`` — at-least-once ingest of
+NEW files) does not cover: given two *extracted* snapshots of the same
+crawl (yesterday's and today's), decide per url whether the page was
+``added`` / ``removed`` / ``modified`` / ``unchanged``, and hand the
+changed subset to downstream stages (re-embedding, index refresh,
+re-curation) without touching the unchanged bulk.
+
+Scale shape: the classification joins only the skinny
+``(key, content-hash)`` projections — at 10^12 documents that is a
+16-byte-per-row full-outer hash exchange, while the payload columns
+never move; fetching the changed payload is a semi-join against the
+(typically tiny) changed-key set. Reference anchor: the reference's
+checkpoint diffing is list-based (`video/frame_pipeline.py:455-509`
+re-scans directories); content-level diffing has no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .join import hash_join
+
+CHANGES = ("added", "removed", "modified", "unchanged")
+
+
+def _auto_partitions(requested: int | None) -> int:
+    """Size the hash exchange: the native join holds one aggregator
+    actor per partition, each pinning a CPU — asking for more
+    partitions than the cluster has CPUs deadlocks a small session.
+    At cluster scale callers pass 2-4x total cores explicitly."""
+    if requested is not None:
+        return requested
+    import ray
+
+    return max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 1))
+
+
+def crawl_delta(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+    change_col: str = "change",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Classify every key across two snapshots.
+
+    Returns a Dataset with columns ``(key_col, old_<hash_col>,
+    new_<hash_col>, change_col)`` — one row per distinct key on either
+    side. Duplicate keys within a snapshot are an input error the
+    caller should have resolved (this engine's extraction output is
+    per-url deduped); they would multiply join rows, so each side is
+    reduced to its first hash per key by a skinny groupby first —
+    deterministic because equal keys carry equal hashes in a deduped
+    snapshot.
+    """
+    o_hash, n_hash = f"old_{hash_col}", f"new_{hash_col}"
+    num_partitions = _auto_partitions(num_partitions)
+
+    def _skinny(ds: ray.data.Dataset, out: str) -> ray.data.Dataset:
+        skinny = ds.select_columns([key_col, hash_col])
+        # min() is the "first hash per key" reducer: one value per key
+        # in the deduped case, deterministic tie-break otherwise
+        return (
+            skinny.groupby(key_col)
+            .min(hash_col)
+            .map_batches(
+                lambda t, _out=out: t.rename_columns([key_col, _out]),
+                batch_format="pyarrow",
+            )
+        )
+
+    joined = hash_join(
+        _skinny(old, o_hash),
+        _skinny(new, n_hash),
+        key_col,
+        how="outer",
+        num_partitions=num_partitions,
+    )
+
+    def _classify(t: pa.Table) -> pa.Table:
+        old_h, new_h = t[o_hash], t[n_hash]
+        has_old = pc.is_valid(old_h)
+        has_new = pc.is_valid(new_h)
+        change = pc.if_else(
+            pc.and_not(has_new, has_old),
+            pa.scalar("added"),
+            pc.if_else(
+                pc.and_not(has_old, has_new),
+                pa.scalar("removed"),
+                pc.if_else(
+                    pc.equal(old_h, new_h),
+                    pa.scalar("unchanged"),
+                    pa.scalar("modified"),
+                ),
+            ),
+        )
+        return t.append_column(change_col, change)
+
+    return joined.map_batches(_classify, batch_format="pyarrow")
+
+
+def select_changed(
+    new: ray.data.Dataset,
+    delta: ray.data.Dataset,
+    *,
+    keep: tuple[str, ...] = ("added", "modified"),
+    key_col: str = "url",
+    change_col: str = "change",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Fetch the full new-snapshot rows for the changed keys.
+
+    A semi-join of the payload-bearing snapshot against the changed-key
+    projection: only 8-byte-hashable keys cross the exchange, the
+    payload moves once, straight to its consumer.
+    """
+    bad = set(keep) - set(CHANGES)
+    if bad:
+        raise ValueError(f"select_changed: unknown change kinds {sorted(bad)}")
+    keep_arr = pa.array(list(keep), pa.string())
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[change_col], value_set=keep_arr))
+
+    keys = delta.map_batches(_keep, batch_format="pyarrow").select_columns(
+        [key_col]
+    )
+    return hash_join(
+        new, keys, key_col, how="semi",
+        num_partitions=_auto_partitions(num_partitions),
+    )
