@@ -105,6 +105,35 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_delta(args: argparse.Namespace) -> int:
+    _ensure_ray()
+    from .pipelines.extraction import read_extracted
+    from .stages.delta import crawl_delta, select_changed
+
+    old_ds = read_extracted(args.old).select_columns(
+        [args.key, args.hash_col]
+    )
+    new_full = read_extracted(args.new)
+    # materialize the skinny delta once (object-store blocks, not the
+    # driver): it feeds both the count summary and the payload fetch
+    delta = crawl_delta(
+        old_ds,
+        new_full.select_columns([args.key, args.hash_col]),
+        key_col=args.key,
+        hash_col=args.hash_col,
+    ).materialize()
+    counts = {
+        r["change"]: int(r["count()"])
+        for r in delta.groupby("change").count().take_all()
+    }
+    if args.output:
+        select_changed(new_full, delta, key_col=args.key).write_parquet(
+            args.output
+        )
+    print(json.dumps({"changes": counts, "output": args.output}))
+    return 0
+
+
 def _cmd_metrics(args: argparse.Namespace) -> int:
     _ensure_ray()
     from .pipelines.extraction import read_extracted
@@ -482,6 +511,19 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("metrics", help="lineage + aggregate metrics")
     m.add_argument("--input", required=True)
     m.set_defaults(fn=_cmd_metrics)
+
+    dl = sub.add_parser(
+        "delta", help="classify urls between two extracted snapshots"
+    )
+    dl.add_argument("--old", required=True, help="older extraction out dir")
+    dl.add_argument("--new", required=True, help="newer extraction out dir")
+    dl.add_argument(
+        "--output", default=None,
+        help="write added+modified new-snapshot rows here (parquet)",
+    )
+    dl.add_argument("--key", default="url")
+    dl.add_argument("--hash-col", dest="hash_col", default="content_hash")
+    dl.set_defaults(fn=_cmd_delta)
 
     c = sub.add_parser("curate", help="corpus-curation chain over a documents table")
     c.add_argument("--input", required=True, help="documents parquet dir/file")

@@ -132,7 +132,13 @@ def select_changed(
 
     keys = delta.map_batches(_keep, batch_format="pyarrow").select_columns(
         [key_col]
-    )
+    ).materialize()
+    # empty blocks lose their schema through the join's distinct
+    # groupby, which then fails on the missing key field; the no-change
+    # case is legitimate (identical snapshots), so short-circuit it.
+    # The materialize is skinny (keys only) and feeds the join anyway.
+    if keys.count() == 0:
+        return new.limit(0)
     return hash_join(
         new, keys, key_col, how="semi",
         num_partitions=_auto_partitions(num_partitions),

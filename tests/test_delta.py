@@ -104,6 +104,15 @@ def test_select_changed_fetches_new_payload(ray_session, snapshots):
         select_changed(new_ds, delta, keep=("bogus",))
 
 
+def test_select_changed_identical_snapshots(ray_session, snapshots):
+    """No changes at all (identical snapshots) must yield an empty
+    result, not a schema error from the empty key set."""
+    _, new, _ = snapshots
+    ds = ray.data.from_pandas(new)
+    got = select_changed(ds, crawl_delta(ds, ds))
+    assert got.count() == 0
+
+
 def test_dup_keys_reduced_deterministically(ray_session):
     old = pd.DataFrame(
         {"url": ["u", "u"], "content_hash": ["b", "a"], "payload": ["x", "y"]}
