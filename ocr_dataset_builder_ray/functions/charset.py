@@ -133,15 +133,9 @@ def normalize_label(label: str | bytes) -> str | None:
     return _LABELS.get(label.strip().strip("\"'").lower())
 
 
-def detect_encoding(payload: bytes | None) -> tuple[str, str]:
-    """Sniff a payload's encoding.
-
-    Returns ``(canonical_name, source)`` with source one of ``bom`` /
-    ``meta`` / ``xml-decl`` / ``utf-8-valid`` / ``fallback``. Never
-    raises; empty/None payloads report ``("utf-8", "fallback")``.
-    """
-    if not payload:
-        return "utf-8", "fallback"
+def _sniff_declared(payload: bytes) -> tuple[str | None, str | None]:
+    """Steps 1-2 of the sniff (BOM, declarations); ``(None, None)``
+    when the payload declares nothing and validity must decide."""
     for bom, name in _BOMS:
         if payload.startswith(bom):
             return name, "bom"
@@ -157,6 +151,21 @@ def detect_encoding(payload: bytes | None) -> tuple[str, str]:
         if enc is not None:
             # spec quirk: declared utf-16 is treated as utf-8
             return ("utf-8" if enc.startswith("utf-16") else enc), "meta"
+    return None, None
+
+
+def detect_encoding(payload: bytes | None) -> tuple[str, str]:
+    """Sniff a payload's encoding.
+
+    Returns ``(canonical_name, source)`` with source one of ``bom`` /
+    ``meta`` / ``xml-decl`` / ``utf-8-valid`` / ``fallback``. Never
+    raises; empty/None payloads report ``("utf-8", "fallback")``.
+    """
+    if not payload:
+        return "utf-8", "fallback"
+    enc, source = _sniff_declared(payload)
+    if enc is not None:
+        return enc, source
     try:
         payload.decode("utf-8")
         return "utf-8", "utf-8-valid"
@@ -173,7 +182,15 @@ def decode_payload(payload: bytes | None) -> tuple[str, str, str]:
     """
     if not payload:
         return "", "utf-8", "fallback"
-    enc, source = detect_encoding(payload)
+    enc, source = _sniff_declared(payload)
+    if enc is None:
+        # undeclared: the strict utf-8 attempt IS the decode on the
+        # (overwhelmingly common) valid case — one pass, not a
+        # validation pass plus a replace pass
+        try:
+            return payload.decode("utf-8"), "utf-8", "utf-8-valid"
+        except UnicodeDecodeError:
+            enc, source = "windows-1252", "fallback"
     if source == "bom":
         payload = payload[len(codecs.BOM_UTF8 if enc == "utf-8" else codecs.BOM_UTF16_LE):]
     return (
