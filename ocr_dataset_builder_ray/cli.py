@@ -430,6 +430,14 @@ def _cmd_ingest_warc(args: argparse.Namespace) -> int:
     from .sources.warc import read_warc, warc_pages
 
     pages = warc_pages(read_warc(args.input))
+    if args.transcode:
+        from .stages.transcode import transcode_to_utf8
+
+        # normalize legacy-encoded payloads to clean UTF-8 once at
+        # ingest (adds encoding/encoding_source columns); extraction
+        # sniffs per-document anyway, so this is for corpora consumed
+        # by many downstream pipelines
+        pages = transcode_to_utf8(pages)
     pages.write_parquet(args.output)
     rows = sum(
         pq.ParquetFile(f).metadata.num_rows
@@ -601,6 +609,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--input", required=True, help="dir or file of *.warc / *.warc.gz"
     )
     w.add_argument("--output", required=True, help="pages parquet dir")
+    w.add_argument(
+        "--transcode", action="store_true",
+        help="sniff charsets and rewrite payloads to UTF-8 at ingest",
+    )
     w.set_defaults(fn=_cmd_ingest_warc)
 
     rp = sub.add_parser(
