@@ -74,6 +74,20 @@ def _concat(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 # distributed min-label path keeps the driver out of the loop entirely
 AUTO_DRIVER_PAIR_LIMIT = 1_000_000
 
+# verify="auto" middle tier: when the candidate PAIR count outgrows the
+# driver but the distinct candidate KEY count stays under this bound,
+# verification broadcasts the (key, signature) matrix once (num_perm*8
+# bytes per key; 4M keys x 64 perms = 2 GB, shared zero-copy per node
+# via the object store) and scores pairs in a pure streaming map — the
+# pair-shaped data never carries a signature. The union+groupby attach
+# path replicates one full signature PER PAIR, which on a spurious-
+# collision-heavy corpus (low shingle diversity, template farms) turns
+# O(pairs) 16-byte rows into O(pairs) ~half-KB rows: measured 152.8M
+# candidates from a 60k-page corpus = ~80 GB of exchange+spill, an
+# OutOfDiskError on this host, where the broadcast tier streams the
+# same pairs through 2.4 GB. Identical verified pairs on every tier.
+AUTO_BROADCAST_KEY_LIMIT = 4_000_000
+
 # band-row count under which the LSH dedup family skips the distributed
 # candidate plan (two materializations + 3 groupby exchanges of fixed
 # overhead — ~19 s of pure exchange latency on a 500-doc gate input)
@@ -681,6 +695,75 @@ def lsh_candidate_pairs_bucketed(
     )
 
 
+def _verify_pairs_broadcast(
+    pairs_ds: ray.data.Dataset,
+    sigs_source,
+    score_pairs_fn,
+    threshold: float,
+    cand_keys: pa.Array,
+) -> ray.data.Dataset:
+    """Streaming pair verification against a broadcast signature
+    matrix: driver/object-store state is KEY-bounded (num_perm*8 bytes
+    per distinct candidate key — the caller enforces
+    ``broadcast_key_limit``), and the pair stream itself stays 16-byte
+    rows end to end: no per-pair signature replication, no exchange.
+    Pairs with a missing signature are dropped — the exact contract of
+    the driver path's ``a in sigmap and b in sigmap``."""
+    if isinstance(sigs_source, pd.DataFrame):
+        keep = pc.is_in(pa.array(sigs_source["key"]), value_set=cand_keys)
+        kept = sigs_source[keep.to_numpy(zero_copy_only=False)]
+        keys = kept["key"].to_numpy()
+        mat = (
+            np.stack([np.asarray(s, dtype=np.uint64) for s in kept["sig"]])
+            if len(kept)
+            else np.empty((0, 1), dtype=np.uint64)
+        )
+    else:  # Dataset of (key, sig list<uint64>), already candidate-pruned
+        tbl = pa.concat_tables(ray.get(sigs_source.to_arrow_refs()))
+        keys = tbl["key"].to_numpy(zero_copy_only=False)
+        if tbl.num_rows:
+            col = tbl["sig"].combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            mat = np.ascontiguousarray(
+                flat.astype(np.uint64, copy=False)
+            ).reshape(tbl.num_rows, -1)
+        else:
+            mat = np.empty((0, 1), dtype=np.uint64)
+
+    if len(keys) == 0:  # nothing verifiable
+        return pairs_ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        )
+
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    mat_sorted = np.ascontiguousarray(mat[order])
+    state_ref = ray.put((keys_sorted, mat_sorted))
+
+    def _score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ks, sm = ray.get(state_ref)  # zero-copy from the object store
+        a = _concat(t["a"]).to_numpy(zero_copy_only=False)
+        b = _concat(t["b"]).to_numpy(zero_copy_only=False)
+        n = len(ks)
+        ia = np.minimum(np.searchsorted(ks, a), n - 1)
+        ib = np.minimum(np.searchsorted(ks, b), n - 1)
+        valid = (ks[ia] == a) & (ks[ib] == b)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        if valid.any():
+            scores = np.asarray(
+                score_pairs_fn(sm[ia[valid]], sm[ib[valid]])
+            )
+            keep[valid] = scores >= threshold
+        return t.filter(pa.array(keep))
+
+    # bound the per-task gather buffers: rows x num_perm x 8 x 2 bytes
+    return pairs_ds.map_batches(
+        _score, batch_format="pyarrow", batch_size=131072
+    )
+
+
 def _verify_candidates(
     candidates: ray.data.Dataset,
     ds: ray.data.Dataset,
@@ -693,6 +776,7 @@ def _verify_candidates(
     driver_limit: int = AUTO_DRIVER_PAIR_LIMIT,
     score_pairs_fn=None,
     sigs=None,
+    broadcast_key_limit: int = AUTO_BROADCAST_KEY_LIMIT,
 ):
     """Distinct candidate pairs → verified pairs Dataset.
 
@@ -700,10 +784,15 @@ def _verify_candidates(
     candidate keys (broadcast semi-join on the duplicate-bounded
     candidate set). ``verify="driver"`` collects the candidate pairs
     and their signatures (both duplicate-bounded) and scores in numpy;
+    ``"broadcast"`` ships the candidate keys' signature matrix once
+    (key-bounded, ``broadcast_key_limit``) and scores pairs in a pure
+    streaming map — the pair stream never carries a signature (needs
+    ``score_pairs_fn``, i.e. fixed-width signatures);
     ``"distributed"`` co-locates each pair with its two signatures via
     the union+groupby pair-join (``_verify_pairs_with_sigs``) so
-    nothing pair-shaped touches the driver; ``"auto"`` picks by
-    candidate count. Identical verified pairs on every path.
+    nothing pair-shaped touches the driver; ``"auto"`` picks driver →
+    broadcast → distributed as candidate pairs, then distinct keys,
+    outgrow their bounds. Identical verified pairs on every path.
 
     ``candidates`` may be a driver-side DataFrame (small-input fast
     path) — verified driver-side unless ``verify="distributed"`` is
@@ -738,8 +827,17 @@ def _verify_candidates(
     # sigs to candidate keys — computed lazily: the all-driver path
     # (cand_pdf + sig frame) would otherwise pay an object-store put of
     # the full key list (and, on this host, seconds of first-touch
-    # page faults on the transient concat) for nothing
+    # page faults on the transient concat) for nothing. Cached: the
+    # auto tier choice and the broadcast matrix both need it.
+    _ck_cache: list = []
+
     def _cand_keys() -> pa.Array:
+        if _ck_cache:
+            return _ck_cache[0]
+        _ck_cache.append(_cand_keys_uncached())
+        return _ck_cache[0]
+
+    def _cand_keys_uncached() -> pa.Array:
         if cand_pdf is not None:
             return pa.array(
                 pd.unique(
@@ -750,9 +848,8 @@ def _verify_candidates(
             )
 
         def _keys(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])}
-            )
+            ks = pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])
+            return pa.table({"key": pc.unique(ks)})  # pre-shrink per block
 
         return pa.array(
             pd.unique(
@@ -789,7 +886,32 @@ def _verify_candidates(
         sigs_ds = ds.map_batches(_sigs, batch_format="pyarrow")
 
     if verify == "auto":
-        verify = "driver" if n_cand <= driver_limit else "distributed"
+        if n_cand <= driver_limit:
+            verify = "driver"
+        elif (
+            score_pairs_fn is not None
+            and len(_cand_keys()) <= broadcast_key_limit
+        ):
+            verify = "broadcast"
+        else:
+            verify = "distributed"
+    if verify == "broadcast":
+        if score_pairs_fn is None:
+            raise ValueError(
+                "verify='broadcast' needs fixed-width signatures "
+                "(a score_pairs_fn); use 'driver' or 'distributed'"
+            )
+        if cand_pdf is not None and isinstance(candidates, pd.DataFrame):
+            candidates = ray.data.from_arrow(
+                pa.Table.from_pandas(cand_pdf, preserve_index=False)
+            )
+        return _verify_pairs_broadcast(
+            candidates,
+            sig_pdf if sig_pdf is not None else sigs_ds,
+            score_pairs_fn,
+            threshold,
+            _cand_keys(),
+        )
     if verify == "distributed":
         if cand_pdf is not None and isinstance(candidates, pd.DataFrame):
             # small-input fast path handed us a driver frame but auto

@@ -211,3 +211,81 @@ def test_auto_escalation_from_driver_candidate_frame(ray_session):
             zip(got["a"].astype(int), got["b"].astype(int))
         )
     assert results["auto"] == results["driver"] == {(1, 2)}
+
+
+def test_broadcast_verify_tier_equality(ray_session):
+    """The r5 broadcast verify tier (pair count past the driver bound,
+    key count under the broadcast bound -> signature matrix broadcast +
+    streaming pair map) must produce the exact driver/distributed
+    survivor set. Guards the e2e finding: 152.8M spurious candidates
+    from a 60k-page low-diversity corpus made the pair-replicating
+    attach exchange spill ~80 GB (OutOfDiskError) where the broadcast
+    tier streams 16-byte pair rows against a 30 MB matrix."""
+    import random
+
+    import ray.data
+
+    from ocr_dataset_builder_ray.stages.dedup import minhash_lsh_dedup
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(1500)]
+    rows, k = [], 0
+    for i in range(120):
+        base = " ".join(rng.choices(vocab, k=60))
+        rows.append({"key": k, "text": base})
+        k += 1
+        if i % 4 == 0:  # planted near-dup
+            rows.append({"key": k, "text": base + " tail"})
+            k += 1
+    ds = ray.data.from_items(rows)
+    outs = {}
+    for v in ("driver", "broadcast", "distributed"):
+        kept = minhash_lsh_dedup(ds, "text", "key", threshold=0.8, verify=v)
+        outs[v] = sorted(kept.to_pandas()["key"].tolist())
+    assert outs["driver"] == outs["broadcast"] == outs["distributed"]
+    assert 0 < len(outs["driver"]) < k  # some dups actually dropped
+
+
+def test_broadcast_verify_auto_selection_and_contract(ray_session):
+    """auto picks the broadcast tier when pairs outgrow the driver
+    bound but keys fit; explicit broadcast without fixed-width
+    signatures (no score_pairs_fn) is a clear error; pairs with a
+    missing signature are dropped (driver-path contract)."""
+    import ray.data
+
+    from ocr_dataset_builder_ray.stages.dedup import _verify_candidates
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"key": [1, 2, 3], "text": ["a", "b", "c"]})
+    )
+    sig_pdf = pd.DataFrame(
+        {
+            "key": [1, 2],  # key 3 has NO signature
+            "sig": [
+                np.array([7, 7, 7, 7], dtype=np.uint64),
+                np.array([7, 7, 7, 9], dtype=np.uint64),
+            ],
+        }
+    )
+    cand = pd.DataFrame({"a": [1, 1], "b": [2, 3]})
+
+    def _pairs_score(x, y):
+        return (x == y).mean(axis=1)
+
+    # driver_limit=1 forces past driver; 2 keys fit any broadcast bound
+    got = _verify_candidates(
+        cand, ds, "text", "key",
+        sig_fn=None, score_fn=None, threshold=0.7,
+        verify="auto", driver_limit=1,
+        score_pairs_fn=_pairs_score, sigs=sig_pdf,
+    )
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert set(zip(got["a"].astype(int), got["b"].astype(int))) == {(1, 2)}
+
+    with pytest.raises(ValueError, match="broadcast"):
+        _verify_candidates(
+            cand, ds, "text", "key",
+            sig_fn=None, score_fn=None, threshold=0.7,
+            verify="broadcast", sigs=sig_pdf,
+        )
