@@ -49,6 +49,7 @@ def web_curation_pipeline(
     max_dup_word_frac: float | None = 0.55,
     max_top_bigram_frac: float | None = 0.08,
     minhash_threshold: float | None = 0.8,
+    minhash_max_bucket_rows: int | None = None,
     quality_model: NBModel | None = None,
     keep_label: str | None = None,
     min_margin: float = 0.0,
@@ -125,7 +126,11 @@ def web_curation_pipeline(
 
     if minhash_threshold is not None:
         ds = minhash_lsh_dedup(
-            ds, text_col, key_col, threshold=minhash_threshold
+            ds,
+            text_col,
+            key_col,
+            threshold=minhash_threshold,
+            max_bucket_rows=minhash_max_bucket_rows,
         )
         _mark("after_minhash")
 

@@ -435,14 +435,29 @@ def _bucket_pair_count(
 
 
 def _driver_candidate_pairs(
-    bdf: pd.DataFrame, id_col: str, hash_col: str
+    bdf: pd.DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_bucket_rows: int | None = None,
 ) -> pd.DataFrame:
     """Small-input fast path: the SAME distinct candidate-pair set as
     ``drop_singleton_buckets`` + ``lsh_candidate_pairs``, computed in
     one vectorized pass over a driver-collected band-row frame (skinny
     rows only — the payload still never leaves the cluster). Sorting
     groups the buckets; only non-singleton buckets (duplicate-bounded)
-    enter the Python loop."""
+    enter the Python loop.
+
+    ``max_bucket_rows``: optional spurious-mega-bucket cap — an LSH
+    bucket with more distinct keys than this is SKIPPED (no pairs).
+    Pair volume per bucket is C(m, 2): on low-shingle-diversity content
+    (template farms, SEO spam) a single band value can collide across
+    10^4+ genuinely-dissimilar documents, and expanding it is quadratic
+    work that verification then rejects wholesale (measured: 7,819-row
+    max bucket, 152.8M candidates, 0 surviving a 0.8 threshold at 60k
+    pages). A true near-dup clique that large is reachable from its
+    members' OTHER band collisions, so the recall loss is confined to
+    buckets that are overwhelmingly false-positive. Default ``None``
+    preserves exact expansion."""
     ids = bdf[id_col].to_numpy()
     hs = bdf[hash_col].to_numpy()
     keys = bdf["key"].to_numpy()
@@ -461,6 +476,8 @@ def _driver_candidate_pairs(
         m = len(ks)
         if m < 2:
             continue
+        if max_bucket_rows is not None and m > max_bucket_rows:
+            continue  # spurious mega-bucket: see docstring
         ii, jj = np.triu_indices(m, k=1)
         out_a.append(ks[ii])
         out_b.append(ks[jj])
@@ -639,9 +656,11 @@ def lsh_candidate_pairs_bucketed(
     id_col: str,
     hash_col: str,
     target_rows_per_bucket: int = 2_000_000,
+    max_bucket_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Band rows → distinct candidate pairs via ONE coarse-bucket
-    exchange + a vectorized per-bucket kernel.
+    exchange + a vectorized per-bucket kernel. ``max_bucket_rows``
+    skips spurious mega-buckets (see ``_driver_candidate_pairs``).
 
     Replaces the ``drop_singleton_buckets`` + ``lsh_candidate_pairs``
     composition for hash-banded LSH (64-bit band hashes): both of those
@@ -679,7 +698,9 @@ def lsh_candidate_pairs_bucketed(
                 "key": _concat(group["key"]).to_numpy(zero_copy_only=False),
             }
         )
-        pairs = _driver_candidate_pairs(pdf, id_col, hash_col)
+        pairs = _driver_candidate_pairs(
+            pdf, id_col, hash_col, max_bucket_rows=max_bucket_rows
+        )
         key_type = group.schema.field("key").type
         return pa.table(
             {
@@ -996,6 +1017,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     components: str = "auto",
     verify: str = "auto",
+    max_bucket_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup removal: keep one representative (min key) per MinHash
     cluster at estimated Jaccard ≥ ``threshold``.
@@ -1024,6 +1046,7 @@ def minhash_lsh_dedup(
         shingle_k=shingle_k,
         threshold=threshold,
         verify=verify,
+        max_bucket_rows=max_bucket_rows,
     )
     drop = resolve_drop_keys(verified, components=components)
     return drop_keys_filter(ds, key_col, drop)
@@ -1086,6 +1109,7 @@ def _minhash_verified_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     verify: str = "auto",
+    max_bucket_rows: int | None = None,
 ):
     """The shared shingle→minhash→band→candidates→verify front half of
     ``minhash_lsh_dedup`` / ``minhash_clusters`` — returns the verified
@@ -1111,7 +1135,9 @@ def _minhash_verified_pairs(
     ).materialize()
     if band_rows.count() <= SMALL_INPUT_BAND_ROWS:
         bdf = band_rows.to_pandas()
-        candidates = _driver_candidate_pairs(bdf, "band_id", "band_hash")
+        candidates = _driver_candidate_pairs(
+            bdf, "band_id", "band_hash", max_bucket_rows=max_bucket_rows
+        )
         sig_rows = bdf[bdf["sig"].notna()]
         sigs = pd.DataFrame(
             {
@@ -1121,7 +1147,9 @@ def _minhash_verified_pairs(
         )
     else:
         skinny = band_rows.select_columns(["key", "band_id", "band_hash"])
-        candidates = lsh_candidate_pairs_bucketed(skinny, "band_id", "band_hash")
+        candidates = lsh_candidate_pairs_bucketed(
+            skinny, "band_id", "band_hash", max_bucket_rows=max_bucket_rows
+        )
 
         def _unpack_sigs(t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_valid(t["sig"]))

@@ -289,3 +289,31 @@ def test_broadcast_verify_auto_selection_and_contract(ray_session):
             sig_fn=None, score_fn=None, threshold=0.7,
             verify="broadcast", sigs=sig_pdf,
         )
+
+
+def test_max_bucket_rows_cap(ray_session):
+    """The spurious-mega-bucket cap: buckets with more distinct keys
+    than the cap contribute no pairs; cap=None is exact expansion;
+    real near-dups colliding in small buckets still dedup."""
+    from ocr_dataset_builder_ray.stages.dedup import (
+        _driver_candidate_pairs,
+    )
+
+    # one 5-key bucket + one 2-key bucket
+    bdf = pd.DataFrame(
+        {
+            "band_id": [0] * 5 + [1] * 2,
+            "band_hash": [10] * 5 + [20] * 2,
+            "key": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    exact = _driver_candidate_pairs(bdf, "band_id", "band_hash")
+    assert len(exact) == 10 + 1  # C(5,2) + C(2,2)
+    capped = _driver_candidate_pairs(
+        bdf, "band_id", "band_hash", max_bucket_rows=4
+    )
+    assert set(zip(capped["a"], capped["b"])) == {(6, 7)}
+    uncapped = _driver_candidate_pairs(
+        bdf, "band_id", "band_hash", max_bucket_rows=5
+    )
+    assert len(uncapped) == 11
