@@ -210,17 +210,84 @@ def drop_keys_filter(
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-def _distinct_pairs(pairs_ds: ray.data.Dataset) -> ray.data.Dataset:
+# second pair-mix prime (murmur3 fmix64 constant) so both pair keys go
+# through a multiply before the bucket cut — b alone XORed in leaves the
+# top 32 bits unmixed for small ints
+_MIX_PRIME2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+# below this many raw pair rows the native aggregate is fine (and its
+# per-row cost is irrelevant); above it the group-per-pair cardinality
+# dominates and the coarse-bucket distinct takes over
+_DISTINCT_PAIRS_NATIVE_LIMIT = 2_000_000
+
+
+def _distinct_pairs(
+    pairs_ds: ray.data.Dataset,
+    target_rows_per_bucket: int = 4_000_000,
+) -> ray.data.Dataset:
     """One row per (a, b) — removes the multi-band repeats before any
-    per-pair work. Native count aggregate (vectorized; a per-group
-    ``map_groups`` here pays per-PAIR Python overhead), skinny shuffle
-    over candidate pairs only."""
+    per-pair work, skinny shuffle over candidate pairs only.
+
+    Large integer-keyed pair streams take ONE coarse-bucket exchange
+    (``mix(a, b) % n_buckets``, ~``target_rows_per_bucket`` rows per
+    group — equal pairs share a bucket by construction, and the mix
+    key is skew-free even when one hot ``a`` dominates) + a vectorized
+    per-group lexsort/mask distinct. A native ``groupby(["a", "b"])``
+    aggregate here creates one Ray group PER DISTINCT PAIR, and at
+    spurious-candidate cardinalities the grouping machinery — not the
+    arithmetic — is the cost (measured on the e2e corpus at 20k pages:
+    169.5 s for the native aggregate over 16.8M raw pairs vs 7.0 s for
+    the entire bucketed expansion that produced them — the
+    span-dedup/top-tokens group-count lesson once more). Small or
+    non-integer-keyed inputs keep the native aggregate: correct at any
+    key type, and cheap below ``_DISTINCT_PAIRS_NATIVE_LIMIT`` rows.
+    """
     from ray.data.aggregate import Count
 
+    def _native(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            ds.groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+
+    pairs_ds = pairs_ds.materialize()  # schema + count without re-execution
+    n = pairs_ds.count()
+    if n <= _DISTINCT_PAIRS_NATIVE_LIMIT:
+        return _native(pairs_ds)
+    schema = pairs_ds.schema()
+    a_type = schema.types[schema.names.index("a")]
+    b_type = schema.types[schema.names.index("b")]
+    if not (pa.types.is_integer(a_type) and pa.types.is_integer(b_type)):
+        return _native(pairs_ds)
+    n_buckets = max(32, int(n // target_rows_per_bucket) + 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        a = _concat(t["a"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = _concat(t["b"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (a + np.uint64(1)) * _MIX_PRIME ^ (b + np.uint64(1)) * _MIX_PRIME2
+        cb = (mix >> np.uint64(32)) % np.uint64(n_buckets)
+        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+
+    def _dedup(group: pa.Table) -> pa.Table:
+        a = _concat(group["a"]).to_numpy(zero_copy_only=False)
+        b = _concat(group["b"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=a_type),
+                "b": pa.array(b[keep], type=b_type),
+            }
+        )
+
     return (
-        pairs_ds.groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+        pairs_ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_dedup, batch_format="pyarrow")
     )
 
 

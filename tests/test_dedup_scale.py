@@ -317,3 +317,51 @@ def test_max_bucket_rows_cap(ray_session):
         bdf, "band_id", "band_hash", max_bucket_rows=5
     )
     assert len(uncapped) == 11
+
+
+def test_distinct_pairs_bucketed_equals_native(ray_session, monkeypatch):
+    """The coarse-bucket distinct (large integer-keyed pair streams)
+    returns exactly the native aggregate's pair set — including
+    negative keys — and actually deduplicates."""
+    import pyarrow as pa
+    import ray
+
+    import ocr_dataset_builder_ray.stages.dedup as dd
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(-1000, 1000, size=20_000)
+    b = a + rng.integers(1, 50, size=20_000)  # a < b, heavy duplication
+    tbl = pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    native = dd._distinct_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    monkeypatch.setattr(dd, "_DISTINCT_PAIRS_NATIVE_LIMIT", 10)
+    bucketed = dd._distinct_pairs(
+        ray.data.from_arrow(tbl), target_rows_per_bucket=3_000
+    ).to_pandas()
+
+    def pairset(df):
+        return sorted(zip(df["a"].astype(int), df["b"].astype(int)))
+
+    assert pairset(native) == pairset(bucketed)
+    assert len(bucketed) == len({(x, y) for x, y in zip(a, b)})
+    # schema/type preserved through the bucketed path
+    assert bucketed["a"].dtype == native["a"].dtype
+
+
+def test_distinct_pairs_string_keys_fall_back(ray_session, monkeypatch):
+    """Non-integer pair keys keep the native aggregate even past the
+    size limit (the bucket mix is integer-only)."""
+    import pyarrow as pa
+    import ray
+
+    import ocr_dataset_builder_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "_DISTINCT_PAIRS_NATIVE_LIMIT", 1)
+    tbl = pa.table(
+        {
+            "a": pa.array(["d1", "d1", "d2", "d2", "d1"]),
+            "b": pa.array(["d2", "d2", "d9", "d9", "d2"]),
+        }
+    )
+    out = dd._distinct_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    assert sorted(zip(out["a"], out["b"])) == [("d1", "d2"), ("d2", "d9")]
