@@ -251,7 +251,13 @@ def _distinct_pairs(
             .drop_columns(["_n"])
         )
 
-    pairs_ds = pairs_ds.materialize()  # schema + count without re-execution
+    # materialize once: count sizes the bucket exchange, and schema()
+    # on the lazy plan would execute a block that the groupby then
+    # re-executes. Cost: the raw pair stream (16 B/row) is pinned in
+    # the object store until the distinct output lands — one extra
+    # skinny copy vs the native aggregate's internal exchange, spilled
+    # by Ray if it outgrows memory.
+    pairs_ds = pairs_ds.materialize()
     n = pairs_ds.count()
     if n <= _DISTINCT_PAIRS_NATIVE_LIMIT:
         return _native(pairs_ds)
@@ -550,9 +556,17 @@ def _driver_candidate_pairs(
         out_b.append(ks[jj])
     if not out_a:
         return pd.DataFrame({"a": keys[:0], "b": keys[:0]})
-    return pd.DataFrame(
-        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-    ).drop_duplicates(ignore_index=True)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    # vectorized distinct (cross-bucket repeats of the same pair):
+    # pandas drop_duplicates hashes single-threaded and costs multiples
+    # of the expansion itself on mega-bucket outputs
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
 
 # --- exact dedup -----------------------------------------------------------
