@@ -65,16 +65,70 @@ def crawl_delta(
     num_partitions = _auto_partitions(num_partitions)
 
     def _skinny(ds: ray.data.Dataset, out: str) -> ray.data.Dataset:
-        skinny = ds.select_columns([key_col, hash_col])
-        # min() is the "first hash per key" reducer: one value per key
-        # in the deduped case, deterministic tie-break otherwise
-        return (
-            skinny.groupby(key_col)
-            .min(hash_col)
-            .map_batches(
+        # "min hash per key" reducer: one value per key in the deduped
+        # case, deterministic tie-break otherwise. A native
+        # groupby(key).min() makes one Ray group PER URL — the
+        # group-per-row cardinality wall (measured on the candidate-pair
+        # distinct: the grouping machinery, not the arithmetic, is the
+        # cost past ~10M groups) — so this is the same coarse-bucket
+        # exchange + vectorized per-bucket reduce as exact_dedup /
+        # _distinct_pairs: equal keys share a bucket by construction,
+        # ~2M rows per group, nothing key-shaped on the driver.
+        import numpy as np
+
+        from ..functions.hashing import stable_hash64_array
+
+        skinny = ds.select_columns([key_col, hash_col]).materialize()
+        n = skinny.count()
+        if n == 0:
+            return skinny.map_batches(
                 lambda t, _out=out: t.rename_columns([key_col, _out]),
                 batch_format="pyarrow",
             )
+        n_buckets = max(8, int(n // 2_000_000) + 1)
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            # type resolved per batch: schema().types is not pyarrow
+            # for pandas-block datasets
+            if pa.types.is_integer(t.schema.field(key_col).type):
+                kh = (
+                    t[key_col]
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                kh = (kh + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+            else:
+                kh = stable_hash64_array(
+                    np.asarray(t[key_col].to_pylist(), dtype=object)
+                )
+            cb = (kh >> np.uint64(32)) % np.uint64(n_buckets)
+            return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+
+        def _first(group: pa.Table) -> pa.Table:
+            k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+            h = group[hash_col].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.lexsort((h, k))  # key primary, hash secondary
+            k, h = k[order], h[order]
+            keep = np.ones(len(k), dtype=bool)
+            if len(k) > 1:
+                keep[1:] = k[1:] != k[:-1]
+            return pa.table(
+                {
+                    key_col: pa.array(
+                        k[keep], type=group.schema.field(key_col).type
+                    ),
+                    out: pa.array(
+                        h[keep],
+                        type=group.schema.field(hash_col).type,
+                    ),
+                }
+            )
+
+        return (
+            skinny.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("__cb")
+            .map_groups(_first, batch_format="pyarrow")
         )
 
     joined = hash_join(
