@@ -2079,6 +2079,121 @@ def run_curation_solo() -> dict:
     }
 
 
+def run_partitioned_inner() -> dict:
+    """One fresh-process partitioned-extraction run (seq or concurrent).
+
+    Env: GRAFT_PART_WORKERS (max_concurrent_partitions),
+    GRAFT_PART_PAGES, GRAFT_PART_NPARTS, RAY_GRAFT_CPUS.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    workers = int(os.environ.get("GRAFT_PART_WORKERS", "1"))
+    n_pages = int(os.environ.get("GRAFT_PART_PAGES", "60000"))
+    n_parts = int(os.environ.get("GRAFT_PART_NPARTS", "16"))
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ray.data.aggregate import Sum
+
+    from ocr_dataset_builder_ray.pipelines.extraction import (
+        read_extracted,
+        run_partitioned_extraction,
+    )
+    from ocr_dataset_builder_ray.sources.pages import generate_pages_corpus
+
+    corpus = generate_pages_corpus(
+        "/tmp/graft_part_corpus", n_rows=n_pages, rows_per_file=max(1, n_pages // 16)
+    )
+    out = f"/tmp/graft_part_out_w{workers}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    run_partitioned_extraction(
+        corpus, out, num_partitions=n_parts, max_concurrent_partitions=workers
+    )
+    wall = time.monotonic() - t0
+
+    def _hash_rows(t: pa.Table) -> pa.Table:
+        mix = pc.bit_wise_xor(t["url_hash"], t["content_hash64"])
+        part = pc.cast(
+            pc.bit_wise_and(mix, pa.scalar(2**31 - 1, pa.uint64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "rows_part": pa.array([t.num_rows], type=pa.int64()),
+                "h": pa.array([int(pc.sum(part).as_py() or 0)], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        read_extracted(out)
+        .map_batches(_hash_rows, batch_format="pyarrow")
+        .aggregate(Sum("rows_part", alias_name="rows"), Sum("h", alias_name="checksum"))
+    )
+    ray.shutdown()
+    shutil.rmtree(out, ignore_errors=True)
+    return {
+        "workers": workers,
+        "wall_s": round(wall, 1),
+        "rows": int(agg["rows"]),
+        "checksum": int(agg["checksum"]),
+    }
+
+
+def run_partitioned_bench() -> dict:
+    """Sequential vs concurrent partition pipelines, fresh process each.
+
+    Many-small-partitions regime (the resumable runner's worst case:
+    per-pipeline startup dominates when each partition is seconds of
+    work). Asserts the output checksum is identical across modes.
+    """
+    results = {}
+    for workers in (1, 4, 8):
+        env = dict(os.environ, GRAFT_PART_WORKERS=str(workers))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--partitions-inner"],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"partitioned run (workers={workers}) failed "
+                f"(exit {proc.returncode}):\n" + proc.stderr[-4000:]
+            )
+        results[f"w{workers}"] = json.loads(proc.stdout.strip().splitlines()[-1])
+    checksums = {r["checksum"] for r in results.values()}
+    rows = {r["rows"] for r in results.values()}
+    assert len(checksums) == 1 and len(rows) == 1, (results, "output differs!")
+    best = min(results.values(), key=lambda r: r["wall_s"])
+    return {
+        "metric": "partitioned extraction, sequential vs concurrent pipelines",
+        "value": best["wall_s"],
+        "unit": "sec",
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        "n_pages": int(os.environ.get("GRAFT_PART_PAGES", "60000")),
+        "n_partitions": int(os.environ.get("GRAFT_PART_NPARTS", "16")),
+        "speedup_vs_sequential": round(
+            results["w1"]["wall_s"] / best["wall_s"], 2
+        ),
+        "checksum": best["checksum"],
+        "runs": results,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -2098,6 +2213,10 @@ if __name__ == "__main__":
         print(json.dumps(run_e2e_driver()))
     elif "--e2e" in sys.argv:
         print(json.dumps(run_e2e_bench()))
+    elif "--partitions-inner" in sys.argv:
+        print(json.dumps(run_partitioned_inner()))
+    elif "--partitions" in sys.argv:
+        print(json.dumps(run_partitioned_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:

@@ -60,6 +60,7 @@ def _cmd_extract(args: argparse.Namespace) -> int:
         plan_ranges=args.plan_ranges,
         partition_range=partition_range,
         batch_size=args.batch_size,
+        max_concurrent_partitions=args.concurrent_partitions,
     )
     print(json.dumps(summary))
     return 0
@@ -478,6 +479,14 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="url-hash ranges for winner planning (bounds driver memory "
         "at huge url counts)",
+    )
+    e.add_argument(
+        "--concurrent-partitions",
+        type=int,
+        default=1,
+        help="run up to N partition pipelines at once (amortizes "
+        "per-pipeline startup when partitions are small; output "
+        "identical to the sequential run)",
     )
     e.add_argument(
         "--part-start", type=int, default=None,

@@ -568,6 +568,41 @@ def extract_from_warc(
 # ---------------------------------------------------------------------------
 
 
+def _stabilize_lazy_imports() -> None:
+    """Settle Ray Data's lazy fsspec-http probe before driving Dataset
+    executions from multiple driver threads.
+
+    ``ray.data``'s path resolution runs ``from
+    fsspec.implementations.http import HTTPFileSystem`` on every
+    read/write plan and catches only ``ModuleNotFoundError``
+    (``ray/data/datasource/path_util.py::_is_http_filesystem``). With
+    aiohttp absent that import fails every call (failed imports are
+    not cached in ``sys.modules``), and two threads racing the import
+    can observe a partially initialized module — a plain
+    ``ImportError`` that escapes Ray's except clause and kills one
+    pipeline (reproduced at 4 CPUs, 2 concurrent partitions). Pin a
+    minimal stub whose class never matches an ``isinstance`` check so
+    the import succeeds once and caches; no-op when the real module
+    imports.
+    """
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        import fsspec.implementations
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel: matches no real filesystem
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        fsspec.implementations.http = mod
+
+
 def run_partitioned_extraction(
     input_paths: str | list[str],
     out_dir: str,
@@ -580,6 +615,7 @@ def run_partitioned_extraction(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = 512,
     size_split: bool | str = "auto",
+    max_concurrent_partitions: int = 1,
     on_partition_done=None,
 ) -> dict:
     """Extraction with per-partition manifests; resumable after a kill.
@@ -608,7 +644,20 @@ def run_partitioned_extraction(
     disjoint ranges against the same out dir; the shared manifest keeps
     the union resumable.
 
-    ``on_partition_done(pid)`` is a test hook (kill/resume injection).
+    ``max_concurrent_partitions``: partitions run sequentially by
+    default (one streaming pipeline at a time, the whole cluster per
+    partition). When partitions are small relative to the cluster —
+    many shards, each seconds of work — per-pipeline startup dominates
+    and a bounded thread pool running N partition pipelines at once
+    amortizes it (each pipeline gets ~1/N of the default actor budget;
+    an explicit ``concurrency`` is passed through unchanged). Safe by
+    construction: partitions touch disjoint ``part={pid}/`` dirs and
+    per-pid manifest rows (atomic rename each), so the completed set
+    stays resumable whichever thread finishes first. Output is
+    byte-identical to the sequential run.
+
+    ``on_partition_done(pid)`` is a test hook (kill/resume injection);
+    in concurrent mode it fires in completion order.
     """
     if isinstance(input_paths, str):
         files = sorted(glob.glob(os.path.join(input_paths, "*.parquet")))
@@ -624,20 +673,77 @@ def run_partitioned_extraction(
         lo, hi = partition_range
         todo = [p for p in todo if lo <= p < hi]
 
-    for pid in todo:
-        _run_one_partition(
-            manifest,
-            pid,
-            parts[pid],
-            out_dir,
-            dedup=dedup,
-            concurrency=concurrency,
-            batch_size=batch_size,
-            size_split=size_split,
-            plan_ranges=plan_ranges,
-        )
-        if on_partition_done is not None:
-            on_partition_done(pid)
+    workers = min(max(1, int(max_concurrent_partitions)), max(1, len(todo)))
+    if workers <= 1:
+        for pid in todo:
+            _run_one_partition(
+                manifest,
+                pid,
+                parts[pid],
+                out_dir,
+                dedup=dedup,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                size_split=size_split,
+                plan_ranges=plan_ranges,
+            )
+            if on_partition_done is not None:
+                on_partition_done(pid)
+    else:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        _stabilize_lazy_imports()
+        part_concurrency = concurrency
+        if part_concurrency is None:
+            # split the default actor budget across the concurrent
+            # pipelines so W partitions don't each reserve the node
+            cpus = _cpus()
+            pool = max(1, cpus - max(1, cpus // 8))
+            part_concurrency = max(1, pool // workers)
+        # first failure (of a partition or the done-hook) stops new
+        # partitions from starting; in-flight ones finish and stay
+        # committed (at-least-once — a resume skips them). A stop
+        # flag instead of future cancellation: every submitted task
+        # resolves by running or returning immediately, so there is
+        # no cancel-vs-dequeue race to reason about.
+        stop = threading.Event()
+        hook_lock = threading.Lock()
+        errors: list[Exception] = []
+
+        def _task(pid: int) -> None:
+            if stop.is_set():
+                return
+            try:
+                _run_one_partition(
+                    manifest,
+                    pid,
+                    parts[pid],
+                    out_dir,
+                    dedup=dedup,
+                    concurrency=part_concurrency,
+                    batch_size=batch_size,
+                    size_split=size_split,
+                    plan_ranges=plan_ranges,
+                )
+            except Exception as e:
+                errors.append(e)
+                stop.set()
+                return
+            if on_partition_done is not None:
+                with hook_lock:  # hooks observe one completion at a time
+                    if stop.is_set():
+                        return
+                    try:
+                        on_partition_done(pid)
+                    except Exception as e:
+                        errors.append(e)
+                        stop.set()
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_task, todo))
+        if errors:
+            raise errors[0]
 
     if global_dedup:
         gsum = global_dedup_pass(out_dir, plan_ranges=plan_ranges or 1)

@@ -63,6 +63,50 @@ def test_kill_after_3_resume_runs_remaining_5(ray_session, pages_corpus, tmp_pat
     assert _sorted_rows(out_a) == _sorted_rows(out_b)
 
 
+def test_concurrent_partitions_match_sequential(ray_session, pages_corpus, tmp_path):
+    seq = str(tmp_path / "seq")
+    con = str(tmp_path / "con")
+    s1 = run_partitioned_extraction(pages_corpus, seq, num_partitions=6)
+    s2 = run_partitioned_extraction(
+        pages_corpus, con, num_partitions=6, max_concurrent_partitions=3
+    )
+    assert s1["ran_partitions"] == s2["ran_partitions"] == 6
+    assert _sorted_rows(seq) == _sorted_rows(con)
+    # the concurrent run's manifest is complete and a rerun is a no-op
+    s3 = run_partitioned_extraction(
+        pages_corpus, con, num_partitions=6, max_concurrent_partitions=3
+    )
+    assert s3["ran_partitions"] == 0 and s3["skipped_partitions"] == 6
+
+
+def test_concurrent_failure_keeps_completed_partitions(
+    ray_session, pages_corpus, tmp_path
+):
+    out = str(tmp_path / "failing")
+    done: list[int] = []
+
+    def killer(pid):
+        done.append(pid)
+        if len(done) == 2:
+            raise _KillAfter(pid)
+
+    with pytest.raises(_KillAfter):
+        run_partitioned_extraction(
+            pages_corpus,
+            out,
+            num_partitions=6,
+            max_concurrent_partitions=2,
+            on_partition_done=killer,
+        )
+    committed = len(RunManifest(out).completed())
+    assert committed >= 2  # everything that finished stayed committed
+    s = run_partitioned_extraction(pages_corpus, out, num_partitions=6)
+    assert s["ran_partitions"] == 6 - committed
+    ref = str(tmp_path / "ref")
+    run_partitioned_extraction(pages_corpus, ref, num_partitions=6)
+    assert _sorted_rows(out) == _sorted_rows(ref)
+
+
 def test_noop_rerun_skips_everything(ray_session, pages_corpus, tmp_path):
     out = str(tmp_path / "run")
     s1 = run_partitioned_extraction(pages_corpus, out, num_partitions=4)
