@@ -1186,6 +1186,11 @@ def run_e2e_driver() -> dict:
         pages_dir,
         extract_dir,
         num_partitions=n_parts,
+        # at 60k pages each partition is seconds of work, so pipeline
+        # startup dominates a sequential sweep — run a few at once
+        max_concurrent_partitions=int(
+            os.environ.get("GRAFT_E2E_EXTRACT_WORKERS", "4")
+        ),
         on_partition_done=lambda pid: print(
             f"PARTITION_DONE {pid}", flush=True
         ),
