@@ -19,8 +19,8 @@ Scale invariants (10^12-doc design):
 - the only things that ever reach the driver / broadcast path are
   *duplicate-proportional*: verified pairs, candidate keys, and the
   final drop-set. Keys that collide with nothing cost nothing — there
-  is no all-keys materialization anywhere in this module (the
-  singleton-bucket count filter runs distributed before collection);
+  is no all-keys materialization anywhere in this module (singleton
+  buckets cost one sort comparison inside a coarse bucket);
 - survivors are produced by FILTERING the input dataset with a
   broadcast drop-set (``pc.is_in`` + invert), so the document payload
   never crosses an all-to-all;
@@ -219,6 +219,11 @@ _MIX_PRIME2 = np.uint64(0xC2B2AE3D27D4EB4F)
 # per-row cost is irrelevant); above it the group-per-pair cardinality
 # dominates and the coarse-bucket distinct takes over
 _DISTINCT_PAIRS_NATIVE_LIMIT = 2_000_000
+
+# rows per coarse verify bucket in simhash_dedup's distributed plan —
+# small enough that ~2x the CPU count of groups exist at the crossover
+# input size, large enough that per-group fixed cost stays noise
+_SIMHASH_COARSE_TARGET = 500_000
 
 
 def _distinct_pairs(
@@ -433,56 +438,6 @@ def _bucket_mix(id_arr, hash_arr) -> np.ndarray:
     )
 
 
-def drop_singleton_buckets(
-    band_rows: ray.data.Dataset, id_col: str, hash_col: str, key_col: str = "key"
-) -> ray.data.Dataset:
-    """Pre-filter LSH band rows to buckets holding ≥ 2 rows.
-
-    The pair-generating ``groupby().map_groups`` pays a per-group
-    invocation cost; with realistic duplicate rates the vast majority
-    of buckets are singletons that can emit nothing. A native count
-    aggregate (vectorized, no per-group Python) finds the non-singleton
-    buckets; their composite keys are broadcast (proportional to
-    COLLIDING buckets, i.e. duplicate-bounded) and the band rows are
-    filtered before the expensive grouped pass — measured 4-6x on the
-    20k-doc near-dup bench.
-    """
-    # band rows are consumed twice (count aggregate + filter) and the
-    # survivors twice more downstream (bucket stats + big-bucket
-    # expansion) — materialize the SKINNY rows once instead of
-    # re-running the signature kernel per consumer (Ray datasets are
-    # lazy; the recompute doubled the whole operator's wall time)
-    band_rows = band_rows.materialize()
-    counts = band_rows.groupby([id_col, hash_col]).count()
-
-    # filter to n>=2 DISTRIBUTED before anything reaches the driver:
-    # distinct buckets are O(corpus × bands) for a mostly-singleton
-    # corpus, so collecting the full count table would be the one
-    # corpus-proportional driver materialization in this module
-    # (ADVICE r2 medium); only COLLIDING buckets — duplicate-bounded —
-    # are collected and broadcast. The count column ("count()") is
-    # located from the batch itself so no driver-side schema() pass
-    # (which would execute the groupby a second time) is needed.
-    def _colliding(t: pa.Table) -> pa.Table:
-        ccol = [c for c in t.column_names if c not in (id_col, hash_col)][0]
-        return t.filter(pc.greater_equal(t[ccol], 2)).select([id_col, hash_col])
-
-    hot = counts.map_batches(_colliding, batch_format="pyarrow").to_pandas()
-    if hot.empty or id_col not in hot.columns:  # no colliding buckets
-        return band_rows.limit(0)
-    hot_mix = pa.array(_bucket_mix(hot[id_col].to_numpy(), hot[hash_col].to_numpy()))
-    hot_ref = ray.put(hot_mix)
-
-    def _filter(t: pa.Table) -> pa.Table:
-        mix = _bucket_mix(
-            _concat(t[id_col]).to_numpy(zero_copy_only=False),
-            _concat(t[hash_col]).to_numpy(zero_copy_only=False),
-        )
-        return t.filter(pc.is_in(pa.array(mix), value_set=ray.get(hot_ref)))
-
-    return band_rows.map_batches(_filter, batch_format="pyarrow").materialize()
-
-
 def _bucket_pair_count(
     bdf: pd.DataFrame, id_col: str, hash_col: str
 ) -> int:
@@ -514,7 +469,7 @@ def _driver_candidate_pairs(
     max_bucket_rows: int | None = None,
 ) -> pd.DataFrame:
     """Small-input fast path: the SAME distinct candidate-pair set as
-    ``drop_singleton_buckets`` + ``lsh_candidate_pairs``, computed in
+    ``lsh_candidate_pairs_bucketed``, computed in
     one vectorized pass over a driver-collected band-row frame (skinny
     rows only — the payload still never leaves the cluster). Sorting
     groups the buckets; only non-singleton buckets (duplicate-bounded)
@@ -667,71 +622,6 @@ def exact_dedup(
 # --- minhash + LSH ---------------------------------------------------------
 
 
-def lsh_candidate_pairs(
-    band_rows: ray.data.Dataset, id_col: str, hash_col: str
-) -> ray.data.Dataset:
-    """Band rows ``(key, id_col, hash_col)`` → distinct candidate pairs
-    ``(a, b)``, a < b — with NO per-group Python for the dominant case.
-
-    At realistic duplicate rates almost every colliding bucket holds
-    exactly 2 rows (a doc and its near-dup, once per matching band);
-    routing those through ``groupby().map_groups`` pays a per-group
-    invocation cost ~1000× the actual work (measured: 400k two-row
-    buckets ≈ 100 s). Instead ONE native aggregate computes
-    ``(min(key), max(key), count)`` per bucket — fully vectorized —
-    and yields the pair directly for 2-row buckets; only buckets with
-    ≥ 3 rows (exact-dup cliques and rare collisions, duplicate-bounded)
-    go through the grouped pair expansion. Identical pair set.
-    """
-    from ray.data.aggregate import Count, Max, Min
-
-    stats = band_rows.groupby([id_col, hash_col]).aggregate(
-        Min("key", alias_name="a"), Max("key", alias_name="b"), Count(alias_name="n")
-    )
-    stats = stats.materialize()
-
-    def _two_row(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.equal(t["n"], 2), pc.not_equal(t["a"], t["b"]))
-        return t.filter(keep).select(["a", "b"])
-
-    small_pairs = stats.map_batches(_two_row, batch_format="pyarrow")
-
-    big = stats.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 2)), batch_format="pyarrow"
-    )
-    big_df = big.select_columns([id_col, hash_col]).to_pandas()  # dup-bounded
-    if id_col not in big_df.columns:  # empty dataset loses its schema
-        return _distinct_pairs(small_pairs)
-    if len(big_df) == 0:
-        return _distinct_pairs(small_pairs)
-    big_mix = pa.array(
-        _bucket_mix(big_df[id_col].to_numpy(), big_df[hash_col].to_numpy())
-    )
-    big_ref = ray.put(big_mix)
-
-    def _filter_big(t: pa.Table) -> pa.Table:
-        mix = _bucket_mix(
-            _concat(t[id_col]).to_numpy(zero_copy_only=False),
-            _concat(t[hash_col]).to_numpy(zero_copy_only=False),
-        )
-        return t.filter(pc.is_in(pa.array(mix), value_set=ray.get(big_ref)))
-
-    def _expand(group: pa.Table) -> pa.Table:
-        keys = pc.unique(group["key"]).sort()
-        m = len(keys)
-        if m < 2:
-            return pa.table({"a": keys.slice(0, 0), "b": keys.slice(0, 0)})
-        ii, jj = np.triu_indices(m, k=1)
-        return pa.table({"a": keys.take(pa.array(ii)), "b": keys.take(pa.array(jj))})
-
-    big_pairs = (
-        band_rows.map_batches(_filter_big, batch_format="pyarrow")
-        .groupby([id_col, hash_col])
-        .map_groups(_expand, batch_format="pyarrow")
-    )
-    return _distinct_pairs(small_pairs.union(big_pairs))
-
-
 def lsh_candidate_pairs_bucketed(
     band_rows: ray.data.Dataset,
     id_col: str,
@@ -743,9 +633,9 @@ def lsh_candidate_pairs_bucketed(
     exchange + a vectorized per-bucket kernel. ``max_bucket_rows``
     skips spurious mega-buckets (see ``_driver_candidate_pairs``).
 
-    Replaces the ``drop_singleton_buckets`` + ``lsh_candidate_pairs``
+    Replaces the retired singleton-prefilter + native-aggregate
     composition for hash-banded LSH (64-bit band hashes): both of those
-    run a native aggregate whose group count is O(corpus x bands), and
+    ran a native aggregate whose group count is O(corpus x bands), and
     Ray's grouping machinery — not the arithmetic — dominates at that
     cardinality (the span-dedup/top-tokens lesson, measured three times
     now). Here the only exchange groups by ``mix(id, hash) %
@@ -757,8 +647,10 @@ def lsh_candidate_pairs_bucketed(
     the pair set is identical (cross-band pair duplicates are removed
     by the same ``_distinct_pairs``).
 
-    Simhash keeps the aggregate plan: its 16-bit band values bound the
-    group count at 4 x 65536 regardless of corpus size.
+    Simhash runs the same coarse-bucket exchange inline (its verify
+    needs the full bucket co-located, not just pairs — see
+    ``simhash_dedup``); its 16-bit band values additionally bound the
+    real-bucket count at 4 x 65536 regardless of corpus size.
     """
     n_rows = band_rows.count()
     n_buckets = max(32, int(n_rows // target_rows_per_bucket) + 1)
@@ -1107,7 +999,7 @@ def minhash_lsh_dedup(
     skinny: band rows carry (key, band_id, band_hash) plus ONE packed
     copy of the signature per document (num_perm*8 bytes, no band
     fan-out, dropped before every wide op). Candidate pairs come from
-    ``lsh_candidate_pairs`` (native aggregate for 2-row buckets, no
+    ``lsh_candidate_pairs_bucketed`` (one coarse-bucket exchange, no
     per-group Python); verification REUSES the carried signatures for
     candidate keys and scores estimated Jaccard (``_verify_candidates``,
     driver/distributed/auto) — the text is read exactly once per run;
@@ -1439,28 +1331,32 @@ def simhash_dedup(
     """Near-dup removal by 64-bit SimHash with banded candidates.
 
     By pigeonhole, two hashes within Hamming distance < ``bands`` share
-    at least one of ``bands`` 16-bit bands — groupby those band values
-    (8-byte hash per band row; no payload fan-out), verify true Hamming
-    distance in-bucket, then drop-set resolution + broadcast filter.
+    at least one of ``bands`` 16-bit bands — co-locate rows by band
+    value (8-byte hash per band row; no payload fan-out) through ONE
+    coarse-bucket exchange, verify true Hamming distance per real
+    bucket inside the coarse group, then drop-set resolution +
+    broadcast filter. Verification differs from the minhash family in
+    needing the whole bucket together (tiled XOR+popcount / recursive
+    bit-block split), so the coarse groups carry band rows, not pairs.
     """
     hashed = add_simhash(ds, text_col)
     width = 64 // bands
     mask = (1 << width) - 1
 
     def _bands(t: pa.Table) -> pa.Table:
-        keys, bids, bvals, full = [], [], [], []
-        for k, h in zip(t[key_col].to_pylist(), t["simhash"].to_pylist()):
-            for b in range(bands):
-                keys.append(k)
-                bids.append(b)
-                bvals.append((h >> (b * width)) & mask)
-                full.append(h)
+        h = _concat(t["simhash"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        bids = np.tile(np.arange(bands, dtype=np.int64), n)
+        bvals = (h[idx] >> (bids.astype(np.uint64) * np.uint64(width))) & np.uint64(
+            mask
+        )
         return pa.table(
             {
-                "key": pa.array(keys, type=t[key_col].type),
-                "band_id": pa.array(bids, type=pa.int32()),
+                "key": _concat(t[key_col]).take(pa.array(idx)),
+                "band_id": pa.array(bids.astype(np.int32)),
                 "band_val": pa.array(bvals, type=pa.uint64()),
-                "simhash": pa.array(full, type=pa.uint64()),
+                "simhash": pa.array(h[idx], type=pa.uint64()),
             }
         )
 
@@ -1473,75 +1369,97 @@ def simhash_dedup(
             [b for b in range(64) if not (lo <= b < lo + width)], dtype=np.int64
         )
 
-    def _verify(group: pa.Table) -> pa.Table:
-        # 16-bit band values are low-entropy — same-language corpora
-        # pile thousands of docs into one bucket, so the Hamming
-        # verification is vectorized AND memory-bounded: two-axis tiled
-        # XOR+popcount up to _BUCKET_PAIR_CAP rows, exact recursive
-        # bit-block splitting beyond (never an O(m) x O(m) allocation)
-        keys_arr = _concat(group["key"])
-        empty = keys_arr.slice(0, 0)
-        if group.num_rows < 2:
-            return pa.table({"a": empty, "b": empty})
-        df = (
-            pd.DataFrame(
-                {
-                    "key": keys_arr.to_pandas(),
-                    "simhash": _concat(group["simhash"]).to_pandas(),
-                }
-            )
-            .sort_values("key")
-            .drop_duplicates("key")
+    def _walk_buckets(bdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """Band frame sorted+deduped on (band_id, band_val, key) → the
+        concatenated hamming-verified pair arrays, one numpy boundary
+        walk over the real buckets (no per-bucket DataFrame). Each
+        bucket's verification is vectorized AND memory-bounded:
+        two-axis tiled XOR+popcount up to _BUCKET_PAIR_CAP rows, exact
+        recursive bit-block splitting beyond (never an O(m) x O(m)
+        allocation) — 16-bit band values are low-entropy, so
+        same-language corpora pile thousands of docs into one bucket."""
+        bid = bdf["band_id"].to_numpy()
+        bval = bdf["band_val"].to_numpy()
+        ks = bdf["key"].to_numpy()
+        hs = bdf["simhash"].to_numpy().astype(np.uint64)
+        bounds = np.flatnonzero(
+            np.r_[True, (bid[1:] != bid[:-1]) | (bval[1:] != bval[:-1]), True]
         )
-        if len(df) < 2:
-            return pa.table({"a": empty, "b": empty})
-        ks = df["key"].to_numpy()
-        hs = df["simhash"].to_numpy().astype(np.uint64)
-        band_id = int(group["band_id"][0].as_py())
-        a, b = _simhash_bucket_pairs(ks, hs, _free_bits(band_id), max_hamming)
-        return pa.table(
-            {
-                "a": pa.array(a, type=keys_arr.type),
-                "b": pa.array(b, type=keys_arr.type),
-            }
-        )
-
-    band_rows = hashed.map_batches(_bands, batch_format="pyarrow").materialize()
-
-    if band_rows.count() <= SMALL_INPUT_BAND_ROWS:
-        # small-input fast path: the distributed plan costs 3+ groupby
-        # exchanges of fixed overhead (~19 s on a 500-doc gate input);
-        # the same buckets fit one driver numpy pass
-        bdf = band_rows.to_pandas()
         out_a: list = []
         out_b: list = []
-        for (band_id, _), g in bdf.groupby(["band_id", "band_val"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("key").drop_duplicates("key")
-            if len(g) < 2:
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
                 continue
             a, b = _simhash_bucket_pairs(
-                g["key"].to_numpy(),
-                g["simhash"].to_numpy().astype(np.uint64),
-                _free_bits(int(band_id)),
-                max_hamming,
+                ks[s:e], hs[s:e], _free_bits(int(bid[s])), max_hamming
             )
             out_a.append(a)
             out_b.append(b)
-        pairs = pd.DataFrame(
-            {
-                "a": np.concatenate(out_a) if out_a else bdf["key"].to_numpy()[:0],
-                "b": np.concatenate(out_b) if out_b else bdf["key"].to_numpy()[:0],
-            }
+        if not out_a:
+            return ks[:0], ks[:0]
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def _sorted_bands(bdf: pd.DataFrame) -> pd.DataFrame:
+        return bdf.sort_values(["band_id", "band_val", "key"]).drop_duplicates(
+            ["band_id", "band_val", "key"]
         )
-        drop = resolve_drop_keys(pairs, components=components)
+
+    band_rows = hashed.map_batches(_bands, batch_format="pyarrow").materialize()
+    n_rows = band_rows.count()
+
+    if n_rows <= SMALL_INPUT_BAND_ROWS:
+        # small-input fast path: the distributed plan costs groupby
+        # exchanges of fixed overhead (~19 s on a 500-doc gate input);
+        # the same buckets fit one driver numpy pass
+        a, b = _walk_buckets(_sorted_bands(band_rows.to_pandas()))
+        drop = resolve_drop_keys(
+            pd.DataFrame({"a": a, "b": b}), components=components
+        )
         return drop_keys_filter(ds, key_col, drop)
 
+    # distributed: ONE coarse-bucket exchange — mix(band_id, band_val)
+    # keeps every real bucket intact inside one coarse group, where the
+    # same sorted boundary walk as the driver path runs per group. The
+    # previous native groupby([band_id, band_val]).map_groups plan paid
+    # Ray's per-group machinery + a per-bucket pandas frame over up to
+    # bands x 2^16 groups (group count bounded by the band space, but
+    # 12.9 s of the 18 s total at 100k docs was that exchange); the
+    # coarse plan keeps the boundedness and drops the per-group cost —
+    # singleton buckets cost one sort comparison each.
+    n_buckets = max(64, int(n_rows // _SIMHASH_COARSE_TARGET) + 1)
+
+    def _cb(t: pa.Table) -> pa.Table:
+        mix = _bucket_mix(
+            _concat(t["band_id"]).to_numpy(zero_copy_only=False),
+            _concat(t["band_val"]).to_numpy(zero_copy_only=False),
+        )
+        b = (mix >> np.uint64(32)) % np.uint64(n_buckets)
+        return t.append_column("__cb", pa.array(b.astype(np.int32)))
+
+    def _coarse_verify(group: pa.Table) -> pa.Table:
+        key_type = group.schema.field("key").type
+        bdf = _sorted_bands(
+            pd.DataFrame(
+                {
+                    "band_id": _concat(group["band_id"]).to_numpy(),
+                    "band_val": _concat(group["band_val"]).to_numpy(),
+                    "key": _concat(group["key"]).to_numpy(zero_copy_only=False),
+                    "simhash": _concat(group["simhash"]).to_numpy(),
+                }
+            )
+        )
+        a, b = _walk_buckets(bdf)
+        return pa.table(
+            {
+                "a": pa.array(a, type=key_type),
+                "b": pa.array(b, type=key_type),
+            }
+        )
+
     pairs_ds = (
-        drop_singleton_buckets(band_rows, "band_id", "band_val")
-        .groupby(["band_id", "band_val"])
-        .map_groups(_verify, batch_format="pyarrow")
+        band_rows.map_batches(_cb, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_coarse_verify, batch_format="pyarrow")
     )
     drop = resolve_drop_keys(pairs_ds, components=components)
     return drop_keys_filter(ds, key_col, drop)
@@ -1660,10 +1578,10 @@ def ngram_jaccard_dedup(
     full text into every band row, band-fanout × document bytes):
 
     1. candidate generation: MinHash over word n-grams → SKINNY band
-       rows ``(key, band_id, band_hash)`` only → ``lsh_candidate_pairs``
-       (native aggregate for 2-row buckets, grouped expansion only for
-       ≥3-row cliques) → distinct candidate pairs (wide bands → high
-       recall);
+       rows ``(key, band_id, band_hash)`` only →
+       ``lsh_candidate_pairs_bucketed`` (one coarse-bucket exchange,
+       vectorized in-bucket expansion) → distinct candidate pairs
+       (wide bands → high recall);
     2. verification: hashed n-gram signature arrays (``word_ngrams``,
        uint64 — exact Jaccard modulo 64-bit collisions) are computed
        only for candidate keys and scored per pair
