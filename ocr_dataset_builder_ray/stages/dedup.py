@@ -1486,20 +1486,33 @@ def _verify_pairs_with_sigs(
     sigs_ds: ray.data.Dataset,
     score_fn,
     threshold: float,
+    target_rows_per_bucket: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Distributed per-pair verification without shipping documents.
 
     ``pairs_ds``: distinct candidate ``(a, b)``; ``sigs_ds``:
     ``(key, sig: list<uint64>)`` for candidate keys only. Co-locates
-    each pair with its two signatures using the join-free union+groupby
+    each pair with its two signatures using the join-free union+group
     pattern (same trick as stages/components.py — robust at any
     partition occupancy):
 
     1. request rows ``(key=a|b, a, b, sig=null)`` union signature rows
-       ``(key, a=null, b=null, sig)``; groupby ``key`` attaches the
+       ``(key, a=null, b=null, sig)``; grouping on ``key`` attaches the
        key's signature to every pair it participates in — each sig is
        replicated once per pair, bounded by candidate volume;
-    2. groupby ``(a, b)`` sees exactly two rows and scores them.
+    2. grouping on ``(a, b)`` sees exactly two rows and scores them.
+
+    Both groupings run as coarse-bucket exchanges when the pair stream
+    is large and integer-keyed (same convention as
+    ``_distinct_pairs``): this tier only activates when candidates
+    outgrow the BROADCAST tier's key bound, i.e. at exactly the
+    cardinalities where a native group per key / per pair puts Ray's
+    grouping machinery — not the signature arithmetic — in charge of
+    the wall clock. Inside a coarse group the attach is one
+    argsort+searchsorted gather and the score walks sorted (a, b) runs
+    slicing signatures out of the flattened Arrow list values (no
+    per-row ``as_py``). Small or non-integer-keyed inputs keep the
+    native aggregate. Identical verified pairs on both plans.
 
     Returns verified pairs ``(a, b)``.
     """
@@ -1527,37 +1540,140 @@ def _verify_pairs_with_sigs(
             }
         )
 
-    def _attach(group: pa.Table) -> pa.Table:
-        is_sig = pc.is_valid(group["sig"])
-        sig_rows = group.filter(is_sig)
-        reqs = group.filter(pc.invert(is_sig))
-        if sig_rows.num_rows == 0 or reqs.num_rows == 0:
-            return group.select(["a", "b", "sig"]).slice(0, 0)
-        sig = sig_rows["sig"][0]
+    def _score_runs(group: pa.Table) -> pa.Table:
+        """Attached rows (a, b, sig) — 2 per complete pair — sorted and
+        scored by run. Works for ONE native (a, b) group (num_rows 2)
+        and for a coarse bucket of many pairs alike."""
+        a = _concat(group["a"]).to_numpy(zero_copy_only=False)
+        b = _concat(group["b"]).to_numpy(zero_copy_only=False)
+        a_type = group.schema.field("a").type
+        b_type = group.schema.field("b").type
+        if group.num_rows < 2:
+            return pa.table(
+                {"a": pa.array(a[:0], type=a_type), "b": pa.array(b[:0], type=b_type)}
+            )
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        starts = np.flatnonzero(np.r_[new, True])
+        counts = np.diff(starts)
+        sig_arr = _concat(group["sig"])
+        offs = np.asarray(sig_arr.offsets)
+        flat = np.asarray(sig_arr.values).astype(np.uint64, copy=False)
+        out_a: list = []
+        out_b: list = []
+        for ri in np.flatnonzero(counts == 2):  # missing sig — cannot verify
+            s = starts[ri]
+            i0, i1 = order[s], order[s + 1]
+            s0 = flat[offs[i0] : offs[i0 + 1]]
+            s1 = flat[offs[i1] : offs[i1 + 1]]
+            if score_fn(s0, s1) >= threshold:
+                out_a.append(a_s[s])
+                out_b.append(b_s[s])
         return pa.table(
             {
-                "a": reqs["a"],
-                "b": reqs["b"],
-                "sig": pa.array([sig.as_py()] * reqs.num_rows, pa.list_(pa.uint64())),
+                "a": pa.array(np.array(out_a, dtype=a.dtype), type=a_type),
+                "b": pa.array(np.array(out_b, dtype=b.dtype), type=b_type),
             }
         )
 
-    def _score(group: pa.Table) -> pa.Table:
-        if group.num_rows != 2:  # missing sig — cannot verify
-            return group.select(["a", "b"]).slice(0, 0)
-        s0 = np.asarray(group["sig"][0].as_py(), dtype=np.uint64)
-        s1 = np.asarray(group["sig"][1].as_py(), dtype=np.uint64)
-        if score_fn(s0, s1) >= threshold:
-            return group.select(["a", "b"]).slice(0, 1)
-        return group.select(["a", "b"]).slice(0, 0)
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    schema = pairs_ds.schema()
+    a_type = schema.types[schema.names.index("a")]
+    b_type = schema.types[schema.names.index("b")]
+    int_keys = pa.types.is_integer(a_type) and pa.types.is_integer(b_type)
+
+    unioned = pairs_ds.map_batches(_requests, batch_format="pyarrow").union(
+        sigs_ds.map_batches(_sig_rows, batch_format="pyarrow")
+    )
+
+    if 2 * n_pairs <= _DISTINCT_PAIRS_NATIVE_LIMIT or not int_keys:
+
+        def _attach(group: pa.Table) -> pa.Table:
+            is_sig = pc.is_valid(group["sig"])
+            sig_rows = group.filter(is_sig)
+            reqs = group.filter(pc.invert(is_sig))
+            if sig_rows.num_rows == 0 or reqs.num_rows == 0:
+                return group.select(["a", "b", "sig"]).slice(0, 0)
+            sig = sig_rows["sig"][0]
+            return pa.table(
+                {
+                    "a": reqs["a"],
+                    "b": reqs["b"],
+                    "sig": pa.array(
+                        [sig.as_py()] * reqs.num_rows, pa.list_(pa.uint64())
+                    ),
+                }
+            )
+
+        attached = unioned.groupby("key").map_groups(
+            _attach, batch_format="pyarrow"
+        )
+        return attached.groupby(["a", "b"]).map_groups(
+            _score_runs, batch_format="pyarrow"
+        )
+
+    # coarse plan — exchange 1 carries 2 request rows per pair plus the
+    # (key-bounded) sig rows, exchange 2 the 2 attached rows per pair
+    nb1 = max(32, int(3 * n_pairs // target_rows_per_bucket) + 1)
+    nb2 = max(32, int(2 * n_pairs // target_rows_per_bucket) + 1)
+
+    def _cb_key(t: pa.Table) -> pa.Table:
+        k = _concat(t["key"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb = (((k + np.uint64(1)) * _MIX_PRIME) >> np.uint64(32)) % np.uint64(nb1)
+        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+
+    def _attach_coarse(group: pa.Table) -> pa.Table:
+        is_sig = pc.is_valid(group["sig"])
+        sig_t = group.filter(is_sig)
+        req_t = group.filter(pc.invert(is_sig))
+        empty = pa.table(
+            {
+                "a": pa.array([], type=a_type),
+                "b": pa.array([], type=b_type),
+                "sig": pa.array([], type=pa.list_(pa.uint64())),
+            }
+        )
+        if sig_t.num_rows == 0 or req_t.num_rows == 0:
+            return empty
+        sk = _concat(sig_t["key"]).to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk_sorted = sk[order]
+        rk = _concat(req_t["key"]).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk_sorted, rk)
+        pos = np.minimum(pos, len(sk_sorted) - 1)
+        found = sk_sorted[pos] == rk
+        if not found.any():
+            return empty
+        take_idx = order[pos[found]]
+        req_f = req_t.filter(pa.array(found))
+        sig_col = _concat(sig_t["sig"])
+        return pa.table(
+            {
+                "a": req_f["a"],
+                "b": req_f["b"],
+                "sig": sig_col.take(pa.array(take_idx, type=pa.int64())),
+            }
+        )
+
+    def _cb_pair(t: pa.Table) -> pa.Table:
+        a = _concat(t["a"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = _concat(t["b"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (a + np.uint64(1)) * _MIX_PRIME ^ (b + np.uint64(1)) * _MIX_PRIME2
+        cb = (mix >> np.uint64(32)) % np.uint64(nb2)
+        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
 
     attached = (
-        pairs_ds.map_batches(_requests, batch_format="pyarrow")
-        .union(sigs_ds.map_batches(_sig_rows, batch_format="pyarrow"))
-        .groupby("key")
-        .map_groups(_attach, batch_format="pyarrow")
+        unioned.map_batches(_cb_key, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_attach_coarse, batch_format="pyarrow")
     )
-    return attached.groupby(["a", "b"]).map_groups(_score, batch_format="pyarrow")
+    return (
+        attached.map_batches(_cb_pair, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_score_runs, batch_format="pyarrow")
+    )
 
 
 def ngram_jaccard_dedup(

@@ -246,6 +246,56 @@ def test_broadcast_verify_tier_equality(ray_session):
     assert 0 < len(outs["driver"]) < k  # some dups actually dropped
 
 
+def test_distributed_verify_coarse_plan_equality(ray_session, monkeypatch):
+    """Force the distributed verify tier's coarse-bucket attach/score
+    sub-plan (integer keys past _DISTINCT_PAIRS_NATIVE_LIMIT) and pin
+    it to the native sub-plan's survivor set. Also pins string keys
+    staying on the native sub-plan (coarse requires integer keys)."""
+    import random
+
+    import ray.data
+
+    from ocr_dataset_builder_ray.stages import dedup as D
+
+    rng = random.Random(13)
+    vocab = [f"tok{i}" for i in range(1200)]
+    rows, k = [], 0
+    for i in range(100):
+        base = " ".join(rng.choices(vocab, k=50))
+        rows.append({"key": k, "text": base})
+        k += 1
+        if i % 3 == 0:
+            rows.append({"key": k, "text": base + " tail"})
+            k += 1
+    ds = ray.data.from_items(rows)
+    native = sorted(
+        D.minhash_lsh_dedup(ds, "text", "key", threshold=0.8, verify="distributed")
+        .to_pandas()["key"]
+        .tolist()
+    )
+    monkeypatch.setattr(D, "_DISTINCT_PAIRS_NATIVE_LIMIT", 0)
+    coarse = sorted(
+        D.minhash_lsh_dedup(ds, "text", "key", threshold=0.8, verify="distributed")
+        .to_pandas()["key"]
+        .tolist()
+    )
+    assert native == coarse
+    assert 0 < len(native) < k
+
+    # string keys: the coarse plan must not engage (int-key contract);
+    # result still equals the int-key clustering relabeled
+    srows = [{"key": f"d{r['key']:05d}", "text": r["text"]} for r in rows]
+    skept = sorted(
+        D.minhash_lsh_dedup(
+            ray.data.from_items(srows), "text", "key", threshold=0.8,
+            verify="distributed",
+        )
+        .to_pandas()["key"]
+        .tolist()
+    )
+    assert skept == [f"d{i:05d}" for i in native]
+
+
 def test_broadcast_verify_auto_selection_and_contract(ray_session):
     """auto picks the broadcast tier when pairs outgrow the driver
     bound but keys fit; explicit broadcast without fixed-width
