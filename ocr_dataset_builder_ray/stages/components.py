@@ -17,16 +17,36 @@ Round structure (all distributed):
 2. update stage: group ``union(labels, messages)`` by node; the new
    label is the min of the current label and incoming candidates; a
    per-group changed flag is aggregated to detect convergence.
+
+Both groupings run as coarse-bucket exchanges when the node ids are
+integers and the per-round row volume is large (the convention of
+``stages/dedup.py``): a native group PER NODE per round at the
+cardinalities this engine exists for (pair-touched nodes past the
+driver bound) puts Ray's grouping machinery in charge of the wall
+clock, twice per round. Inside a coarse group both stages are one
+argsort + ``np.minimum.reduceat`` over node runs. Small or
+string-keyed inputs keep the per-node native plan. Identical labels
+on both plans (pinned).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Sum
+
+# per-round union rows above which the coarse plan engages (int keys)
+_COMPONENTS_NATIVE_LIMIT = 2_000_000
+_COARSE_TARGET_ROWS = 2_000_000
+_MIX_PRIME = np.uint64(0x9E3779B97F4A7C15)
+# min-identity sentinel for null labels inside a coarse run; node ids
+# of exactly int64 max would collide with it — unreachable for every
+# producer in this repo (hashes are < 2^63, rank encodings < 2^63)
+_LABEL_SENTINEL = np.iinfo(np.int64).max
 
 
 def _empty_like(nodes: pd.Series) -> pd.DataFrame:
@@ -72,13 +92,89 @@ def min_label_components(
             }
         )
 
-    edges = edges_ds.map_batches(_as_edges, batch_format="pyarrow")
-    if edges.count() == 0:
+    edges = edges_ds.map_batches(
+        _as_edges, batch_format="pyarrow"
+    ).materialize()  # small relative to nodes; reused every round
+    n_edge_rows = edges.count()  # already doubled (both directions)
+    if n_edge_rows == 0:
         return labels.map_batches(
             lambda t: pa.table({"node": t["node"], "component": t["label"]}),
             batch_format="pyarrow",
         )
-    edges = edges.materialize()  # small relative to nodes; reused every round
+    # labels are consumed twice per round (message + self rows) —
+    # materialize the skinny initial frame instead of re-running the
+    # nodes map; every later round's labels come out materialized
+    labels = labels.materialize()
+    n_nodes = labels.count()
+    if n_nodes == 0:  # no nodes — nothing to label (schema would be lost)
+        return labels
+    schema = labels.schema()
+    node_type = schema.types[schema.names.index("node")]
+    union_rows = n_nodes + n_edge_rows
+    use_coarse = (
+        pa.types.is_integer(node_type)
+        and not pa.types.is_uint64(node_type)  # int64 sentinel space
+        and union_rows > _COMPONENTS_NATIVE_LIMIT
+    )
+    nb = max(32, int(union_rows // _COARSE_TARGET_ROWS) + 1)
+
+    def _i64(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+    def _cb(t: pa.Table, col: str) -> pa.Table:
+        k = _i64(t[col]).view(np.uint64)
+        cb = (((k + np.uint64(1)) * _MIX_PRIME) >> np.uint64(32)) % np.uint64(nb)
+        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+
+    def _messages_coarse(g: pa.Table) -> pa.Table:
+        """One coarse bucket of (key, peer, label) rows — label rows
+        carry the key's label, edge rows its peers. Per key-run: min
+        label (sentinel where no label row reached this bucket — never
+        happens, every key has one) broadcast to the run's peers."""
+        k = _i64(g["key"])
+        lab = _i64(pc.fill_null(g["label"], _LABEL_SENTINEL))
+        peer_valid = pc.is_valid(g["peer"]).to_numpy(zero_copy_only=False)
+        peer = _i64(pc.fill_null(g["peer"], 0))
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        new = np.r_[True, ks[1:] != ks[:-1]]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        run_min = np.minimum.reduceat(lab[order], starts)
+        emit = peer_valid[order] & (run_min[run_id] != _LABEL_SENTINEL)
+        return pa.table(
+            {
+                "node": pa.array(peer[order][emit], type=node_type),
+                "cand": pa.array(run_min[run_id][emit], type=node_type),
+            }
+        )
+
+    def _update_coarse(g: pa.Table) -> pa.Table:
+        """One coarse bucket of (node, cand, is_self) rows. Per node
+        run: new label = min cand, old = min over self rows, one
+        output row + changed flag."""
+        nd = _i64(g["node"])
+        cand = _i64(g["cand"])
+        is_self = (
+            g["is_self"].combine_chunks()
+            if isinstance(g["is_self"], pa.ChunkedArray)
+            else g["is_self"]
+        ).to_numpy(zero_copy_only=False)
+        order = np.argsort(nd, kind="stable")
+        ns, cs, ss = nd[order], cand[order], is_self[order]
+        new_run = np.r_[True, ns[1:] != ns[:-1]]
+        starts = np.flatnonzero(new_run)
+        new = np.minimum.reduceat(cs, starts)
+        old = np.minimum.reduceat(np.where(ss, cs, _LABEL_SENTINEL), starts)
+        return pa.table(
+            {
+                "node": pa.array(ns[starts], type=node_type),
+                "label": pa.array(new, type=node_type),
+                "changed": pa.array((new != old).astype(np.int64)),
+            }
+        )
 
     n_changed = 0
     rounds = 0
@@ -114,11 +210,19 @@ def min_label_components(
                 }
             )
 
-        msgs = (
-            lab_rows.union(edge_rows)
-            .groupby("key")
-            .map_groups(_messages, batch_format="pyarrow")
-        )
+        if use_coarse:
+            msgs = (
+                lab_rows.union(edge_rows)
+                .map_batches(lambda t: _cb(t, "key"), batch_format="pyarrow")
+                .groupby("__cb")
+                .map_groups(_messages_coarse, batch_format="pyarrow")
+            )
+        else:
+            msgs = (
+                lab_rows.union(edge_rows)
+                .groupby("key")
+                .map_groups(_messages, batch_format="pyarrow")
+            )
 
         self_rows = labels.map_batches(
             lambda t: pa.table(
@@ -152,12 +256,21 @@ def min_label_components(
                 }
             )
 
-        updated = (
-            self_rows.union(msg_rows)
-            .groupby("node")
-            .map_groups(_update, batch_format="pyarrow")
-            .materialize()
-        )
+        if use_coarse:
+            updated = (
+                self_rows.union(msg_rows)
+                .map_batches(lambda t: _cb(t, "node"), batch_format="pyarrow")
+                .groupby("__cb")
+                .map_groups(_update_coarse, batch_format="pyarrow")
+                .materialize()
+            )
+        else:
+            updated = (
+                self_rows.union(msg_rows)
+                .groupby("node")
+                .map_groups(_update, batch_format="pyarrow")
+                .materialize()
+            )
         n_changed = updated.aggregate(Sum("changed", alias_name="n"))["n"]
         labels = updated.drop_columns(["changed"])
         if not n_changed:

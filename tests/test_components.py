@@ -42,6 +42,51 @@ def test_string_keys_and_star(ray_session):
     assert got == {"a": "a", "m": "a", "q": "a", "z": "a", "solo": "solo"}
 
 
+def test_coarse_plan_matches_native(ray_session, monkeypatch):
+    """Force the coarse-bucket message/update plan (int keys past
+    _COMPONENTS_NATIVE_LIMIT) on a graph mixing a chain, a star, a
+    clique and isolated nodes; labels must equal the native per-node
+    plan and the known components."""
+    import random
+
+    from ocr_dataset_builder_ray.stages import components as C
+
+    rng = random.Random(7)
+    edges_py = [(1, 2), (2, 3), (3, 4), (4, 5)]  # chain -> 1
+    edges_py += [(100, p) for p in range(101, 110)]  # star -> 100
+    edges_py += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    nodes_py = sorted({k for e in edges_py for k in e} | {999, 1000})
+    rng.shuffle(edges_py)
+    edges = _ds(edges_py, ["a", "b"])
+    nodes = _ds([(k,) for k in nodes_py], ["key"])
+
+    native = (
+        min_label_components(edges, nodes).to_pandas().sort_values("node")
+    )
+    monkeypatch.setattr(C, "_COMPONENTS_NATIVE_LIMIT", 0)
+    coarse = (
+        min_label_components(edges, nodes).to_pandas().sort_values("node")
+    )
+    assert native["node"].tolist() == coarse["node"].tolist()
+    assert native["component"].tolist() == coarse["component"].tolist()
+    got = dict(zip(coarse["node"], coarse["component"]))
+    assert got[5] == 1 and got[109] == 100 and got[204] == 200
+    assert got[999] == 999 and got[1000] == 1000
+
+
+def test_coarse_plan_string_keys_stay_native(ray_session, monkeypatch):
+    """String node ids must not engage the coarse plan (int-key
+    contract) and still resolve correctly with the limit forced to 0."""
+    from ocr_dataset_builder_ray.stages import components as C
+
+    monkeypatch.setattr(C, "_COMPONENTS_NATIVE_LIMIT", 0)
+    edges = _ds([("z", "m"), ("m", "a")], ["a", "b"])
+    nodes = _ds([(k,) for k in ("a", "m", "z", "solo")], ["key"])
+    out = min_label_components(edges, nodes).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {"a": "a", "m": "a", "z": "a", "solo": "solo"}
+
+
 def test_minhash_distributed_matches_driver(ray_session, sf_dir):
     from ocr_dataset_builder_ray.stages.dedup import minhash_lsh_dedup
 
