@@ -143,14 +143,11 @@ def resolve_drop_keys(
         from .components import min_label_components
 
         def _nodes(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"key": pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])}
-            )
+            ks = pa.concat_arrays([_concat(t["a"]), _concat(t["b"])])
+            return pa.table({"key": pc.unique(ks)})  # pre-shrink per block
 
-        nodes = (
+        nodes = _distinct_keys(
             pairs_ds.map_batches(_nodes, batch_format="pyarrow")
-            .groupby("key")
-            .map_groups(lambda t: t.take([0]), batch_format="pyarrow")
         )
         labels = min_label_components(
             pairs_ds, nodes, node_col="key", max_rounds=max_rounds
@@ -168,6 +165,49 @@ def resolve_drop_keys(
     # driver path: union-find over pairs only
     return _union_find_drop_keys(
         (r["a"], r["b"]) for r in pairs_ds.take_all()
+    )
+
+
+def _distinct_keys(
+    keys_ds: ray.data.Dataset, target_rows_per_bucket: int = 4_000_000
+) -> ray.data.Dataset:
+    """One row per distinct ``key`` — the same coarse-bucket convention
+    as ``_distinct_pairs``: a native ``groupby("key")`` distinct is one
+    Ray group PER KEY (the pair-touched node set here), and the
+    grouping machinery dominates past ~2M rows. Integer keys take one
+    mix-hash exchange + ``np.unique`` per coarse bucket; small or
+    non-integer inputs keep the native aggregate."""
+    keys_ds = keys_ds.materialize()
+    n = keys_ds.count()
+
+    def _native(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.groupby("key").map_groups(
+            lambda t: t.take([0]), batch_format="pyarrow"
+        )
+
+    if n <= _DISTINCT_PAIRS_NATIVE_LIMIT:
+        return _native(keys_ds)
+    schema = keys_ds.schema()
+    key_type = schema.types[schema.names.index("key")]
+    if not pa.types.is_integer(key_type):
+        return _native(keys_ds)
+    n_buckets = max(32, int(n // target_rows_per_bucket) + 1)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        k = _concat(t["key"]).to_numpy(zero_copy_only=False).astype(np.uint64)
+        cb = (((k + np.uint64(1)) * _MIX_PRIME) >> np.uint64(32)) % np.uint64(
+            n_buckets
+        )
+        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+
+    def _distinct(group: pa.Table) -> pa.Table:
+        k = np.unique(_concat(group["key"]).to_numpy(zero_copy_only=False))
+        return pa.table({"key": pa.array(k, type=key_type)})
+
+    return (
+        keys_ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(_distinct, batch_format="pyarrow")
     )
 
 

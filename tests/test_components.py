@@ -100,3 +100,28 @@ def test_minhash_distributed_matches_driver(ray_session, sf_dir):
         .select_columns(["doc_id"]).to_pandas()["doc_id"].sort_values().tolist()
     )
     assert a == b
+
+
+def test_minhash_distributed_all_coarse_matches_driver(
+    ray_session, sf_dir, monkeypatch
+):
+    """components='distributed' with every coarse plan forced (node
+    distinct, message/update exchanges) must still equal the driver
+    union-find survivors."""
+    from ocr_dataset_builder_ray.stages import components as C
+    from ocr_dataset_builder_ray.stages import dedup as D
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        D.minhash_lsh_dedup(ds, "text", "doc_id", components="driver")
+        .select_columns(["doc_id"]).to_pandas()["doc_id"].sort_values().tolist()
+    )
+    monkeypatch.setattr(D, "_DISTINCT_PAIRS_NATIVE_LIMIT", 0)
+    monkeypatch.setattr(C, "_COMPONENTS_NATIVE_LIMIT", 0)
+    b = (
+        D.minhash_lsh_dedup(ds, "text", "doc_id", components="distributed")
+        .select_columns(["doc_id"]).to_pandas()["doc_id"].sort_values().tolist()
+    )
+    assert a == b
