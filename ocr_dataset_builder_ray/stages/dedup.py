@@ -968,7 +968,9 @@ def _verify_candidates(
                     }
                 )
             )
-        return _verify_pairs_with_sigs(candidates, sigs_ds, score_fn, threshold)
+        return _verify_pairs_with_sigs(
+            candidates, sigs_ds, score_fn, threshold, score_pairs_fn=score_pairs_fn
+        )
 
     # driver verify: duplicate-bounded pair list + signature map
     pdf = cand_pdf if cand_pdf is not None else candidates.to_pandas()
@@ -1527,6 +1529,7 @@ def _verify_pairs_with_sigs(
     score_fn,
     threshold: float,
     target_rows_per_bucket: int = 2_000_000,
+    score_pairs_fn=None,
 ) -> ray.data.Dataset:
     """Distributed per-pair verification without shipping documents.
 
@@ -1598,15 +1601,56 @@ def _verify_pairs_with_sigs(
         starts = np.flatnonzero(np.r_[new, True])
         counts = np.diff(starts)
         sig_arr = _concat(group["sig"])
-        offs = np.asarray(sig_arr.offsets)
+        offs = np.asarray(sig_arr.offsets).astype(np.int64, copy=False)
         flat = np.asarray(sig_arr.values).astype(np.uint64, copy=False)
+        sel = np.flatnonzero(counts == 2)  # runs missing a sig can't verify
+        if sel.size == 0:
+            return pa.table(
+                {"a": pa.array(a[:0], type=a_type), "b": pa.array(b[:0], type=b_type)}
+            )
+        s_idx = starts[sel]
+        i0 = order[s_idx]
+        i1 = order[s_idx + 1]
+        w0 = offs[i0 + 1] - offs[i0]
+        w1 = offs[i1 + 1] - offs[i1]
+        if (
+            score_pairs_fn is not None
+            and w0[0] > 0
+            and np.all(w0 == w0[0])
+            and np.all(w1 == w0[0])
+        ):
+            # fixed-width signatures (minhash perms): score the whole
+            # bucket's pairs vectorized — the per-pair Python loop
+            # below costs ~1000x the arithmetic at the pair volumes
+            # this tier exists for. Chunked through reused gather
+            # buffers (the driver path's first-touch lesson).
+            L = int(w0[0])
+            keep = np.zeros(sel.size, dtype=bool)
+            chunk = 65536
+            col = np.arange(L, dtype=np.int64)
+            m0 = min(chunk, sel.size)
+            buf0 = np.empty((m0, L), dtype=flat.dtype)
+            buf1 = np.empty_like(buf0)
+            for s in range(0, sel.size, chunk):
+                m = min(chunk, sel.size - s)
+                np.take(flat, offs[i0[s : s + m]][:, None] + col, out=buf0[:m])
+                np.take(flat, offs[i1[s : s + m]][:, None] + col, out=buf1[:m])
+                keep[s : s + m] = (
+                    np.asarray(score_pairs_fn(buf0[:m], buf1[:m])) >= threshold
+                )
+            return pa.table(
+                {
+                    "a": pa.array(a_s[s_idx[keep]], type=a_type),
+                    "b": pa.array(b_s[s_idx[keep]], type=b_type),
+                }
+            )
         out_a: list = []
         out_b: list = []
-        for ri in np.flatnonzero(counts == 2):  # missing sig — cannot verify
+        for ri in sel:  # variable-width sigs (e.g. n-gram sets)
             s = starts[ri]
-            i0, i1 = order[s], order[s + 1]
-            s0 = flat[offs[i0] : offs[i0 + 1]]
-            s1 = flat[offs[i1] : offs[i1 + 1]]
+            j0, j1 = order[s], order[s + 1]
+            s0 = flat[offs[j0] : offs[j0 + 1]]
+            s1 = flat[offs[j1] : offs[j1 + 1]]
             if score_fn(s0, s1) >= threshold:
                 out_a.append(a_s[s])
                 out_b.append(b_s[s])
