@@ -188,7 +188,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     )
     if args.shards:
         manifest = export_training_shards(
-            out, args.output, args.shards, key_col=args.key
+            out, args.output, args.shards, key_col=args.key,
+            shuffle_seed=args.shuffle_seed,
         )
         print(json.dumps({"curated_rows": manifest["total_rows"],
                           "shards": manifest["n_shards"]}))
@@ -558,6 +559,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='JSON dict of group -> target proportion, e.g. \'{"en":0.5,"de":0.5}\'')
     c.add_argument("--shards", type=int, default=None,
                    help="write deterministic training shards instead of flat parquet")
+    c.add_argument("--shuffle-seed", type=int, default=None,
+                   help="with --shards: fix the within-shard training order to a "
+                        "seeded deterministic shuffle (persists _shuffle_ord)")
     c.set_defaults(fn=_cmd_curate)
 
     s = sub.add_parser("search", help="BM25 top-k over a documents table")

@@ -75,6 +75,7 @@ def export_training_shards(
     *,
     key_col: str = "url",
     mode: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Deterministic sharded training export: every row lands in shard
     ``stable_hash64(key) % n_shards``, written as
@@ -89,6 +90,16 @@ def export_training_shards(
     ``part={pid}`` layout, state/manifest.py). Row counts come from the
     written parquet footers (a driver-side metadata scan, no second
     data pass).
+
+    ``shuffle_seed`` additionally fixes the TRAINING ORDER: rows are
+    globally sorted by ``shuffle_ticket(key, seed)``
+    (stages/curation.py) before the partitioned write, and the ticket
+    is persisted as ``_shuffle_ord`` — so within every shard the row
+    order is a seeded uniform shuffle that is byte-identical at any
+    parallelism / cluster size, and a consumer reading multi-file
+    shards re-establishes it with ``ORDER BY _shuffle_ord`` instead of
+    trusting file enumeration. One extra range-partition sort of the
+    export (the payload moves once either way).
     """
     import json
     import os
@@ -113,9 +124,18 @@ def export_training_shards(
         shard = (h % np.uint64(n_shards)).astype(np.int32)
         return batch.append_column("shard", pa.array(shard))
 
-    ds.map_batches(_add_shard, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["shard"]
-    )
+    sharded = ds.map_batches(_add_shard, batch_format="pyarrow")
+    if shuffle_seed is not None:
+        from ..stages.curation import add_shuffle_ticket
+
+        # sort by ticket only (shard is a pure key function, so the
+        # within-shard relative order after the partitioned write
+        # follows the global ticket order); key_col breaks 64-bit
+        # ticket collisions deterministically
+        sharded = add_shuffle_ticket(
+            sharded, key_col, shuffle_seed, out_col="_shuffle_ord"
+        ).sort(["_shuffle_ord", key_col])
+    sharded.write_parquet(out_dir, partition_cols=["shard"])
 
     counts: dict[str, int] = {}
     for root, _dirs, files in os.walk(out_dir):
@@ -131,6 +151,7 @@ def export_training_shards(
     manifest = {
         "n_shards": n_shards,
         "key_col": key_col,
+        "shuffle_seed": shuffle_seed,
         "total_rows": int(sum(counts.values())),
         "shards": dict(sorted(counts.items())),
     }

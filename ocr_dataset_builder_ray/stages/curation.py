@@ -869,3 +869,85 @@ def canonical_url_dedup(
     return exact_dedup(with_canon, "__canon_url", key_col).drop_columns(
         ["__canon_url"]
     )
+
+
+# --- deterministic global shuffle ------------------------------------------
+
+
+def shuffle_ticket(keys: np.ndarray, seed: int) -> np.ndarray:
+    """uint64 shuffle ticket per integer key — a splitmix64-style mix
+    of ``(key, seed)``. Pure integer arithmetic: the same (key, seed)
+    gives the same ticket on any worker, any cluster size, any corpus
+    partitioning — and a key's ticket never changes when the corpus
+    grows (the growth-stable property ``hash_split`` relies on,
+    extended to ORDER). Distinct from ``sample_ticket`` so sampling
+    and shuffling don't correlate (a quota-sampled corpus would
+    otherwise come out ticket-sorted-by-the-same-coin)."""
+    # seed constant folded in Python ints (uint64 wraparound is intended;
+    # numpy would warn on the overflowing scalar multiply)
+    inc = np.uint64(((int(seed) + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    z = keys.astype(np.uint64) + inc
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def add_shuffle_ticket(
+    ds: ray.data.Dataset,
+    key_col: str,
+    seed: int,
+    *,
+    out_col: str = "_shuffle_ord",
+) -> ray.data.Dataset:
+    """Append the deterministic shuffle ticket column (pure map).
+    String keys hash through ``stable_hash64_array`` first; the ticket
+    is stored as int64 (the uint64 bits reinterpreted) so downstream
+    sorts and SQL oracles agree on one integer ordering."""
+    from ..functions.hashing import stable_hash64_array
+
+    def _add(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            keys = stable_hash64_array(
+                [str(v) for v in col.to_pylist()]
+            ).astype(np.uint64)
+        tick = shuffle_ticket(keys, seed).view(np.int64)
+        return t.append_column(out_col, pa.array(tick, type=pa.int64()))
+
+    return ds.map_batches(_add, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    key_col: str,
+    seed: int = 0,
+    *,
+    keep_ord_col: bool = False,
+    ord_col: str = "_shuffle_ord",
+) -> ray.data.Dataset:
+    """Seeded global shuffle with a REPRODUCIBLE order: rows come out
+    sorted by ``shuffle_ticket(key, seed)`` — uniform pseudo-random,
+    but byte-identical at any parallelism, any cluster size, and any
+    input partitioning, which ``Dataset.random_shuffle`` cannot
+    promise. Changing ``seed`` gives an independent order; a training
+    run that records its seed can replay its exact data order.
+
+    The ticket is a pure function of the key, so ties happen only for
+    duplicate keys (dedup upstream) or 64-bit collisions (~n^2/2^64);
+    ``key_col`` is the secondary sort key so even those are ordered
+    deterministically. Cost: one range-partition sort over the corpus
+    — the same exchange ``Dataset.sort`` always costs; the payload
+    moves once.
+
+    ``keep_ord_col=True`` persists the ticket so a consumer reading
+    multi-file output can re-establish the order with
+    ``ORDER BY _shuffle_ord`` instead of trusting file enumeration.
+    """
+    out = add_shuffle_ticket(ds, key_col, seed, out_col=ord_col).sort(
+        [ord_col, key_col]
+    )
+    if keep_ord_col:
+        return out
+    return out.drop_columns([ord_col])
