@@ -2199,6 +2199,92 @@ def run_partitioned_bench() -> dict:
     }
 
 
+def run_shuffle_bench() -> dict:
+    """Deterministic seeded shuffle at volume (the training-order
+    operator, stages/curation.py): 500k docs with text payload, full
+    CPU count. The order signature (an order-sensitive checksum over
+    the key sequence) is asserted identical across two input
+    partitionings — the reproducibility `Dataset.random_shuffle`
+    cannot promise — and `random_shuffle` itself is timed as the
+    reference point (same consumption path)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_SHUFFLE_DOCS", "500000"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import ray.data
+
+    from ocr_dataset_builder_ray.sources.documents import (
+        default_docs_corpus_dir,
+        generate_documents_corpus,
+    )
+    from ocr_dataset_builder_ray.stages.curation import deterministic_shuffle
+
+    corpus = generate_documents_corpus(default_docs_corpus_dir(n_docs), n_docs)
+
+    def _read():
+        return ray.data.read_parquet(corpus, columns=["doc_id", "text"])
+
+    _read().count()  # warm workers, untimed
+
+    def _order_sig(ds) -> int:
+        # position-weighted key sum: any reordering changes it
+        keys = ds.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+        pos = np.arange(1, len(keys) + 1, dtype=np.uint64)
+        return int(
+            (keys.astype(np.uint64) * pos).sum() % np.uint64((1 << 61) - 1)
+        )
+
+    results: dict = {}
+    sigs = []
+    for nparts in (8, 64):
+        t0 = time.monotonic()
+        out = deterministic_shuffle(_read().repartition(nparts), "doc_id", seed=17)
+        sig = _order_sig(out)
+        sec = time.monotonic() - t0
+        sigs.append(sig)
+        results[f"deterministic_parts{nparts}"] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "order_sig": sig,
+        }
+    assert sigs[0] == sigs[1], ("order differs across partitionings!", sigs)
+
+    t0 = time.monotonic()
+    rsig = _order_sig(_read().random_shuffle(seed=17))
+    sec = time.monotonic() - t0
+    results["random_shuffle_ref"] = {
+        "sec": round(sec, 2),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "order_sig": rsig,
+    }
+
+    best = results["deterministic_parts8"]
+    out = {
+        "metric": "deterministic seeded shuffle, 500k docs",
+        "value": best["sec"],
+        "unit": "sec",
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "order_identical_across_partitionings": True,
+        "runs": results,
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -2222,6 +2308,8 @@ if __name__ == "__main__":
         print(json.dumps(run_partitioned_inner()))
     elif "--partitions" in sys.argv:
         print(json.dumps(run_partitioned_bench()))
+    elif "--shuffle" in sys.argv:
+        print(json.dumps(run_shuffle_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:
