@@ -194,6 +194,14 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         print(json.dumps({"curated_rows": manifest["total_rows"],
                           "shards": manifest["n_shards"]}))
     else:
+        if args.shuffle_seed is not None:
+            # flat export: same seeded order contract as --shards, with
+            # the ticket persisted so multi-file readers can ORDER BY it
+            from .stages.curation import deterministic_shuffle
+
+            out = deterministic_shuffle(
+                out, args.key, args.shuffle_seed, keep_ord_col=True
+            )
         out.write_parquet(args.output)
         print(json.dumps(
             {"curated_rows": ray.data.read_parquet(args.output).count()}
@@ -560,8 +568,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shards", type=int, default=None,
                    help="write deterministic training shards instead of flat parquet")
     c.add_argument("--shuffle-seed", type=int, default=None,
-                   help="with --shards: fix the within-shard training order to a "
-                        "seeded deterministic shuffle (persists _shuffle_ord)")
+                   help="fix the training order to a seeded deterministic "
+                        "shuffle (within-shard with --shards, global otherwise; "
+                        "persists _shuffle_ord)")
     c.set_defaults(fn=_cmd_curate)
 
     s = sub.add_parser("search", help="BM25 top-k over a documents table")

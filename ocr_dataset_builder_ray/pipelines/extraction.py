@@ -591,12 +591,24 @@ def _stabilize_lazy_imports() -> None:
         import sys
         import types
 
-        import fsspec.implementations
+        try:
+            import fsspec.implementations
+        except ModuleNotFoundError:
+            return  # no fsspec at all — nothing to stabilize
 
         mod = types.ModuleType("fsspec.implementations.http")
 
-        class HTTPFileSystem:  # sentinel: matches no real filesystem
-            pass
+        class HTTPFileSystem:
+            """Sentinel: matches no isinstance check (Ray's probe only
+            compares classes). Anyone actually CONSTRUCTING an http
+            filesystem gets the same clear error the real import would
+            have raised, not a silent bare object."""
+
+            def __init__(self, *a, **k):
+                raise ImportError(
+                    "fsspec http filesystem unavailable: aiohttp is not "
+                    "installed (stub pinned by _stabilize_lazy_imports)"
+                )
 
         mod.HTTPFileSystem = HTTPFileSystem
         sys.modules["fsspec.implementations.http"] = mod

@@ -106,8 +106,20 @@ def min_label_components(
     # nodes map; every later round's labels come out materialized
     labels = labels.materialize()
     n_nodes = labels.count()
-    if n_nodes == 0:  # no nodes — nothing to label (schema would be lost)
-        return labels
+    if n_nodes == 0:
+        # no nodes — nothing to label; an empty dataset has no schema
+        # at all, so build the (node, component) frame explicitly with
+        # the edge key type (edges are nonempty past the check above)
+        esch = edges.schema()
+        ntype = esch.types[esch.names.index("src")]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=ntype),
+                    "component": pa.array([], type=ntype),
+                }
+            )
+        )
     schema = labels.schema()
     node_type = schema.types[schema.names.index("node")]
     union_rows = n_nodes + n_edge_rows
@@ -134,7 +146,10 @@ def min_label_components(
         label (sentinel where no label row reached this bucket — never
         happens, every key has one) broadcast to the run's peers."""
         k = _i64(g["key"])
-        lab = _i64(pc.fill_null(g["label"], _LABEL_SENTINEL))
+        # cast to int64 BEFORE filling: the sentinel is int64-max, which
+        # pc.fill_null cannot fit into a narrower label column (int32
+        # node keys pass the use_coarse gate and crashed here)
+        lab = _i64(pc.fill_null(pc.cast(g["label"], pa.int64()), _LABEL_SENTINEL))
         peer_valid = pc.is_valid(g["peer"]).to_numpy(zero_copy_only=False)
         peer = _i64(pc.fill_null(g["peer"], 0))
         order = np.argsort(k, kind="stable")

@@ -470,10 +470,15 @@ def _simhash_bucket_pairs(
 
 def _bucket_mix(id_arr, hash_arr) -> np.ndarray:
     """Composite bucket key (band_id, band_hash) → one uint64 (wrapping
-    multiply-xor). Used only as a filter key: a mix collision merely
-    lets an extra singleton bucket through (emits no pairs) — it can
-    never drop a real bucket."""
-    return np.asarray(hash_arr).astype(np.uint64) ^ (
+    multiply-xor). BOTH operands go through a wrapping multiply so the
+    high 32 bits (the part ``(mix >> 32) % n_buckets`` consumes) carry
+    entropy from both — a raw XOR of a narrow value (simhash's 16-bit
+    band_val) would leave the high bits a function of band_id alone
+    and collapse the coarse exchange to ``bands`` groups at any corpus
+    size. Used only as a grouping key: a mix collision merely merges
+    two real buckets into one coarse group (the in-group walk still
+    separates them) — it can never split or drop a real bucket."""
+    return (np.asarray(hash_arr).astype(np.uint64) + np.uint64(1)) * _MIX_PRIME2 ^ (
         (np.asarray(id_arr).astype(np.uint64) + np.uint64(1)) * _MIX_PRIME
     )
 

@@ -125,3 +125,39 @@ def test_minhash_distributed_all_coarse_matches_driver(
         .select_columns(["doc_id"]).to_pandas()["doc_id"].sort_values().tolist()
     )
     assert a == b
+
+
+def test_coarse_plan_int32_keys(ray_session, monkeypatch):
+    """int32 node ids pass the use_coarse gate; the int64-max null
+    sentinel must not be forced into the narrow label column (it
+    crashed pc.fill_null with ArrowInvalid before the cast fix)."""
+    from ocr_dataset_builder_ray.stages import components as C
+
+    monkeypatch.setattr(C, "_COMPONENTS_NATIVE_LIMIT", 0)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 100], type=pa.int32()),
+                "b": pa.array([2, 3, 101], type=pa.int32()),
+            }
+        )
+    )
+    nodes = ray.data.from_arrow(
+        pa.table({"key": pa.array([1, 2, 3, 100, 101, 999], type=pa.int32())})
+    )
+    out = min_label_components(edges, nodes).to_pandas()
+    got = dict(zip(out["node"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 100: 100, 101: 100, 999: 999}
+    assert out["component"].dtype == out["node"].dtype
+
+
+def test_empty_nodes_keeps_component_schema(ray_session):
+    """Empty node set + nonempty edges: the early return must still
+    present the documented (node, component) schema, not (node, label)."""
+    edges = _ds([(1, 2)], ["a", "b"])
+    nodes = ray.data.from_arrow(
+        pa.table({"key": pa.array([], type=pa.int64())})
+    )
+    out = min_label_components(edges, nodes)
+    assert set(out.schema().names) == {"node", "component"}
+    assert out.count() == 0

@@ -415,3 +415,25 @@ def test_distinct_pairs_string_keys_fall_back(ray_session, monkeypatch):
     )
     out = dd._distinct_pairs(ray.data.from_arrow(tbl)).to_pandas()
     assert sorted(zip(out["a"], out["b"])) == [("d1", "d2"), ("d2", "d9")]
+
+
+def test_bucket_mix_spreads_narrow_hash_values():
+    """The coarse-bucket mix must carry entropy from BOTH operands into
+    its high 32 bits: simhash band values are only 16 bits wide, and a
+    raw XOR (the pre-fix form) left ``mix >> 32`` a function of band_id
+    alone — the coarse exchange collapsed to ``bands`` groups at any
+    corpus size."""
+    import numpy as np
+
+    from ocr_dataset_builder_ray.stages.dedup import _bucket_mix
+
+    band_id = np.repeat(np.arange(4, dtype=np.uint64), 65536)
+    band_val = np.tile(np.arange(65536, dtype=np.uint64), 4)
+    mix = _bucket_mix(band_id, band_val)
+    for nb in (64, 1024):
+        b = (mix >> np.uint64(32)) % np.uint64(nb)
+        cnt = np.bincount(b.astype(np.int64), minlength=nb)
+        assert (cnt > 0).sum() == nb  # every coarse bucket hit
+        assert cnt.max() < 3 * cnt.mean()  # no gross skew
+    # determinism: same inputs, same buckets
+    assert np.array_equal(mix, _bucket_mix(band_id, band_val))
