@@ -39,10 +39,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
+from ._bucketing import coarse_buckets
+
 # per-round union rows above which the coarse plan engages (int keys)
 _COMPONENTS_NATIVE_LIMIT = 2_000_000
 _COARSE_TARGET_ROWS = 2_000_000
-_MIX_PRIME = np.uint64(0x9E3779B97F4A7C15)
 # min-identity sentinel for null labels inside a coarse run; node ids
 # of exactly int64 max would collide with it — unreachable for every
 # producer in this repo (hashes are < 2^63, rank encodings < 2^63)
@@ -136,9 +137,9 @@ def min_label_components(
         return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
     def _cb(t: pa.Table, col: str) -> pa.Table:
-        k = _i64(t[col]).view(np.uint64)
-        cb = (((k + np.uint64(1)) * _MIX_PRIME) >> np.uint64(32)) % np.uint64(nb)
-        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+        return t.append_column(
+            "__cb", pa.array(coarse_buckets(nb, _i64(t[col])))
+        )
 
     def _messages_coarse(g: pa.Table) -> pa.Table:
         """One coarse bucket of (key, peer, label) rows — label rows

@@ -60,6 +60,7 @@ from ..functions.hashing import (
     simhash64,
     word_ngrams,
 )
+from ._bucketing import coarse_buckets, mix64
 
 
 # --- shared: pairs -> drop-set -> filter ------------------------------------
@@ -194,11 +195,8 @@ def _distinct_keys(
     n_buckets = max(32, int(n // target_rows_per_bucket) + 1)
 
     def _bucket(t: pa.Table) -> pa.Table:
-        k = _concat(t["key"]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        cb = (((k + np.uint64(1)) * _MIX_PRIME) >> np.uint64(32)) % np.uint64(
-            n_buckets
-        )
-        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+        k = _concat(t["key"]).to_numpy(zero_copy_only=False)
+        return t.append_column("__cb", pa.array(coarse_buckets(n_buckets, k)))
 
     def _distinct(group: pa.Table) -> pa.Table:
         k = np.unique(_concat(group["key"]).to_numpy(zero_copy_only=False))
@@ -250,10 +248,7 @@ def drop_keys_filter(
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
-# second pair-mix prime (murmur3 fmix64 constant) so both pair keys go
-# through a multiply before the bucket cut — b alone XORed in leaves the
-# top 32 bits unmixed for small ints
-_MIX_PRIME2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# bucket-mix primes live in stages/_bucketing.py (one audited kernel)
 
 # below this many raw pair rows the native aggregate is fine (and its
 # per-row cost is irrelevant); above it the group-per-pair cardinality
@@ -314,11 +309,11 @@ def _distinct_pairs(
     n_buckets = max(32, int(n // target_rows_per_bucket) + 1)
 
     def _bucket(t: pa.Table) -> pa.Table:
-        a = _concat(t["a"]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = _concat(t["b"]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        mix = (a + np.uint64(1)) * _MIX_PRIME ^ (b + np.uint64(1)) * _MIX_PRIME2
-        cb = (mix >> np.uint64(32)) % np.uint64(n_buckets)
-        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+        a = _concat(t["a"]).to_numpy(zero_copy_only=False)
+        b = _concat(t["b"]).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__cb", pa.array(coarse_buckets(n_buckets, a, b))
+        )
 
     def _dedup(group: pa.Table) -> pa.Table:
         a = _concat(group["a"]).to_numpy(zero_copy_only=False)
@@ -357,7 +352,6 @@ def _pool_max() -> int:
     return max(2, cpus - max(1, cpus // 8))
 
 
-_MIX_PRIME = np.uint64(0x9E3779B97F4A7C15)
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 # pairwise kernels (hamming XOR, cosine matmul) tile BOTH axes so the
@@ -469,18 +463,11 @@ def _simhash_bucket_pairs(
 
 
 def _bucket_mix(id_arr, hash_arr) -> np.ndarray:
-    """Composite bucket key (band_id, band_hash) → one uint64 (wrapping
-    multiply-xor). BOTH operands go through a wrapping multiply so the
-    high 32 bits (the part ``(mix >> 32) % n_buckets`` consumes) carry
-    entropy from both — a raw XOR of a narrow value (simhash's 16-bit
-    band_val) would leave the high bits a function of band_id alone
-    and collapse the coarse exchange to ``bands`` groups at any corpus
-    size. Used only as a grouping key: a mix collision merely merges
-    two real buckets into one coarse group (the in-group walk still
-    separates them) — it can never split or drop a real bucket."""
-    return (np.asarray(hash_arr).astype(np.uint64) + np.uint64(1)) * _MIX_PRIME2 ^ (
-        (np.asarray(id_arr).astype(np.uint64) + np.uint64(1)) * _MIX_PRIME
-    )
+    """Composite bucket key (band_id, band_hash) → one uint64. See
+    ``stages/_bucketing.py`` for the entropy contract (every operand
+    multiplied — a raw XOR of simhash's 16-bit band values once
+    collapsed the coarse exchange to ``bands`` groups)."""
+    return mix64(id_arr, hash_arr)
 
 
 def _bucket_pair_count(
@@ -1709,9 +1696,8 @@ def _verify_pairs_with_sigs(
     nb2 = max(32, int(2 * n_pairs // target_rows_per_bucket) + 1)
 
     def _cb_key(t: pa.Table) -> pa.Table:
-        k = _concat(t["key"]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        cb = (((k + np.uint64(1)) * _MIX_PRIME) >> np.uint64(32)) % np.uint64(nb1)
-        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+        k = _concat(t["key"]).to_numpy(zero_copy_only=False)
+        return t.append_column("__cb", pa.array(coarse_buckets(nb1, k)))
 
     def _attach_coarse(group: pa.Table) -> pa.Table:
         is_sig = pc.is_valid(group["sig"])
@@ -1747,11 +1733,9 @@ def _verify_pairs_with_sigs(
         )
 
     def _cb_pair(t: pa.Table) -> pa.Table:
-        a = _concat(t["a"]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = _concat(t["b"]).to_numpy(zero_copy_only=False).astype(np.uint64)
-        mix = (a + np.uint64(1)) * _MIX_PRIME ^ (b + np.uint64(1)) * _MIX_PRIME2
-        cb = (mix >> np.uint64(32)) % np.uint64(nb2)
-        return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+        a = _concat(t["a"]).to_numpy(zero_copy_only=False)
+        b = _concat(t["b"]).to_numpy(zero_copy_only=False)
+        return t.append_column("__cb", pa.array(coarse_buckets(nb2, a, b)))
 
     attached = (
         unioned.map_batches(_cb_key, batch_format="pyarrow")

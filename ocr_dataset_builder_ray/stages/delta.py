@@ -91,19 +91,18 @@ def crawl_delta(
             # type resolved per batch: schema().types is not pyarrow
             # for pandas-block datasets
             if pa.types.is_integer(t.schema.field(key_col).type):
-                kh = (
-                    t[key_col]
-                    .combine_chunks()
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)
-                )
-                kh = (kh + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+                from ._bucketing import coarse_buckets
+
+                k = t[key_col].combine_chunks().to_numpy(zero_copy_only=False)
+                cb = coarse_buckets(n_buckets, k)
             else:
                 kh = stable_hash64_array(
                     np.asarray(t[key_col].to_pylist(), dtype=object)
                 )
-            cb = (kh >> np.uint64(32)) % np.uint64(n_buckets)
-            return t.append_column("__cb", pa.array(cb.astype(np.int32)))
+                cb = ((kh >> np.uint64(32)) % np.uint64(n_buckets)).astype(
+                    np.int32
+                )
+            return t.append_column("__cb", pa.array(cb))
 
         def _first(group: pa.Table) -> pa.Table:
             k = group[key_col].combine_chunks().to_numpy(zero_copy_only=False)
