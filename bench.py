@@ -1356,16 +1356,30 @@ def run_e2e_bench() -> dict:
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     committed = 0
-    deadline = time.time() + 900
-    for line in proc.stdout:
-        if line.startswith("PARTITION_DONE"):
-            committed += 1
-            if committed >= 3:
-                proc.send_signal(signal.SIGKILL)
-                break
-        if time.time() > deadline:
-            proc.kill()
-            raise RuntimeError("e2e kill9 leg: no partitions committed")
+    # hard watchdog OUTSIDE the readline loop: a driver that hangs
+    # without printing would block `for line in proc.stdout` forever
+    # and an in-loop deadline check never runs
+    import threading
+
+    timed_out = threading.Event()
+
+    def _watchdog():
+        timed_out.set()
+        proc.kill()
+
+    timer = threading.Timer(900, _watchdog)
+    timer.start()
+    try:
+        for line in proc.stdout:
+            if line.startswith("PARTITION_DONE"):
+                committed += 1
+                if committed >= 3:
+                    proc.send_signal(signal.SIGKILL)
+                    break
+    finally:
+        timer.cancel()
+    if timed_out.is_set():
+        raise RuntimeError("e2e kill9 leg: no partitions committed")
     proc.wait(timeout=120)
     r_k9 = _drive(root_k9, ncpu_hi)  # resume
 

@@ -126,6 +126,47 @@ _XMLDECL_RE = re.compile(
 )
 
 
+# string-domain twins of the prescan regexes, for rewriting stale
+# declarations inside already-decoded text (transcode_to_utf8)
+_META_RE_S = re.compile(
+    r"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:\-]+)",
+    re.IGNORECASE | re.DOTALL,
+)
+_XMLDECL_RE_S = re.compile(
+    r"^<\?xml[^>]{0,256}?encoding\s*=\s*[\"']([a-zA-Z0-9._:\-]+)[\"']",
+    re.IGNORECASE,
+)
+
+
+def rewrite_declared_utf8(text: str) -> str:
+    """Rewrite a non-utf-8 charset declaration in ``text``'s prescan
+    window to ``utf-8``.
+
+    Used by ``transcode_to_utf8`` AFTER decoding: the payload bytes
+    become UTF-8, so a surviving ``<meta charset=windows-1251>`` would
+    make any later re-sniff double-decode the UTF-8 bytes as cp1251 —
+    mojibake for exactly the legacy pages transcoding targets. Only
+    the FIRST xml-decl/meta match matters (the sniff stops there);
+    declarations pushed past the re-sniff window by multi-byte
+    expansion are harmless (the validity step then yields utf-8, since
+    the transcoded bytes are clean UTF-8 by construction)."""
+
+    def _fix(m: "re.Match[str]") -> str:
+        if normalize_label(m.group(1)) == "utf-8":
+            return m.group(0)
+        s, e = m.span(1)
+        off = m.start(0)
+        g = m.group(0)
+        return g[: s - off] + "utf-8" + g[e - off :]
+
+    head = text[:PRESCAN_BYTES]
+    fixed = _XMLDECL_RE_S.sub(_fix, head, count=1)
+    fixed = _META_RE_S.sub(_fix, fixed, count=1)
+    if fixed is head:
+        return text
+    return fixed + text[PRESCAN_BYTES:]
+
+
 def normalize_label(label: str | bytes) -> str | None:
     """WHATWG label -> canonical encoding name (None if unknown)."""
     if isinstance(label, bytes):

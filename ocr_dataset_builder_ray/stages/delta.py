@@ -29,16 +29,7 @@ from .join import hash_join
 CHANGES = ("added", "removed", "modified", "unchanged")
 
 
-def _auto_partitions(requested: int | None) -> int:
-    """Size the hash exchange: the native join holds one aggregator
-    actor per partition, each pinning a CPU — asking for more
-    partitions than the cluster has CPUs deadlocks a small session.
-    At cluster scale callers pass 2-4x total cores explicitly."""
-    if requested is not None:
-        return requested
-    import ray
-
-    return max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 1))
+from .join import auto_partitions as _auto_partitions  # shared sizing rule
 
 
 def crawl_delta(

@@ -519,16 +519,14 @@ class DistributedPageRankResult:
             return pa.table({"__pr_id": t["node_id"], out_col: t["rank"]})
 
         right = self.ranks.map_batches(_rename, batch_format="pyarrow")
-        # size the hash exchange to the session: each partition is an
-        # aggregator actor, and more partitions than CPUs deadlocks a
-        # small local session
-        n_cpu = int(ray.cluster_resources().get("CPU", 8))
+        from .join import auto_partitions
+
         joined = hash_join(
             ds.map_batches(_key, batch_format="pyarrow"),
             right,
             "__pr_id",
             how="left_outer",
-            num_partitions=max(2, min(32, n_cpu)),
+            num_partitions=auto_partitions(),
         )
 
         def _fill(t: pa.Table) -> pa.Table:

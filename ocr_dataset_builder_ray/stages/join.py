@@ -36,6 +36,21 @@ _NATIVE = {
 _MARKER = "__semi_marker"
 
 
+def auto_partitions(requested: int | None = None) -> int:
+    """Size a hash exchange for the running session: the native join
+    holds one aggregator actor per partition, each pinning a CPU —
+    asking for more partitions than the cluster has CPUs deadlocks a
+    small session. At cluster scale callers pass 2-4x total cores
+    explicitly. Shared by every hash_join caller that auto-sizes
+    (crawl_delta, DistributedPageRankResult.attach) so the deadlock
+    rule lives in one place."""
+    if requested is not None:
+        return requested
+    import ray
+
+    return max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) - 1))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -320,7 +320,17 @@ def pq_search(
     qid_a = approx["query_id"].to_numpy()
     keys_a = approx[key_col].to_numpy()
     sort_i = np.argsort(cand_keys, kind="stable")
-    pos = sort_i[np.searchsorted(cand_keys[sort_i], keys_a)]
+    raw_pos = np.searchsorted(cand_keys[sort_i], keys_a)
+    clipped = np.minimum(raw_pos, len(cand_keys) - 1)
+    # loud on a rerank table missing shortlisted keys — an unchecked
+    # gather would silently score the next-larger key's vector
+    missing = cand_keys[sort_i][clipped] != keys_a
+    if missing.any():
+        raise KeyError(
+            f"rerank_ds is missing {int(missing.sum())} shortlisted "
+            f"{key_col} value(s), e.g. {keys_a[missing][:5].tolist()}"
+        )
+    pos = sort_i[clipped]
     cos_a = np.einsum("ij,ij->i", cand_mat[pos], q[qid_a])
     order_a = np.lexsort((keys_a, -np.round(cos_a, 12), qid_a))
     qs_a, ks_a, cs_a = qid_a[order_a], keys_a[order_a], cos_a[order_a]

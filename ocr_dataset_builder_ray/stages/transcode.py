@@ -58,16 +58,24 @@ def transcode_to_utf8(
     the corpus is written back to parquet once and consumed by many
     pipelines, so the sniff cost is paid a single time.
 
-    Stale in-document ``<meta charset>`` declarations are NOT rewritten
-    (that would require a DOM edit); after transcoding, the appended
-    ``encoding`` column is the source of truth, not a re-sniff.
+    Stale in-document ``<meta charset>`` / XML-declaration labels in
+    the prescan window are rewritten to ``utf-8`` (a label edit, not a
+    DOM edit — ``rewrite_declared_utf8``): without it, any downstream
+    re-sniff (extract_document sniffs unconditionally) would
+    double-decode the now-UTF-8 bytes as the stale legacy code page —
+    mojibake for exactly the pages transcoding targets.
     """
+    from ..functions.charset import rewrite_declared_utf8
 
     def _transcode(batch: pa.Table) -> pa.Table:
         texts, encs, srcs = [], [], []
         for v in batch[payload_col].to_pylist():
             text, enc, src = decode_payload(v)
-            texts.append(None if v is None else text.encode("utf-8"))
+            texts.append(
+                None
+                if v is None
+                else rewrite_declared_utf8(text).encode("utf-8")
+            )
             encs.append(enc)
             srcs.append(src)
         i = batch.schema.get_field_index(payload_col)

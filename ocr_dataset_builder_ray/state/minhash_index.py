@@ -124,7 +124,46 @@ def build_minhash_index(
     return params
 
 
+_COMPACT_MARKER = "_COMPACT_COMPLETE"
+
+
+def _heal_bands_swap(index_dir: str) -> None:
+    """Finish a compaction swap interrupted between its two renames.
+
+    ``compact_minhash_index`` swaps trees with two ``os.replace`` calls;
+    a crash between them leaves NO ``bands`` directory (only
+    ``bands.old`` and/or a marker-complete ``bands.compact``). Every
+    reader and the next compaction call this first: promote the
+    marker-complete compact tree if present, else restore the old tree
+    — so the documented "either the old or the new complete tree"
+    contract holds across the window too. Leftover marker files /
+    ``bands.old`` from a crash after the second rename are cleaned up.
+    """
+    import shutil
+
+    bands_root = os.path.join(index_dir, _BANDS_SUBDIR)
+    compact_root = bands_root + ".compact"
+    old_root = bands_root + ".old"
+    if os.path.isdir(bands_root):
+        # post-swap crash leftovers: marker inside the live tree and/or
+        # the set-aside old tree
+        marker = os.path.join(bands_root, _COMPACT_MARKER)
+        if os.path.exists(marker):
+            os.remove(marker)
+            shutil.rmtree(old_root, ignore_errors=True)
+        return
+    if os.path.isdir(compact_root) and os.path.exists(
+        os.path.join(compact_root, _COMPACT_MARKER)
+    ):
+        os.replace(compact_root, bands_root)
+        os.remove(os.path.join(bands_root, _COMPACT_MARKER))
+        shutil.rmtree(old_root, ignore_errors=True)
+    elif os.path.isdir(old_root):
+        os.replace(old_root, bands_root)
+
+
 def _read_bands(index_dir: str, columns: list[str]) -> ray.data.Dataset:
+    _heal_bands_swap(index_dir)
     # explicit columns= so the prune is at the parquet reader (the sig
     # column is ~70% of the index bytes and only the candidate-bounded
     # fetch wants it)
@@ -598,6 +637,7 @@ def compact_minhash_index(
     """
     import shutil
 
+    _heal_bands_swap(index_dir)
     params = load_index_params(index_dir)
     bands_root = os.path.join(index_dir, _BANDS_SUBDIR)
     files_before = sum(
@@ -606,7 +646,13 @@ def compact_minhash_index(
     )
     passes_before = params["n_passes"]
 
-    ds = ray.data.read_parquet(bands_root)
+    # explicit columns: a bare read over pass=NNNNN dirs hive-infers a
+    # `pass` STRING column and the rewrite would physically bake stale
+    # pass values into the compacted files, polluting the schema for
+    # every later append (reproduced on ray 2.49)
+    ds = ray.data.read_parquet(
+        bands_root, columns=["key", "band_id", "band_hash", "sig"]
+    )
     total = ds.count()
     n_files = max(1, -(-total // max(1, target_rows_per_file)))
     compact_root = bands_root + ".compact"
@@ -618,8 +664,14 @@ def compact_minhash_index(
         .repartition(n_files)
         .write_parquet(os.path.join(compact_root, "pass=00000"))
     )
+    # completeness marker BEFORE the swap: a crash between the two
+    # renames leaves no bands dir, and _heal_bands_swap uses the marker
+    # to decide whether the compact tree is promotable
+    with open(os.path.join(compact_root, _COMPACT_MARKER), "w") as fh:
+        fh.write("ok")
     os.replace(bands_root, old_root)
     os.replace(compact_root, bands_root)
+    os.remove(os.path.join(bands_root, _COMPACT_MARKER))
     shutil.rmtree(old_root)
 
     params["n_passes"] = 1

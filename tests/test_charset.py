@@ -189,11 +189,11 @@ def test_transcode_stage_rewrites_to_utf8(ray_session):
     assert got.loc["null", "html"] is None
     assert got.loc["w1252", "encoding"] == "windows-1252"
     assert got.loc["u16", "encoding"] == "utf-16le"
-    # re-sniffing transcoded payloads: the BOM'd page (BOM stripped, no
-    # in-document declaration) now reads as clean utf-8; the meta page
-    # keeps its stale declaration (documented: the encoding column is
-    # authoritative after transcode, in-document declarations are not
-    # rewritten)
+    # re-sniffing transcoded payloads must find utf-8 EVERYWHERE: the
+    # BOM'd page (BOM stripped) by validity, and the meta page because
+    # the stale windows-1252 label was rewritten to utf-8 — otherwise a
+    # downstream extract (which re-sniffs unconditionally) would
+    # double-decode the UTF-8 bytes as the legacy code page
     resniffed = (
         detect_encodings(
             transcode_to_utf8(ray.data.from_pandas(rows)).drop_columns(
@@ -204,4 +204,38 @@ def test_transcode_stage_rewrites_to_utf8(ray_session):
         .set_index("url")
     )
     assert resniffed.loc["u16", "encoding"] == "utf-8"
-    assert resniffed.loc["w1252", "encoding"] == "windows-1252"
+    assert resniffed.loc["w1252", "encoding"] == "utf-8"
+    assert resniffed.loc["w1252", "encoding_source"] == "meta"
+
+
+def test_transcode_then_extract_no_mojibake(ray_session):
+    """The composition the transcode flag exists for: a cp1251 page
+    through transcode -> extract_document yields the Cyrillic text,
+    not mojibake (the pre-fix behavior double-decoded it)."""
+    from ocr_dataset_builder_ray.functions.charset import (
+        rewrite_declared_utf8,
+    )
+    from ocr_dataset_builder_ray.functions.html_extract import (
+        extract_document,
+    )
+
+    body = "Привет мир — тест"
+    raw = (
+        "<html><head><meta charset=windows-1251></head>"
+        f"<body><p>{body} {body} {body}</p></body></html>"
+    ).encode("windows-1251")
+    got = (
+        transcode_to_utf8(
+            ray.data.from_pandas(
+                pd.DataFrame({"url": ["p"], "html": pd.Series([raw], dtype=object)})
+            )
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    assert got["encoding"] == "windows-1251"
+    doc = extract_document(got["html"])
+    assert body in doc["extracted_text"] and "�" not in doc["extracted_text"]
+    # an already-utf-8 declaration is left byte-identical
+    ok = f'<meta charset="utf-8"><p>{body}</p>'
+    assert rewrite_declared_utf8(ok) == ok

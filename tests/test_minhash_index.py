@@ -402,3 +402,67 @@ def test_compaction_preserves_pass_results_and_bounds_files(index_env, tmp_path)
     )
     assert sorted(surv.to_pandas()["doc_id"]) == [8001]
     assert load_index_params(idx)["n_passes"] == 2
+
+
+def test_compaction_schema_stays_pure(index_env):
+    """The compacted files must hold exactly the band schema — a bare
+    hive-partitioned read would bake a stale string `pass` column into
+    the rewrite and fork the index schema for every later append."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_dataset_builder_ray.state.minhash_index import (
+        compact_minhash_index,
+    )
+
+    idx, a = index_env
+    incremental_minhash_dedup(
+        ray.data.from_pandas(_df([900], _texts(1, seed=77))),
+        idx, "text", "doc_id", update=True,
+    )
+    compact_minhash_index(idx)
+    bands_root = os.path.join(idx, "bands")
+    for root, _d, fs in os.walk(bands_root):
+        for f in fs:
+            if f.endswith(".parquet"):
+                names = pq.read_schema(os.path.join(root, f)).names
+                assert sorted(names) == ["band_hash", "band_id", "key", "sig"], names
+
+
+def test_compaction_crash_window_heals(index_env):
+    """Simulated crash between the two swap renames: no `bands` dir on
+    disk, only bands.old / a marker-complete bands.compact. The next
+    reader must self-heal to a complete tree (promote the marked
+    compact tree; restore the old tree when no marker exists)."""
+    import os
+    import shutil
+
+    idx, a = index_env
+    bands_root = os.path.join(idx, "bands")
+
+    def _probe():
+        surv, _rep = incremental_minhash_dedup(
+            ray.data.from_pandas(_df([7005, 7006], [a["text"][3], _texts(1, seed=101)[0]])),
+            idx, "text", "doc_id", update=False,
+        )
+        return sorted(surv.to_pandas()["doc_id"])
+
+    want = _probe()
+    assert want == [7006]
+
+    # crash case 1: renamed aside, compact tree complete (marker present)
+    shutil.copytree(bands_root, bands_root + ".compact")
+    open(os.path.join(bands_root + ".compact", "_COMPACT_COMPLETE"), "w").write("ok")
+    os.replace(bands_root, bands_root + ".old")
+    assert not os.path.isdir(bands_root)
+    assert _probe() == want  # healed by promoting the compact tree
+    assert os.path.isdir(bands_root)
+    assert not os.path.isdir(bands_root + ".old")
+    assert not os.path.exists(os.path.join(bands_root, "_COMPACT_COMPLETE"))
+
+    # crash case 2: renamed aside, compact tree NOT marked complete
+    shutil.copytree(bands_root, bands_root + ".compact")  # no marker
+    os.replace(bands_root, bands_root + ".old")
+    assert _probe() == want  # healed by restoring the old tree
+    assert os.path.isdir(bands_root)

@@ -209,3 +209,20 @@ def test_tied_duplicate_vectors_partition_invariant(ray_session):
     assert results[0] == results[1] == results[2]
     # ties resolve to the smallest keys
     assert results[0] == sorted(results[0])
+
+
+def test_rerank_missing_key_is_loud(ray_session, vecs, queries):
+    """A rerank table missing shortlisted keys must raise, not silently
+    score the next-larger key's vector (the unchecked-searchsorted
+    hazard)."""
+    _rows, q = queries
+    ds = ray.data.from_pandas(vecs).repartition(3)
+    model = pq_train(ds, n_centroids=12, m=M, ks=64, train_sample=600)
+    codes = pq_encode(ds, model).materialize()
+    # drop half the vectors (including the largest keys, exercising the
+    # out-of-range searchsorted branch) from the rerank side only
+    holey = ray.data.from_pandas(vecs[vecs["vec_id"] % 2 == 0])
+    with pytest.raises(KeyError, match="missing"):
+        pq_search(
+            codes, model, q, k=10, nprobe=4, rerank_ds=holey, rerank_factor=4
+        )
