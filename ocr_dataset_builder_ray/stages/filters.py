@@ -905,3 +905,169 @@ def hash_embed(
         )
 
     return ds.map_batches(_embed, batch_format="pyarrow")
+
+
+def compression_filter(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    min_ratio: float = 0.25,
+    max_ratio: float | None = None,
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """Gate documents on their zlib compression ratio
+    (``functions.textstats.compression_ratio``) — drop heavily
+    templated/repeated text below ``min_ratio`` and (optionally)
+    gibberish above ``max_ratio``; ``out_col`` persists the ratio.
+    Pure map, no state, no shuffle."""
+    from ..functions.textstats import compression_ratio
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        ratios = np.array(
+            [compression_ratio(t or "") for t in batch[text_col].to_pylist()]
+        )
+        keep = ratios >= min_ratio
+        if max_ratio is not None:
+            keep &= ratios <= max_ratio
+        if out_col is not None:
+            batch = batch.append_column(out_col, pa.array(ratios))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+def bigram_logprob(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    lam: float = 0.9,
+    min_count: int = 2,
+    decimals: int = 9,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document mean INTERPOLATED bigram log-probability — the
+    CCNet-fidelity upgrade of ``unigram_logprob`` (Wenzek et al. 2020
+    score with an n-gram LM; here a corpus-as-model bigram with
+    unigram backoff instead of an external KenLM):
+
+        score(doc) = mean over positions i>=1 of
+            ln( lam * c(w_{i-1}, w_i) / c(w_{i-1})
+                + (1 - lam) * c(w_i) / N )
+
+    Documents with fewer than 2 tokens are dropped (no bigram to
+    score). Emits ``(key, n_bigrams, logprob)`` rounded to
+    ``decimals``; deterministic at any parallelism (fixed-point
+    rounding, order-free sums).
+
+    Scale shape: TWO vocabulary-style bucket exchanges — the unigram
+    ``token_counts`` pass and a structurally identical bigram-hash
+    pass — then a pure scoring map against the broadcast tables.
+    The bigram broadcast is pruned to pairs seen >= ``min_count``
+    times (Zipf: the singleton tail is most of the distinct pairs but
+    contributes only backoff-level mass, which the interpolation term
+    supplies anyway), so the broadcast scales with FREQUENT bigram
+    types, not corpus tokens. ``lam`` < 1 keeps every probability
+    nonzero without explicit smoothing.
+    """
+    from ._bucketing import mix64
+
+    hashes, counts, total = token_counts(
+        ds, text_col=text_col, n_buckets=n_buckets
+    )
+
+    def _bigram_hashes(batch: pa.Table):
+        """(bigram_hash, left_hash, right_hash, bigram_doc_idx) for a
+        batch; ``_doc_tokens`` gives per-token doc indices (documents
+        contiguous), so a position j is a real bigram only when tokens
+        j and j+1 share a doc index."""
+        doc, th = _doc_tokens(batch, text_col)
+        if th.size < 2:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e, e, np.empty(0, dtype=np.int64)
+        valid = doc[:-1] == doc[1:]
+        left, right = th[:-1][valid], th[1:][valid]
+        bh = mix64(left.view(np.int64), right.view(np.int64))
+        return bh, left, right, doc[:-1][valid]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bh, _l, _r, _d = _bigram_hashes(batch)
+        if bh.size:
+            uh, cnt = np.unique(bh, return_counts=True)
+        else:
+            uh = np.empty(0, dtype=np.uint64)
+            cnt = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "bhash": pa.array(uh.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array(
+                    (uh % np.uint64(n_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def _bucket_sum(group: pa.Table) -> pa.Table:
+        h = group["bhash"].to_numpy(zero_copy_only=False)
+        c = group["cnt"].to_numpy(zero_copy_only=False)
+        uh, sums = _reduceat_sum(h, c)
+        keep = sums >= min_count
+        return pa.table(
+            {
+                "bhash": pa.array(uh[keep]),
+                "cnt": pa.array(sums[keep].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(_bucket_sum, batch_format="pyarrow")
+        .to_pandas()  # frequent-bigram-bounded (min_count prune)
+    )
+    b_h = rows["bhash"].to_numpy(dtype=np.int64).view(np.uint64)
+    b_c = rows["cnt"].to_numpy(dtype=np.int64)
+    order = np.argsort(b_h)
+    bcast = ray.put((hashes, counts, int(total), b_h[order], b_c[order]))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        uh, uc, N, bh_tab, bc_tab = ray.get(bcast)
+        bh, left, right, bigram_doc = _bigram_hashes(batch)
+        keys = np.asarray(batch[key_col].to_pylist(), dtype=np.int64)
+        if bh.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array(np.empty(0, dtype=np.int64)),
+                    "n_bigrams": pa.array(np.empty(0, dtype=np.int64)),
+                    "logprob": pa.array(np.empty(0, dtype=np.float64)),
+                }
+            )
+        # c(w1, w2) from the pruned table (0 when pruned/unseen)
+        pos = np.searchsorted(bh_tab, bh)
+        pos_c = np.minimum(pos, max(0, bh_tab.size - 1))
+        c12 = np.where(
+            (bh_tab.size > 0) & (bh_tab[pos_c] == bh), bc_tab[pos_c], 0
+        ).astype(np.float64)
+        # c(w1) and c(w2): every observed token IS in the unigram
+        # table; the table is SORTED AS int64 (token_counts contract),
+        # so look up with the signed view, not the raw uint64 hashes
+        c1 = uc[np.searchsorted(uh, left.view(np.int64))].astype(np.float64)
+        c2 = uc[np.searchsorted(uh, right.view(np.int64))].astype(np.float64)
+        p = lam * (c12 / c1) + (1.0 - lam) * (c2 / max(1, N))
+        lp = np.log(p)
+        # per-document mean over each doc's bigram positions
+        n_docs = len(keys)
+        sums = np.zeros(n_docs, dtype=np.float64)
+        np.add.at(sums, bigram_doc, lp)
+        cnts = np.bincount(bigram_doc, minlength=n_docs)
+        keep = cnts > 0
+        avg = np.round(sums[keep] / cnts[keep], decimals)
+        return pa.table(
+            {
+                key_col: pa.array(keys[keep]),
+                "n_bigrams": pa.array(cnts[keep].astype(np.int64)),
+                "logprob": pa.array(avg),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

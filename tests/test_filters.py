@@ -605,3 +605,95 @@ def test_perplexity_null_lang_deterministic(ray_session):
         ).to_pandas()["doc_id"]
     )
     assert {3, 40} <= kept_all
+
+
+def test_compression_filter(ray_session):
+    from ocr_dataset_builder_ray.functions.textstats import compression_ratio
+    from ocr_dataset_builder_ray.stages.filters import compression_filter
+
+    rep = "spam ham " * 300                      # highly compressible
+    nat = ("the quick brown fox jumps over the lazy dog and then "
+           "wanders through seventeen unrelated meadows musing ") * 6
+    import random
+    rng = random.Random(5)
+    gib = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(2000))
+    assert compression_ratio(rep) < compression_ratio(nat) < compression_ratio(gib)
+    assert compression_ratio("") == 1.0
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [rep, nat, gib]})
+    kept = compression_filter(
+        ray.data.from_pandas(df), min_ratio=compression_ratio(rep) + 1e-6,
+        max_ratio=compression_ratio(gib) - 1e-6, out_col="cr",
+    ).to_pandas()
+    assert kept["doc_id"].tolist() == [2]
+    assert abs(kept["cr"].iloc[0] - compression_ratio(nat)) < 1e-9
+
+
+def _bigram_reference(texts, keys, lam, min_count):
+    """Literal-python interpolated bigram scorer."""
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    toks = {k: t.split() for k, t in zip(keys, texts)}
+    for tk in toks.values():
+        uni.update(tk)
+        bi.update(zip(tk, tk[1:]))
+    n = sum(uni.values())
+    bi = {p: c for p, c in bi.items() if c >= min_count}
+    out = {}
+    for k, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        lps = []
+        for a, b in zip(tk, tk[1:]):
+            p = lam * (bi.get((a, b), 0) / uni[a]) + (1 - lam) * (uni[b] / n)
+            lps.append(np.log(p))
+        out[k] = (len(lps), round(float(np.mean(lps)), 9))
+    return out
+
+
+def test_bigram_logprob_matches_reference(ray_session):
+    from ocr_dataset_builder_ray.stages.filters import bigram_logprob
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+        for _ in range(80)
+    ]
+    texts += ["solo", ""]  # <2 tokens: dropped
+    keys = list(range(len(texts)))
+    df = pd.DataFrame({"doc_id": keys, "text": texts})
+    want = _bigram_reference(texts, keys, lam=0.9, min_count=2)
+
+    outs = []
+    for nparts in (1, 5):
+        got = (
+            bigram_logprob(
+                ray.data.from_pandas(df).repartition(nparts),
+                lam=0.9, min_count=2,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+    got = outs[0]
+    assert sorted(got["doc_id"]) == sorted(want)
+    for r in got.itertuples(index=False):
+        n, lp = want[r.doc_id]
+        assert r.n_bigrams == n
+        assert abs(r.logprob - lp) < 1e-8, (r.doc_id, r.logprob, lp)
+    # bigram scores must order a shuffled-token doc below natural text
+    # built from the same tokens (unigram scores cannot tell them apart)
+    base = "alpha beta gamma delta " * 20
+    shuf = base.split(); rng.shuffle(shuf)
+    df2 = pd.DataFrame({"doc_id": [0, 1], "text": [base, " ".join(shuf)]})
+    corpus = pd.concat([df, df2.assign(doc_id=[1000, 1001])])
+    s = (
+        bigram_logprob(ray.data.from_pandas(corpus), lam=0.9, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")["logprob"]
+    )
+    assert s[1000] > s[1001]
