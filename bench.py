@@ -2213,6 +2213,107 @@ def run_partitioned_bench() -> dict:
     }
 
 
+def run_quality_bench() -> dict:
+    """Session-8 quality-signal operators at volume: interpolated
+    bigram LM scoring, zlib compression gate, robots.txt gate — all
+    over the standard 100k-doc corpus (plus a synthetic robots table
+    covering half its domains)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_QUALITY_DOCS", "100000"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pandas as pd
+    import ray.data
+
+    from ocr_dataset_builder_ray.sources.documents import (
+        default_docs_corpus_dir,
+        generate_documents_corpus,
+    )
+    from ocr_dataset_builder_ray.stages.filters import (
+        bigram_logprob,
+        compression_filter,
+        unigram_logprob,
+    )
+
+    corpus = generate_documents_corpus(default_docs_corpus_dir(n_docs), n_docs)
+
+    def _read():
+        return ray.data.read_parquet(corpus, columns=["doc_id", "text"])
+
+    _read().count()  # warm
+    results: dict = {}
+
+    for name, fn in (
+        ("unigram_logprob", lambda d: unigram_logprob(d)),
+        ("bigram_logprob", lambda d: bigram_logprob(d)),
+        ("compression_filter", lambda d: compression_filter(d, min_ratio=0.2)),
+    ):
+        t0 = time.monotonic()
+        n = fn(_read()).count()
+        sec = time.monotonic() - t0
+        results[name] = {
+            "sec": round(sec, 2),
+            "docs_per_sec": round(n_docs / sec, 1),
+            "rows": n,
+        }
+
+    # robots gate: synthetic per-domain policies over a url-bearing view
+    from ocr_dataset_builder_ray.functions.robots import robots_filter
+
+    def _with_urls(t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://host{int(i) % 1000:04d}.example{int(i) % 7}.com/p/{int(i):07d}"
+            for i in ids
+        ]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    robots = pd.DataFrame(
+        {
+            "domain": [f"example{k}.com" for k in range(4)],
+            "robots_txt": [
+                b"User-agent: *\nDisallow: /p/000\nAllow: /p/0001"
+            ]
+            * 4,
+        }
+    )
+    t0 = time.monotonic()
+    n = robots_filter(
+        _read().map_batches(_with_urls, batch_format="pyarrow"), robots
+    ).count()
+    sec = time.monotonic() - t0
+    results["robots_filter"] = {
+        "sec": round(sec, 2),
+        "docs_per_sec": round(n_docs / sec, 1),
+        "rows": n,
+    }
+
+    out = {
+        "metric": "quality-signal operators at 100k docs",
+        "value": results["bigram_logprob"]["sec"],
+        "unit": "sec",
+        "num_cpus": ncpu,
+        "n_docs": n_docs,
+        "ops": results,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_shuffle_bench() -> dict:
     """Deterministic seeded shuffle at volume (the training-order
     operator, stages/curation.py): 500k docs with text payload, full
@@ -2324,6 +2425,8 @@ if __name__ == "__main__":
         print(json.dumps(run_partitioned_bench()))
     elif "--shuffle" in sys.argv:
         print(json.dumps(run_shuffle_bench()))
+    elif "--quality" in sys.argv:
+        print(json.dumps(run_quality_bench()))
     elif "--curation-inner" in sys.argv:
         print(json.dumps(run_curation_bench()))
     elif "--curation" in sys.argv:
