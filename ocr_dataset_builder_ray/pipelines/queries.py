@@ -1947,6 +1947,20 @@ WITH edges AS (
     return "".join(parts)
 
 
+def q78_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability (the
+    CCNet-fidelity upgrade of q58: ln(0.9*c(w1,w2)/c(w1) +
+    0.1*c(w2)/N) averaged over each doc's bigram positions, bigram
+    counts pruned below 2). The oracle recomputes it in SQL with a
+    positional self-join over unnested tokens."""
+    from ..stages.filters import bigram_logprob
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_logprob(ds, lam=0.9, min_count=2).to_pandas()
+    out["n_bigrams"] = out["n_bigrams"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -2029,6 +2043,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "q75_charset_sniff": q75_charset_sniff,
     "q76_blockword_audit": q76_blockword_audit,
     "q77_crawl_delta": q77_crawl_delta,
+    "q78_bigram_logprob": q78_bigram_logprob,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3159,6 +3174,40 @@ ORACLE_SQL: dict[str, str] = {
                END AS change
         FROM old_snap o FULL OUTER JOIN new_snap n ON o.url = n.url
         ORDER BY url
+    """,
+    # Interpolated bigram LM (q58's template + a positional self-join;
+    # the 0.1 backoff weight is written (1 - 0.9) so both engines
+    # evaluate the identical float64 constant). Bigram counts below 2
+    # are pruned to 0 exactly as the engine's min_count broadcast does.
+    "q78_bigram_logprob": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                   generate_subscripts(
+                       regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), uni AS (
+            SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT count(*)::DOUBLE AS n FROM toks
+        ), bi AS (
+            SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        ), bic AS (
+            SELECT w1, w2, count(*)::DOUBLE AS c12
+            FROM bi GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(ln(
+                   0.9 * coalesce(bc.c12, 0) / u1.c
+                   + (1 - 0.9) * u2.c / tot.n)), 9) AS logprob
+        FROM bi b
+        JOIN uni u1 ON u1.tok = b.w1
+        JOIN uni u2 ON u2.tok = b.w2
+        LEFT JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+        CROSS JOIN tot
+        GROUP BY b.doc_id ORDER BY b.doc_id
     """,
 }
 

@@ -112,4 +112,7 @@ def test_entry_contract(ray_session):
     # covered by this local replica and by the judge's re-run (the r4
     # check of record for q51-q65).
     assert set(o) == set(q)
-    assert len(q) == 77
+    # 78 = the 77 frozen in session 1 + q78_bigram_logprob (session 8,
+    # a genuine SQL oracle; sorts past the driver window so gate ids
+    # are unperturbed)
+    assert len(q) == 78
