@@ -1378,8 +1378,14 @@ def run_e2e_bench() -> dict:
                     break
     finally:
         timer.cancel()
-    if timed_out.is_set():
-        raise RuntimeError("e2e kill9 leg: no partitions committed")
+    # the timer can also fire in the narrow window after the 3rd
+    # PARTITION_DONE's break (or after a slow driver committed some
+    # partitions): only a genuinely partition-less hang is a failure
+    if timed_out.is_set() and committed < 3:
+        raise RuntimeError(
+            f"e2e kill9 leg: watchdog fired with only {committed} "
+            "partitions committed"
+        )
     proc.wait(timeout=120)
     r_k9 = _drive(root_k9, ncpu_hi)  # resume
 

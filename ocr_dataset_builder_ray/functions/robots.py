@@ -182,10 +182,14 @@ def robots_filter(
     def _gate(batch: pa.Table) -> pa.Table:
         rules_by_dom, dfl = ray.get(ref)
         urls = batch[url_col].to_pylist()
-        canon = canonicalize_urls(urls)
-        doms = registrable_domains(canon)
+        # canonical form ONLY for the domain lookup; rules match the
+        # RAW path+query — canonicalization strips trailing slashes and
+        # tracking params and re-sorts queries, any of which silently
+        # un-matches directory disallows ("Disallow: /private/") and
+        # query-pattern rules, under-blocking a compliance pass
+        doms = registrable_domains(canonicalize_urls(urls))
         keep = np.empty(len(urls), dtype=bool)
-        for i, (u, d) in enumerate(zip(canon, doms)):
+        for i, (u, d) in enumerate(zip(urls, doms)):
             rules = rules_by_dom.get(d)
             keep[i] = dfl if rules is None else rules.allowed(_path_query(u))
         return batch.filter(pa.array(keep))

@@ -1025,8 +1025,15 @@ def bigram_logprob(
         .map_groups(_bucket_sum, batch_format="pyarrow")
         .to_pandas()  # frequent-bigram-bounded (min_count prune)
     )
-    b_h = rows["bhash"].to_numpy(dtype=np.int64).view(np.uint64)
-    b_c = rows["cnt"].to_numpy(dtype=np.int64)
+    if len(rows) and "bhash" in rows.columns:
+        b_h = rows["bhash"].to_numpy(dtype=np.int64).view(np.uint64)
+        b_c = rows["cnt"].to_numpy(dtype=np.int64)
+    else:
+        # every bigram fell below min_count: scoring degrades to pure
+        # backoff (the empty-aggregate frame loses its schema, same as
+        # token_counts' guard)
+        b_h = np.empty(0, dtype=np.uint64)
+        b_c = np.empty(0, dtype=np.int64)
     order = np.argsort(b_h)
     bcast = ray.put((hashes, counts, int(total), b_h[order], b_c[order]))
 
@@ -1042,12 +1049,16 @@ def bigram_logprob(
                     "logprob": pa.array(np.empty(0, dtype=np.float64)),
                 }
             )
-        # c(w1, w2) from the pruned table (0 when pruned/unseen)
-        pos = np.searchsorted(bh_tab, bh)
-        pos_c = np.minimum(pos, max(0, bh_tab.size - 1))
-        c12 = np.where(
-            (bh_tab.size > 0) & (bh_tab[pos_c] == bh), bc_tab[pos_c], 0
-        ).astype(np.float64)
+        # c(w1, w2) from the pruned table (0 when pruned/unseen); the
+        # empty-table branch is separate because np.where evaluates
+        # both branches eagerly (bh_tab[pos_c] on an empty table raises)
+        if bh_tab.size:
+            pos_c = np.minimum(np.searchsorted(bh_tab, bh), bh_tab.size - 1)
+            c12 = np.where(bh_tab[pos_c] == bh, bc_tab[pos_c], 0).astype(
+                np.float64
+            )
+        else:
+            c12 = np.zeros(bh.size, dtype=np.float64)
         # c(w1) and c(w2): every observed token IS in the unigram
         # table; the table is SORTED AS int64 (token_counts contract),
         # so look up with the signed view, not the raw uint64 hashes

@@ -309,12 +309,20 @@ def pq_search(
     cand_rows = rerank_ds.map_batches(
         _member, batch_format="pyarrow", batch_size=4096
     ).to_pandas()  # shortlist-bounded: <= nq * shortlist rows
-    cand_mat = _normalize(_as_matrix(cand_rows[vec_col]))
-    cand_keys = cand_rows[key_col].to_numpy()
     if not len(approx):
         return pd.DataFrame(
             columns=["query_id", key_col, "cosine", "rank"]
         )
+    if len(cand_rows) == 0:
+        # a fully-missing rerank table (wrong key_col / wrong table)
+        # must get the diagnostic, not an empty-frame KeyError (the
+        # schema-less empty to_pandas doesn't even have the columns)
+        raise KeyError(
+            f"rerank_ds contains none of the {len(cand)} shortlisted "
+            f"{key_col} values, e.g. {cand[:5].tolist()}"
+        )
+    cand_mat = _normalize(_as_matrix(cand_rows[vec_col]))
+    cand_keys = cand_rows[key_col].to_numpy()
     # every (query, candidate) pair re-scored in one row-wise einsum;
     # key -> matrix-row lookup via searchsorted over the sorted keys
     qid_a = approx["query_id"].to_numpy()

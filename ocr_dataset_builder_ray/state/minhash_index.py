@@ -152,14 +152,32 @@ def _heal_bands_swap(index_dir: str) -> None:
             os.remove(marker)
             shutil.rmtree(old_root, ignore_errors=True)
         return
+    # Tolerate racing healers / a live compactor mid-swap: each rename
+    # is attempted best-effort, and success is judged by the bands dir
+    # existing afterwards — whichever process wins the os.replace, the
+    # others observe a complete tree and fall through. (Compaction
+    # itself is documented as not concurrency-safe with a simultaneous
+    # UPDATE pass; this makes concurrent READERS safe.)
     if os.path.isdir(compact_root) and os.path.exists(
         os.path.join(compact_root, _COMPACT_MARKER)
     ):
-        os.replace(compact_root, bands_root)
-        os.remove(os.path.join(bands_root, _COMPACT_MARKER))
-        shutil.rmtree(old_root, ignore_errors=True)
+        try:
+            os.replace(compact_root, bands_root)
+        except OSError:
+            pass  # another process won the promotion
+        if os.path.isdir(bands_root):
+            marker = os.path.join(bands_root, _COMPACT_MARKER)
+            if os.path.exists(marker):
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass
+            shutil.rmtree(old_root, ignore_errors=True)
     elif os.path.isdir(old_root):
-        os.replace(old_root, bands_root)
+        try:
+            os.replace(old_root, bands_root)
+        except OSError:
+            pass
 
 
 def _read_bands(index_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -670,9 +688,19 @@ def compact_minhash_index(
     with open(os.path.join(compact_root, _COMPACT_MARKER), "w") as fh:
         fh.write("ok")
     os.replace(bands_root, old_root)
-    os.replace(compact_root, bands_root)
-    os.remove(os.path.join(bands_root, _COMPACT_MARKER))
-    shutil.rmtree(old_root)
+    try:
+        os.replace(compact_root, bands_root)
+    except OSError:
+        # a concurrent reader's _heal_bands_swap can win this rename in
+        # the window between our two os.replace calls; the swap is done
+        # either way — verify and continue instead of failing with
+        # n_passes left stale
+        if not os.path.isdir(bands_root):
+            raise
+    marker = os.path.join(bands_root, _COMPACT_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
+    shutil.rmtree(old_root, ignore_errors=True)
 
     params["n_passes"] = 1
     _write_params(index_dir, params)

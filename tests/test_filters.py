@@ -697,3 +697,25 @@ def test_bigram_logprob_matches_reference(ray_session):
         .set_index("doc_id")["logprob"]
     )
     assert s[1000] > s[1001]
+
+
+def test_bigram_logprob_pure_backoff(ray_session):
+    """Every bigram unique (all below min_count): the pruned table is
+    empty and scoring must degrade to pure unigram backoff, not crash
+    on the schema-less empty aggregate."""
+    from ocr_dataset_builder_ray.stages.filters import bigram_logprob
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a b", "c d", "e f"]}
+    )
+    got = (
+        bigram_logprob(ray.data.from_pandas(df), lam=0.9, min_count=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _bigram_reference(df["text"], df["doc_id"], lam=0.9, min_count=2)
+    assert len(got) == 3
+    for r in got.itertuples(index=False):
+        n, lp = want[r.doc_id]
+        assert r.n_bigrams == n and abs(r.logprob - lp) < 1e-8

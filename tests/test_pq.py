@@ -226,3 +226,20 @@ def test_rerank_missing_key_is_loud(ray_session, vecs, queries):
         pq_search(
             codes, model, q, k=10, nprobe=4, rerank_ds=holey, rerank_factor=4
         )
+
+
+def test_rerank_fully_missing_table_is_loud(ray_session, vecs, queries):
+    """A rerank table sharing NO keys with the shortlist (wrong table /
+    wrong key_col) must get the diagnostic KeyError, not an
+    empty-array IndexError."""
+    _rows, q = queries
+    ds = ray.data.from_pandas(vecs).repartition(3)
+    model = pq_train(ds, n_centroids=12, m=M, ks=64, train_sample=600)
+    codes = pq_encode(ds, model).materialize()
+    other = vecs.copy()
+    other["vec_id"] = other["vec_id"] + 1_000_000
+    with pytest.raises(KeyError, match="none of the"):
+        pq_search(
+            codes, model, q, k=10, nprobe=4,
+            rerank_ds=ray.data.from_pandas(other), rerank_factor=4,
+        )

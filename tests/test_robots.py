@@ -115,3 +115,26 @@ def test_robots_filter_stage(ray_session):
         "https://a.com/keep",
         "https://a.com/private/public-page",
     ]
+
+
+def test_robots_filter_matches_raw_url_not_canonical(ray_session):
+    """Directory disallows and query rules must match the RAW url:
+    canonicalization strips trailing slashes and tracking params,
+    which would silently un-match them (under-blocking)."""
+    pages = pd.DataFrame(
+        {
+            "url": [
+                "https://a.com/private/",       # dir disallow, bare
+                "https://a.com/private",        # NOT under /private/
+                "https://a.com/x?utm_source=nl" # query-pattern rule
+            ]
+        }
+    )
+    robots = pd.DataFrame(
+        {
+            "domain": ["a.com"],
+            "robots_txt": [b"User-agent: *\nDisallow: /private/\nDisallow: /*utm_source="],
+        }
+    )
+    got = robots_filter(ray.data.from_pandas(pages), robots).to_pandas()
+    assert got["url"].tolist() == ["https://a.com/private"]
