@@ -197,3 +197,102 @@ def test_bpe_merge_count_monotone(words):
     # merge lists are prefix-consistent and more merges never lengthen
     assert m20[: len(m5)] == m5
     assert total(m20) <= total(m5)
+
+
+# --- session-8 parsers: robots matcher + charset declaration rewrite ---
+
+_ROBOTS_CHARS = st.text(alphabet="/ab*$x-", min_size=0, max_size=12)
+
+
+def _wild_match(pattern: str, path: str) -> bool:
+    """Independent reference matcher: '*' any sequence, final '$'
+    anchors; prefix match otherwise. Recursive, memo-free (inputs are
+    tiny)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+
+    def rec(p: str, s: str) -> bool:
+        if not p:
+            return (not s) if anchored else True
+        if p[0] == "*":
+            return any(rec(p[1:], s[i:]) for i in range(len(s) + 1))
+        return bool(s) and s[0] == p[0] and rec(p[1:], s[1:])
+
+    return rec(body, path)
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), _ROBOTS_CHARS), min_size=0, max_size=8
+    ),
+    _ROBOTS_CHARS,
+)
+@settings(max_examples=300)
+def test_robots_rules_match_reference(rules, path):
+    """RobotsRules.allowed == the spec decision computed independently:
+    among matching rules pick max pattern length, allow wins ties; no
+    match -> allowed."""
+    from ocr_dataset_builder_ray.functions.robots import RobotsRules
+
+    if not path.startswith("/"):
+        path = "/" + path
+    got = RobotsRules(list(rules)).allowed(path)
+    matching = [
+        (len(p), is_allow)
+        for is_allow, p in rules
+        if p != "" and _wild_match(p, path)
+    ]
+    want = max(matching)[1] if matching else True
+    assert got == want, (rules, path, got, want)
+
+
+@given(
+    st.lists(st.tuples(st.booleans(), _ROBOTS_CHARS), max_size=6),
+    st.randoms(),
+    _ROBOTS_CHARS,
+)
+@settings(max_examples=150)
+def test_robots_rule_order_irrelevant(rules, rnd, path):
+    from ocr_dataset_builder_ray.functions.robots import RobotsRules
+
+    if not path.startswith("/"):
+        path = "/" + path
+    a = RobotsRules(list(rules)).allowed(path)
+    shuffled = list(rules)
+    rnd.shuffle(shuffled)
+    assert RobotsRules(shuffled).allowed(path) == a
+
+
+@given(st.text(max_size=600))
+@settings(max_examples=300)
+def test_rewrite_declared_utf8_no_mojibake_roundtrip(s):
+    """THE transcode property: for any decoded text, rewriting the
+    declaration and encoding to utf-8 must re-sniff and decode back to
+    exactly the same characters (no double-decode path left)."""
+    from ocr_dataset_builder_ray.functions.charset import (
+        decode_payload,
+        rewrite_declared_utf8,
+    )
+
+    fixed = rewrite_declared_utf8(s)
+    # surrogates can't encode; decode_payload would have never produced
+    # them (errors=replace), so normalize the input the same way
+    payload = fixed.encode("utf-8", errors="replace")
+    text, _enc, _src = decode_payload(payload)
+    assert text == payload.decode("utf-8"), (s[:80],)
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=400))
+@settings(max_examples=200)
+def test_rewrite_declared_preserves_tail(s):
+    """The rewrite only ever edits the prescan window; text past it is
+    byte-identical, and text without a declaration is untouched."""
+    from ocr_dataset_builder_ray.functions.charset import (
+        PRESCAN_BYTES,
+        rewrite_declared_utf8,
+    )
+
+    out = rewrite_declared_utf8(s)
+    assert out[PRESCAN_BYTES:] == s[PRESCAN_BYTES:]
+    if "charset" not in s.lower() and "encoding" not in s.lower():
+        assert out == s
