@@ -69,7 +69,7 @@ def _split_lines(batch: pa.Table, text_col: str):
 
 
 def _pair_rows(
-    batch: pa.Table, text_col: str, key_col: str, domain_col: str, min_chars: int
+    batch: pa.Table, text_col: str, domain_col: str, min_chars: int
 ) -> pa.Table:
     """Distinct (dhash, lhash) skinny rows, one per (doc, line content).
 
@@ -180,7 +180,7 @@ def _reduce_hot(
 def boilerplate_lines(
     ds: ray.data.Dataset,
     text_col: str = "text",
-    key_col: str = "doc_id",
+    key_col: str = "doc_id",  # unused: doc identity is positional; kept for signature compat
     domain_col: str = "domain",
     *,
     min_docs: int = 3,
@@ -202,7 +202,7 @@ def boilerplate_lines(
         dom_dh, dom_n = _domain_doc_counts(ds, domain_col)
 
     pair_rows = ds.map_batches(
-        lambda t: _pair_rows(t, text_col, key_col, domain_col, min_chars),
+        lambda t: _pair_rows(t, text_col, domain_col, min_chars),
         batch_format="pyarrow",
     ).materialize()
 

@@ -204,6 +204,42 @@ def train_nb_classifier(
     )
 
 
+def _batch_scores(batch: pa.Table, model_tuple, text_col: str):
+    """Shared NB scoring kernel for ``nb_classify`` / ``nb_filter``:
+    (classes, best_idx, top_score, margin_or_None). ``margin`` is None
+    for a single-class model (callers pick their own convention: 0.0
+    for reporting, +inf for gating). The empty-vocabulary case (a
+    model trained on all-empty texts) scores on priors alone — the
+    vocab lookup is guarded with a real branch because ``np.where``
+    evaluates both branches eagerly and ``vocab[pos_c]`` raises on an
+    empty array."""
+    classes, vocab, logprob, oov, log_prior = model_tuple
+    n_cls = len(classes)
+    n = batch.num_rows
+    doc, th = _doc_tokens(batch, text_col)
+    scores = np.tile(log_prior[:, None], (1, n))
+    if th.size:
+        h = th.view(np.int64)
+        if vocab.size:
+            pos_c = np.minimum(np.searchsorted(vocab, h), vocab.size - 1)
+            hit = vocab[pos_c] == h
+            for ci in range(n_cls):
+                lp = np.where(hit, logprob[ci][pos_c], oov[ci])
+                scores[ci] += np.bincount(doc, weights=lp, minlength=n)
+        else:  # every token is OOV
+            for ci in range(n_cls):
+                scores[ci] += np.bincount(
+                    doc, weights=np.full(th.size, oov[ci]), minlength=n
+                )
+    order = np.argsort(-scores, axis=0, kind="stable")
+    best = order[0]
+    top = scores[best, np.arange(n)]
+    margin = (
+        top - scores[order[1], np.arange(n)] if n_cls > 1 else None
+    )
+    return classes, best, top, margin
+
+
 def nb_classify(
     ds: ray.data.Dataset,
     model: NBModel,
@@ -226,27 +262,11 @@ def nb_classify(
     )
 
     def _score(batch: pa.Table) -> pa.Table:
-        classes, vocab, logprob, oov, log_prior = ray.get(bcast)
-        n_cls = len(classes)
-        n = batch.num_rows
-        doc, th = _doc_tokens(batch, text_col)
-        scores = np.tile(log_prior[:, None], (1, n))
-        if th.size:
-            h = th.view(np.int64)
-            pos = np.searchsorted(vocab, h)
-            pos_c = np.minimum(pos, max(0, vocab.size - 1))
-            hit = (vocab.size > 0) & (vocab[pos_c] == h)
-            for ci in range(n_cls):
-                lp = np.where(hit, logprob[ci][pos_c], oov[ci])
-                scores[ci] += np.bincount(doc, weights=lp, minlength=n)
-        order = np.argsort(-scores, axis=0, kind="stable")
-        best = order[0]
-        top = scores[best, np.arange(n)]
-        margin = (
-            top - scores[order[1], np.arange(n)]
-            if n_cls > 1
-            else np.zeros(n, dtype=np.float64)
+        classes, best, top, margin = _batch_scores(
+            batch, ray.get(bcast), text_col
         )
+        if margin is None:
+            margin = np.zeros(batch.num_rows, dtype=np.float64)
         cols = {
             key_col: batch[key_col],
             "pred_label": pa.array(
@@ -280,27 +300,11 @@ def nb_filter(
         raise ValueError(f"nb_filter: unknown label {keep_label!r}")
 
     def _gate(batch: pa.Table) -> pa.Table:
-        classes, vocab, logprob, oov, log_prior = ray.get(bcast)
-        n_cls = len(classes)
-        n = batch.num_rows
-        doc, th = _doc_tokens(batch, text_col)
-        scores = np.tile(log_prior[:, None], (1, n))
-        if th.size:
-            h = th.view(np.int64)
-            pos = np.searchsorted(vocab, h)
-            pos_c = np.minimum(pos, max(0, vocab.size - 1))
-            hit = (vocab.size > 0) & (vocab[pos_c] == h)
-            for ci in range(n_cls):
-                lp = np.where(hit, logprob[ci][pos_c], oov[ci])
-                scores[ci] += np.bincount(doc, weights=lp, minlength=n)
-        order = np.argsort(-scores, axis=0, kind="stable")
-        best = order[0]
-        top = scores[best, np.arange(n)]
-        margin = (
-            top - scores[order[1], np.arange(n)]
-            if n_cls > 1
-            else np.full(n, np.inf)
+        classes, best, _top, margin = _batch_scores(
+            batch, ray.get(bcast), text_col
         )
+        if margin is None:
+            margin = np.full(batch.num_rows, np.inf)
         want = classes.index(keep_label)
         keep = (best == want) & (margin >= min_margin)
         return batch.filter(pa.array(keep))

@@ -64,6 +64,20 @@ def sample_ticket(keys: np.ndarray) -> np.ndarray:
     return (keys.astype(np.uint64) * np.uint64(KNUTH_32)) % np.uint64(TICKET_MOD)
 
 
+def _check_no_null_groups(batch: pa.Table, group_col: str, op: str) -> None:
+    """Loud error for null group values: ``np.unique`` over a mixed
+    None/str object array raises an opaque TypeError deep inside a Ray
+    task — a plausible state for web-crawl language/domain columns
+    (same contract as ``train_nb_classifier``'s label check)."""
+    col = batch[group_col]
+    nulls = col.null_count if hasattr(col, "null_count") else 0
+    if nulls:
+        raise ValueError(
+            f"{op}: {nulls} null values in group column {group_col!r}; "
+            "filter or impute null-group rows first"
+        )
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     group_col: str,
@@ -87,6 +101,7 @@ def stratified_sample(
     def _filter(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         tickets = sample_ticket(keys)
+        _check_no_null_groups(batch, group_col, "stratified_sample")
         groups, inverse = np.unique(
             np.asarray(batch[group_col].to_pylist(), dtype=object),
             return_inverse=True,
@@ -238,6 +253,7 @@ def cutoff_filter(
     def _filter(batch: pa.Table) -> pa.Table:
         sv = batch[score_col].to_numpy(zero_copy_only=False)
         kv = batch[key_col].to_numpy(zero_copy_only=False)
+        _check_no_null_groups(batch, group_col, "cutoff_filter")
         groups, inverse = np.unique(
             np.asarray(batch[group_col].to_pylist(), dtype=object),
             return_inverse=True,
@@ -577,14 +593,20 @@ def mix_to_proportions(
     proportions: dict,
     n_buckets: int = 4096,
 ) -> ray.data.Dataset:
-    """Deterministic dataset mixing: down-sample groups so the output
-    matches the target ``proportions`` (a DoReMi/Pile-style source-mix
-    recipe) exactly, with NO upsampling — the binding group (smallest
-    n_g / p_g) is kept whole, every other group keeps its
+    """Deterministic dataset mixing: down-sample groups toward the
+    target ``proportions`` (a DoReMi/Pile-style source-mix recipe)
+    with NO upsampling. The binding group (smallest ``n_g / p_g``)
+    sizes the output: ``n_target = floor(n_bind / p_bind)``, and
+    EVERY group — including the binding one — keeps its
     ``floor(p_g * n_target)`` smallest hash tickets (the same
     reservoir-free selection as ``fixed_size_sample``, so the mix is
-    independent of partitioning and row order). Groups absent from
-    ``proportions`` (or with p <= 0) are dropped.
+    independent of partitioning and row order). The double floor can
+    shave up to ``1/p_g`` rows off the binding group relative to
+    "kept whole" (e.g. n={a:10,b:90}, p={a:.3,b:.7} keeps 9 of a's 10
+    rows); each group's achieved share is within one row of
+    ``p_g``/sum(floors). This exact quota rule is pinned by the
+    q54/q71 oracles. Groups absent from ``proportions`` (or with
+    p <= 0) are dropped.
 
     Scale shape: one skinny Count aggregate to size the mix, then the
     order-statistics cutoff machinery — the payload never shuffles.
@@ -635,6 +657,11 @@ def hash_split(
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"hash_split: fractions sum to {total} > 1")
+    neg = {n: f for n, f in fractions.items() if f < 0}
+    if neg:
+        # a negative fraction makes the cumsum bounds non-monotonic,
+        # silently breaking searchsorted's sorted-input precondition
+        raise ValueError(f"hash_split: negative fractions {neg}")
     names = list(fractions)
     bounds = np.floor(
         np.cumsum([fractions[n] for n in names]) * TICKET_MOD
@@ -837,6 +864,12 @@ def domain_cap(
         capped = capped.drop_columns(drop_cols)
     if keep_domain_col:
         def _rename(batch: pa.Table) -> pa.Table:
+            # an input that already carries a 'domain' column (e.g.
+            # add_domain_column ran upstream) would otherwise yield a
+            # duplicate-field schema that crashes the next by-name
+            # access — drop the pre-existing one, ours is identical
+            if "domain" in batch.schema.names:
+                batch = batch.drop_columns(["domain"])
             i = batch.schema.get_field_index("__domain")
             return batch.rename_columns(
                 [n if j != i else "domain" for j, n in enumerate(batch.schema.names)]

@@ -223,12 +223,14 @@ def span_dedup(
     losers_ds: ray.data.Dataset | None = None
     if window_rows.count() <= SMALL_INPUT_WINDOW_ROWS:
         wdf = window_rows.to_pandas()
-        wh = wdf["whash"].to_numpy()
-        pk = wdf["packed"].to_numpy()
+        if "whash" not in wdf.columns:  # zero window rows: schema lost
+            wdf = pd.DataFrame({"whash": [], "packed": []})
+        wh = wdf["whash"].to_numpy(dtype=np.int64, copy=False)
+        pk = wdf["packed"].to_numpy(dtype=np.int64, copy=False)
         order = np.lexsort((pk, wh))
         wh_s, pk_s = wh[order], pk[order]
-        first = np.r_[True, wh_s[1:] != wh_s[:-1]]
-        losers = pk_s[~first]
+        first = np.r_[True, wh_s[1:] != wh_s[:-1]] if len(wh_s) else np.empty(0, bool)
+        losers = pk_s[~first] if len(wh_s) else pk_s
     else:
         # ONE exchange, then a vectorized per-bucket reduce that emits
         # losers directly. A per-hash native aggregate is the wrong

@@ -214,3 +214,26 @@ def test_null_label_raises_clearly(ray_session):
     # Ray wraps the task-side ValueError in RayTaskError/UserCodeException
     with pytest.raises(Exception, match="null label"):
         train_nb_classifier(ray.data.from_pandas(df), label_col="label")
+
+
+def test_empty_vocabulary_scores_on_priors(ray_session):
+    """A model trained on all-empty texts has an empty vocabulary;
+    scoring any document must fall back to priors+OOV, not IndexError
+    (np.where evaluates both branches eagerly)."""
+    import pandas as pd
+
+    train = pd.DataFrame(
+        {"doc_id": [1, 2], "label": ["a", "b"], "text": ["", "   "]}
+    )
+    model = train_nb_classifier(
+        ray.data.from_pandas(train), label_col="label"
+    )
+    assert model.vocab.size == 0
+    score = pd.DataFrame({"doc_id": [9], "text": ["some real words here"]})
+    got = nb_classify(ray.data.from_pandas(score), model).to_pandas()
+    assert len(got) == 1 and got["pred_label"].iloc[0] in ("a", "b")
+    kept = nb_filter(
+        ray.data.from_pandas(score), model,
+        keep_label=got["pred_label"].iloc[0],
+    ).to_pandas()
+    assert len(kept) == 1

@@ -366,3 +366,24 @@ def test_temperature_mix_rejects_bad_alpha(ray_session):
     df = _frame(n=50)
     with pytest.raises(ValueError):
         temperature_mix(ray.data.from_pandas(df), "lang", "doc_id", alpha=1.5)
+
+
+def test_null_group_values_are_loud(ray_session):
+    import pandas as pd
+    import pytest
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "lang": ["en", None, "de"], "score": [1.0, 2.0, 3.0]}
+    )
+    with pytest.raises(Exception, match="null"):
+        stratified_sample(
+            ray.data.from_pandas(df), "lang", "doc_id", {"en": 1.0}
+        ).to_pandas()
+
+
+def test_hash_split_rejects_negative_fraction():
+    import pytest
+
+    with pytest.raises(ValueError, match="negative"):
+        from ocr_dataset_builder_ray.stages.curation import hash_split
+        hash_split(None, "doc_id", {"train": 0.9, "val": -0.1, "test": 0.2})

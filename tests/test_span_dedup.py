@@ -239,3 +239,14 @@ def test_line_dedup_parallelism_invariant(ray_session):
     b = S.line_dedup(
         ray.data.from_items(items, override_num_blocks=8), "text", "doc_id")
     assert a.equals(b)
+
+
+def test_span_dedup_all_docs_shorter_than_window(ray_session):
+    """Zero window rows (every doc under w tokens): the small path must
+    return the corpus unchanged, not crash on the schema-less empty
+    aggregate."""
+    import pandas as pd
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "d e"]})
+    spans = S.span_dedup(ray.data.from_pandas(df), "text", "doc_id", w=8)
+    assert len(spans) == 0

@@ -117,3 +117,27 @@ def test_canonical_url_dedup(ray_session):
         == canonicalize_url("http://a.example/x")
         == canonicalize_url("http://a.example:80/x/")
     )
+
+
+def test_domain_cap_with_preexisting_domain_column(ray_session):
+    """add_domain_column upstream of domain_cap(keep_domain_col=True)
+    must not produce a duplicate 'domain' field (crashed the next
+    by-name access)."""
+    import pandas as pd
+
+    from ocr_dataset_builder_ray.stages.curation import (
+        add_domain_column,
+        domain_cap,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "url": [f"https://a.com/{i}" for i in range(4)]
+            + [f"https://b.com/{i}" for i in range(2)],
+        }
+    )
+    ds = add_domain_column(ray.data.from_pandas(df))
+    out = domain_cap(ds, 2, key_col="doc_id").to_pandas()
+    assert list(out.columns).count("domain") == 1
+    assert out.groupby("domain")["doc_id"].count().max() <= 2
